@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-vs-DuckDB and for scale-out behavior:
+AQE on (runtime partition coalescing + skew-join splitting), Arrow on (fast
+pandas_udf transfer), UTC session timezone (timestamp hashes must match the
+oracle), shuffle partitions sized to the local core count (on a real cluster
+this is overridden to ~2-3x total cores; AQE coalesces down after the fact).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "cartodb-importer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a cluster, pass ``master=None`` and let spark-submit supply it; the
+    local default mirrors the test environment (local[$SPARK_GRAFT_CPUS]).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- adaptive execution: re-plan at runtime from real stats ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- python<->jvm transfer is Arrow-batched, never per-row ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- deterministic timestamp semantics vs the DuckDB oracle ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- partitioning defaults; AQE coalesces post-shuffle ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # small-dim joins should broadcast without hints up to 64 MB
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash(+LSH banding), SimHash, and
+n-gram Jaccard verification (north-star surface, BASELINE.json).
+
+Design for 100 TB:
+
+* Exact dedup never compares documents pairwise — it is a hash-groupBy
+  (one shuffle on a 64-hex-char key, not on the document body).
+* Near-dup never goes quadratic — MinHash banding buckets candidates so the
+  self-join happens per-bucket; only candidates get the exact Jaccard check.
+* All hashing is md5-based and content-deterministic: signatures are stable
+  across runs, partitionings, and engines (which is also what makes them
+  oracle-checkable in DuckDB — same md5, same mins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import words
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text. groupBy on sha2(text) — the
+    shuffle key is 32 bytes regardless of document size."""
+    key = F.sha2(F.col(text_col), 256).alias("__key")
+    survivors = (
+        df.select(key, F.col(id_col))
+        .groupBy("__key")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__key")
+    )
+    return df.join(survivors, on=id_col, how="semi")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    ws = words(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(ws) >= n, sh).otherwise(F.array()))
+
+
+def minhash_band(col: Column, band: int, n: int = 3) -> Column:
+    """One MinHash value: min over shingles of md5(band || '|' || shingle).
+    Using md5-hex min (lexicographic) keeps the construction portable to any
+    SQL engine while preserving the MinHash property per band."""
+    sh = shingles(col, n)
+    hashed = F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
+    return F.array_min(hashed)
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 8, n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature, one column per band."""
+    return df.select(
+        id_col,
+        *[
+            minhash_band(F.col(text_col), b, n).alias(f"mh_{b}")
+            for b in range(bands)
+        ],
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 8, n: int = 3
+) -> DataFrame:
+    """LSH banding: documents sharing ANY band value become a candidate
+    pair. The self-join is per (band, value) bucket — the only rows that
+    meet are those already likely similar, so the join never goes
+    quadratic in the corpus size."""
+    sig = minhash_signature(df, text_col, id_col, bands, n)
+    stacked = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("val"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    left = stacked.alias("a")
+    right = stacked.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify step after
+    LSH banding)."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 4).alias(
+            "jaccard"
+        ),
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: band -> candidates -> exact Jaccard -> drop
+    the higher-id member of every >= threshold pair."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
+    scored = jaccard_pairs(df, cand, text_col, id_col, n)
+    to_drop = (
+        scored.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(to_drop, on=id_col, how="anti")
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over the token set, one bit per md5 nibble MSB.
+
+    For each token, md5 yields 16 leading nibbles; bit b of the signature is
+    the sign of sum over tokens of (+1 if nibble_b >= 8 else -1). Near-dup
+    docs differ in few bits (compare via Hamming distance). Portable to any
+    engine with md5 + substring."""
+    ws = F.array_distinct(words(col))
+
+    def vote_at(pos: int):
+        # single-parameter lambda: pyspark would bind the array index to a
+        # second parameter, shadowing a default-arg closure
+        return lambda w: F.when(
+            F.substring(F.md5(w), pos, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(16):
+        nib = F.transform(ws, vote_at(b + 1))
+        vote = F.aggregate(nib, F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    total = bits[0]
+    for c in bits[1:]:
+        total = total + c
+    return total
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit simhashes (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)), lambda i: F.shiftright(x, i) % 2
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def near_dedup_ml_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 5,
+    threshold: float = 0.6,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+):
+    """pyspark.ml MinHashLSH variant (HashingTF shingle features +
+    approxSimilarityJoin). Used for scale benchmarking; the md5 formulation
+    above is the oracle-checkable one."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(id_col, shingles(F.col(text_col)).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return pairs.filter(
+        F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")
+    ).select(
+        F.col(f"datasetA.{id_col}").alias("id_a"),
+        F.col(f"datasetB.{id_col}").alias("id_b"),
+        F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+    )

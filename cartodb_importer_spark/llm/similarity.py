@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one scan, JVM-side fold for the dot
+product (F.aggregate/zip_with, no UDF), TakeOrdered for the top-k. This is
+the exact answer and scales linearly; at 100 TB the scan dominates.
+
+Scale path: IVF (inverted file) — k-means centroids (seeded, trained on a
+sample), each vector assigned to its nearest centroid at write time; queries
+probe only the closest nprobe cells, cutting the scan by ~k/nprobe. An
+LSH-bucketed variant (random hyperplane signs) is sketched for streaming
+ingest where centroids can't be retrained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    The query vector is a literal array folded into the plan (broadcast by
+    value); orderBy+limit plans as TakeOrderedAndProject, so no global sort
+    ever materializes."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(v, q), round_to).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs_topk_per_label(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """All-pairs cosine within each label bucket, top-k per vector — the
+    blocked (non-quadratic-globally) pairwise pattern: the self-join is
+    keyed on the label so only same-bucket vectors meet."""
+    from pyspark.sql import Window
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, on="lbl").filter(F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+):
+    """K-means centroids for IVF cells (pyspark.ml, deterministic seed).
+    At 100 TB, train on a sample — centroid quality saturates quickly."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed)
+    feats = sample.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=20)
+    model = km.fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def assign_ivf_cell(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the nearest-centroid cell id — pure JVM expression (argmin
+    over literal centroid arrays), suitable as a write-time partition key."""
+    v = F.col(vec_col).cast("array<double>")
+    packed = []
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        packed.append(F.struct((-d2).alias("negd"), F.lit(i).alias("cell")))
+    best = F.greatest(*packed)
+    return df.withColumn("ivf_cell", best.getField("cell"))
+
+
+def ivf_topk(
+    df_with_cells: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query: rank cells by centroid distance to the query, scan only
+    the nprobe nearest cells, brute-force within them. With partition-by-
+    cell storage this prunes the parquet scan itself (partition pruning),
+    not just the compute."""
+    import math
+
+    q = query_vec
+    dists = [
+        (i, math.dist([float(x) for x in c], [float(x) for x in q]))
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df_with_cells.filter(F.col("ivf_cell").isin(probe))
+        .select(F.col(id_col), F.round(cosine(v, qcol), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

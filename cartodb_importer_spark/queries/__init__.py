@@ -1,0 +1,112 @@
+"""Declared query registry — the t2 correctness contract surface.
+
+Every operator claimed in SURVEY.md §2.3 registers here twice:
+
+* ``QUERIES[name]`` — a callable ``(spark, sf_dir) -> DataFrame`` built with
+  the engine's public operators (idiomatic DataFrame code, never a
+  transliteration of the reference's imperative loops);
+* ``ORACLES[name]`` — the equivalent ANSI SQL that DuckDB runs over the same
+  parquet tables (views pre-registered by the driver).
+
+The driver executes both at sf=0.01 and compares row-count, schema, and an
+order-insensitive value hash. Column names are aliased identically on both
+sides because the compare sorts columns by name before hashing.
+
+Ops with no SQL-expressible oracle (approx sketches, streaming state,
+MinHash-LSH pair generation) register a query only; the driver records a
+weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+class Tables:
+    """Lazy per-table parquet loader: ``t.lineitem`` reads
+    ``{sf_dir}/lineitem.parquet`` on first access."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLES:
+            raise AttributeError(f"unknown table {name!r}")
+        if name not in self._cache:
+            self._cache[name] = _read_normalized(
+                self._spark, f"{self._sf_dir}/{name}.parquet"
+            )
+        return self._cache[name]
+
+
+def _read_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, converting TIMESTAMP(NANOS) columns (read as long
+    nanos under spark.sql.legacy.parquet.nanosAsLong) back to timestamps.
+    Integer `div` keeps the ns->us conversion exact (double division would
+    lose precision above 2^53 ns)."""
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        import glob
+        import os
+
+        sample = path
+        if os.path.isdir(path):
+            sample = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        ns_cols = {
+            f.name for f in pq.read_schema(sample) if str(f.type) == "timestamp[ns]"
+        }
+    except Exception:
+        ns_cols = set()
+    from pyspark.sql import functions as F
+
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+# Populate the registry: importing each module runs its @query decorators.
+from . import core  # noqa: E402,F401
+from . import scalars  # noqa: E402,F401
+from . import joins  # noqa: E402,F401
+from . import aggregates  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import setops  # noqa: E402,F401
+from . import llm  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
+from . import streaming_batch  # noqa: E402,F401

@@ -1,0 +1,202 @@
+"""Join operator surface (SURVEY §2.3): every join type, broadcast hints,
+theta/range predicates, and the as-of join (operators/asof.py).
+
+The reference gem performs no joins; this is declared engine surface. Scale
+notes are on each query: which side broadcasts, where the shuffle lands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from . import Tables, query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; customer is the small side and broadcasts (no
+    shuffle of the orders fact at any scale where customer fits in 64 MB;
+    beyond that AQE picks SMJ on the shared key)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.join(
+        F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — customers with no orders keep NULL order columns."""
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey"), "right"
+    ).select("o_orderkey", "c_custkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+    FROM nation n FULL JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — nations without suppliers and (if any) orphan
+    suppliers both survive with NULLs."""
+    t = Tables(spark, sf_dir)
+    return t.nation.join(
+        t.supplier, F.col("s_nationkey") == F.col("n_nationkey"), "outer"
+    ).select("n_nationkey", "n_name", "s_suppkey", "s_name")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS. Only left columns come out; right side is
+    reduced to its join keys before the shuffle (Catalyst prunes)."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, F.col("o_custkey") == F.col("c_custkey"), "semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS — the orphan-detection shape."""
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("o_custkey") == F.col("c_custkey"), "anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane when one side is tiny (both are
+    dimension tables here; Spark broadcasts the smaller side)."""
+    t = Tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    )
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size, l.l_quantity
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + theta predicate. The equi component keys the hash join;
+    the range predicate is applied as a post-join filter inside the same
+    stage — never a cartesian explosion."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.join(
+        F.broadcast(t.part),
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & (F.col("l_quantity") > F.col("p_size")),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, max(o.o_orderdate) AS o_orderdate_asof
+    FROM events e
+    LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the user's latest order at-or-before the
+    event timestamp. Implemented via the union+window single-shuffle
+    formulation in operators/asof.py (the naive SQL above is the oracle's
+    semantics spec, not the physical plan)."""
+    t = Tables(spark, sf_dir)
+    joined = asof_join(
+        t.events.select("event_id", "user_id", "ts"),
+        t.orders.select(
+            F.col("o_custkey").alias("user_id"), "o_orderdate"
+        ),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=[],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderdate_asof")
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dimension chain (snowflake pattern): both
+    joins execute map-side with zero shuffle."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )

@@ -1,0 +1,359 @@
+"""LLM-pipeline query surface: dedup (exact / MinHash / SimHash / Jaccard),
+similarity search, text analysis — over the `documents` and `embeddings`
+testdata tables.
+
+The md5-based MinHash/SimHash constructions are deliberately engine-portable
+(md5 + array ops exist in both Spark and DuckDB), which is what makes these
+probabilistic operators oracle-checkable value-for-value rather than
+rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup as D
+from ..llm import similarity as S
+from ..llm import textstats as T
+from . import Tables, query
+
+# ---------------------------------------------------------------- helpers
+# DuckDB SQL fragments mirroring textstats.words / dedup.shingles exactly.
+
+_DUCK_WORDS = (
+    "list_filter(string_split(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'),"
+    " ' '), w -> w != '')"
+)
+
+
+def _duck_shingles(words_expr: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({words_expr}) >= {n} THEN "
+        f"list_distinct([array_to_string(({words_expr})[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, len({words_expr}) - {n - 2})]) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def _duck_minhash(shingle_expr: str, band: int) -> str:
+    return (
+        f"list_min(list_transform({shingle_expr}, s -> md5('{band}|' || s)))"
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: lowest doc_id survives per identical text; shuffle key
+    is sha2(text), never the document body."""
+    t = Tables(spark, sf_dir)
+    return D.exact_dedup(t.documents).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------- minhash
+
+_MH_BANDS = 4
+_sig_cols = ",\n           ".join(
+    _duck_minhash(_duck_shingles("w", 3), b) + f" AS mh_{b}"
+    for b in range(_MH_BANDS)
+)
+
+
+@query(
+    "llm_minhash_signature",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    )
+    SELECT doc_id,
+           {_sig_cols}
+    FROM ws
+    """,
+)
+def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature ({} bands, word-3-gram shingles,
+    md5-min construction).""".format(_MH_BANDS)
+    t = Tables(spark, sf_dir)
+    return D.minhash_signature(t.documents, bands=_MH_BANDS, n=3)
+
+
+_P_BANDS = 4
+_pair_stack = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, "
+    + _duck_minhash(_duck_shingles("w", 2), b)
+    + " AS val FROM ws"
+    for b in range(_P_BANDS)
+)
+
+
+@query(
+    "llm_minhash_pairs",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), stacked AS (
+{_pair_stack}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM stacked a JOIN stacked b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    """,
+)
+def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidate pairs (word-2-gram shingles so buckets are
+    non-trivial on the synthetic corpus). The per-bucket self-join is the
+    non-quadratic near-dup pattern."""
+    t = Tables(spark, sf_dir)
+    return D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
+
+
+_jc_sh = _duck_shingles("w", 2)
+
+
+@query(
+    "llm_jaccard_pairs",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack.replace("{_P_BANDS}", str(_P_BANDS))}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                 THEN len(list_intersect(sa.s, sb.s))
+                      / len(list_distinct(list_concat(sa.s, sb.s)))
+                 ELSE 0.0 END, 4) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    """,
+)
+def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over the LSH candidate pairs —
+    the verify half of near-dedup (band -> candidates -> exact check)."""
+    t = Tables(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
+    return D.jaccard_pairs(t.documents, cand, n=2)
+
+
+# ---------------------------------------------------------------- simhash
+
+_simhash_bits_sql = " + ".join(
+    f"CASE WHEN list_aggregate(list_transform(ws, t -> CASE WHEN "
+    f"substr(md5(t), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END), 'sum') > 0 "
+    f"THEN {2**b} ELSE 0 END"
+    for b in range(16)
+)
+
+
+@query(
+    "llm_simhash",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct({_DUCK_WORDS.format(col="text")}) AS ws
+      FROM documents
+    )
+    SELECT doc_id, {_simhash_bits_sql} AS simhash
+    FROM w
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint (md5-nibble majority vote); near-dups are
+    fingerprints within small Hamming distance."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", D.simhash16(F.col("text")).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------- text stats
+
+_DUCK_TOKEN_COUNT = "len(regexp_extract_all(lower({col}), '[a-z0-9]+'))"
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             {_DUCK_WORDS.format(col="text")} AS ws,
+             {_DUCK_TOKEN_COUNT.format(col="text")} AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+             length(text) AS n_chars_computed
+      FROM documents
+    )
+    SELECT doc_id, n_chars_computed, n_tokens, n_tokens_bpe,
+           round(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text)
+                 ELSE 0.0 END, 4) AS punct_ratio,
+           round(CASE WHEN len(ws) > 0
+                 THEN len(list_filter(ws, w -> list_contains(['the','and','of','is','to'], w))) * 1.0 / len(ws)
+                 ELSE 0.0 END, 4) AS stopword_ratio
+    FROM base
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/token counts + punctuation and stopword ratios — the quality-
+    filter building blocks, all as single-scan built-ins."""
+    t = Tables(spark, sf_dir)
+    c = F.col("text")
+    return t.documents.select(
+        "doc_id",
+        F.length(c).alias("n_chars_computed"),
+        T.token_count(c).alias("n_tokens"),
+        T.bpe_ish_token_count(c).alias("n_tokens_bpe"),
+        F.round(T.punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(T.stopword_ratio(c), 4).alias("stopword_ratio"),
+    )
+
+
+_LANG_HITS = {
+    lang: (
+        "len(list_filter(ws, w -> list_contains(["
+        + ",".join(f"'{w}'" for w in markers)
+        + "], w)))"
+    )
+    for lang, markers in T.LANG_MARKERS.items()
+}
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, text, {_DUCK_WORDS.format(col="text")} AS ws
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             regexp_matches(text, '[一-鿿]') AS has_cjk,
+             {_LANG_HITS["de"]} AS h_de,
+             {_LANG_HITS["en"]} AS h_en,
+             {_LANG_HITS["es"]} AS h_es,
+             {_LANG_HITS["fr"]} AS h_fr
+      FROM w
+    )
+    SELECT doc_id, lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic): argmax of marker
+    hits, CJK short-circuit, deterministic alphabetical tie-break."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             {_DUCK_WORDS.format(col="text")})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision document fingerprint: md5 over the sorted distinct
+    token set (word-order / duplication insensitive)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------- similarity
+
+
+@query(
+    "llm_cosine_topk",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0's embedding. The single-
+    row query side broadcasts; orderBy+limit plans as TakeOrdered (no global
+    sort)."""
+    t = Tables(spark, sf_dir)
+    qdf = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    v = F.col("embedding").cast("array<double>")
+    return (
+        t.embeddings.crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id", F.round(S.cosine(v, F.col("qv")), 6).alias("cosine_sim")
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "llm_cosine_topk_per_label",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY id_a
+                                   ORDER BY cosine_sim DESC, id_b) AS rn
+      FROM pairs
+    ) WHERE rn <= 3
+    """,
+)
+def llm_cosine_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs similarity: self-join keyed on the label bucket
+    (never globally quadratic), top-3 neighbors per vector."""
+    t = Tables(spark, sf_dir)
+    return S.cosine_pairs_topk_per_label(t.embeddings, k=3)
+
+
+@query("llm_ivf_topk")
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means cells (seeded), probe the 4 nearest
+    cells only. Rows-only check (k-means is not SQL-expressible); exactness
+    is covered by comparing against llm_cosine_topk in tests."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    centroids = S.train_ivf_centroids(emb, n_cells=8)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    with_cells = S.assign_ivf_cell(emb, centroids)
+    return S.ivf_topk(with_cells, centroids, q, k=10, nprobe=4)

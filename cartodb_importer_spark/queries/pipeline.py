@@ -1,0 +1,181 @@
+"""Reference-pipeline semantics as oracle-checked queries: column
+sanitization (O10/O22-O24), type inference (§2.2), lat/lon georeferencing
+(O12/O13), GeoJSON geometry rebuild (O11).
+
+These run the REAL engine code paths (naming.py / infer.py / georef.py)
+over the parquet testdata; the oracle SQL mirrors the semantics, with
+expected names computed by the same pure-Python sanitizers on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import naming
+from ..georef import LAT_RX, LON_RX, geojson_point_to_wkt, point_wkt
+from ..infer import FLOAT_RX, INT32_MAX, INT_RX
+from . import Tables, query
+
+# ------------------------------------------------------------- sanitization
+
+# Messy headers a real CSV might carry for the documents table; the engine
+# sanitizes them; the oracle aliases to the SAME names via the shared
+# pure-Python sanitizer — if naming.py drifts from the reference the hash
+# breaks.
+_MESSY = ["Doc ID", "TEXT body", "LÄNG", "select", "# Chars"]
+_CLEAN = naming.sanitize_columns(_MESSY)
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "pipeline_sanitize_columns",
+    oracle="SELECT "
+    + ", ".join(
+        f'"{src}" AS "{dst}"' for src, dst in zip(_DOC_COLS, _CLEAN)
+    )
+    + " FROM documents",
+)
+def pipeline_sanitize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 rename-all pass: simulate messy import headers, sanitize with
+    the ported reference rules (diacritic fold, reserved-word prefix,
+    punctuation collapse)."""
+    t = Tables(spark, sf_dir)
+    messy = t.documents.toDF(*_MESSY)
+    return messy.toDF(*naming.sanitize_columns(messy.columns))
+
+
+# ---------------------------------------------------------- type inference
+
+_INFER_COLS = {
+    "k_str": "json_extract_string(props, '$.k')",
+    "value_str": "CAST(value AS VARCHAR)",
+    "event_type": "event_type",
+}
+
+_INFER_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS column_name,
+           CASE coalesce(max(
+             CASE WHEN {expr} IS NULL OR NOT regexp_matches({expr}, '\\S') THEN NULL
+                  WHEN regexp_matches({expr}, '{INT_RX}')
+                    THEN CASE WHEN CAST({expr} AS DOUBLE) > {INT32_MAX} THEN 1 ELSE 0 END
+                  WHEN regexp_matches({expr}, '^-?[0-9]+[.|,][0-9]+$') THEN 1
+                  ELSE 2 END), 2)
+           WHEN 0 THEN 'integer' WHEN 1 THEN 'float' ELSE 'varchar' END AS inferred_type
+    FROM events
+    """
+    for name, expr in _INFER_COLS.items()
+)
+
+
+@query("pipeline_type_inference", oracle=_INFER_ORACLE)
+def pipeline_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 distributed inference: stringified event columns typed by the
+    reference's regex lattice in ONE aggregate pass; result is the
+    (column, type) relation."""
+    from ..infer import infer_column_types
+
+    t = Tables(spark, sf_dir)
+    stringified = t.events.select(
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.col("value").cast("string").alias("value_str"),
+        F.col("event_type"),
+    )
+    types = infer_column_types(stringified)
+    return spark.createDataFrame(
+        [(c, ty) for c, ty in types.items()], "column_name string, inferred_type string"
+    )
+
+
+# ------------------------------------------------------------ georeferencing
+
+
+@query(
+    "pipeline_georef_point",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN regexp_matches(CAST(l_tax AS VARCHAR), '{LON_RX}')
+                 AND regexp_matches(CAST(l_discount AS VARCHAR), '{LAT_RX}')
+                THEN 'POINT(' || CAST(l_tax AS VARCHAR) || ' ' || CAST(l_discount AS VARCHAR) || ')'
+                END AS the_geom,
+           CASE WHEN regexp_matches(CAST(l_extendedprice AS VARCHAR), '{LON_RX}')
+                 AND regexp_matches(CAST(l_discount AS VARCHAR), '{LAT_RX}')
+                THEN 'POINT(' || CAST(l_extendedprice AS VARCHAR) || ' ' || CAST(l_discount AS VARCHAR) || ')'
+                END AS the_geom_out_of_range
+    FROM lineitem
+    """,
+)
+def pipeline_georef_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 point georeferencing with the reference's verbatim guard
+    regexes: in-range lon/lat build WKT, out-of-range (extendedprice as a
+    fake lon) yields NULL — set-based, one pass."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        point_wkt(F.col("l_tax"), F.col("l_discount")).alias("the_geom"),
+        point_wkt(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "the_geom_out_of_range"
+        ),
+    )
+
+
+@query(
+    "pipeline_geojson_geom",
+    oracle="""
+    WITH g AS (
+      SELECT event_id,
+             '{"type":"Point","coordinates":[' || CAST(value AS VARCHAR) || ','
+               || CAST(user_id AS VARCHAR) || ']}' AS the_geom
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN json_extract_string(the_geom, '$.type') = 'Point'
+                 AND json_extract_string(the_geom, '$.coordinates[0]') IS NOT NULL
+                 AND json_extract_string(the_geom, '$.coordinates[1]') IS NOT NULL
+                THEN 'POINT(' || json_extract_string(the_geom, '$.coordinates[0]')
+                     || ' ' || json_extract_string(the_geom, '$.coordinates[1]') || ')'
+                END AS the_geom_wkt
+    FROM g
+    """,
+)
+def pipeline_geojson_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 GeoJSON the_geom rebuild, vectorized: construct a GeoJSON cell
+    (as a CSV import would carry), parse it back to WKT in one pass."""
+    t = Tables(spark, sf_dir)
+    geojson = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        F.col("value").cast("string"),
+        F.lit(","),
+        F.col("user_id").cast("string"),
+        F.lit("]}"),
+    )
+    return t.events.select(
+        "event_id",
+        geojson_point_to_wkt(geojson).alias("the_geom_wkt"),
+    )
+
+
+@query(
+    "pipeline_georef_discovery",
+    oracle="""
+    SELECT 'lat_found' AS probe, 'Latitude' AS matched
+    UNION ALL SELECT 'lon_found', 'lng'
+    UNION ALL SELECT 'none_found', NULL
+    """,
+)
+def pipeline_georef_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 lat/lon column discovery semantics as a checkable relation:
+    case-insensitive candidate matching, first hit wins, no match -> NULL."""
+    from ..georef import find_latlon_columns
+
+    lat1, _ = find_latlon_columns(["id", "Latitude", "lat"])
+    _, lon1 = find_latlon_columns(["id", "LONG", "lng"])
+    lat2, lon2 = find_latlon_columns(["id", "name"])
+    rows = [
+        ("lat_found", lat1),
+        ("lon_found", lon1),
+        ("none_found", lat2 or lon2),
+    ]
+    return spark.createDataFrame(rows, "probe string, matched string")

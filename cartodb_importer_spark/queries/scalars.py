@@ -1,0 +1,272 @@
+"""Projection / filter / scalar-function surface (SURVEY §2.3).
+
+Every function here is a Spark built-in (JVM-side, whole-stage codegen);
+no Python UDFs appear on these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import Tables, query
+
+
+@query(
+    "scalar_select_rename",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS customer_name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def scalar_select_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection + rename (O10's select/toDF shape). Catalyst prunes
+    the parquet scan down to the three referenced columns."""
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "scalar_filter_rlike",
+    oracle=r"""
+    SELECT event_id, event_type
+    FROM events
+    WHERE regexp_matches(event_type, '^(purchase|signup)$')
+    """,
+)
+def scalar_filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-validity filter — the O13 guard-regex pattern as a WHERE."""
+    t = Tables(spark, sf_dir)
+    return t.events.filter(
+        F.col("event_type").rlike(r"^(purchase|signup)$")
+    ).select("event_id", "event_type")
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name)            AS name_lower,
+           upper(c_mktsegment)      AS seg_upper,
+           trim(c_name)             AS name_trim,
+           length(c_name)           AS name_len,
+           substr(c_name, 1, 8)     AS name_prefix,
+           replace(c_name, '#', '') AS name_nohash
+    FROM customer
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/trim/length/substring/replace (string.rb surface)."""
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim("c_name").alias("name_trim"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("")).alias("name_nohash"),
+    )
+
+
+@query(
+    "scalar_translate",
+    oracle="""
+    SELECT p_partkey, translate(p_type, 'AEIOU', 'aeiou') AS type_folded
+    FROM part
+    """,
+)
+def scalar_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-map translate — the Spark primitive behind the O22
+    diacritic fold (naming.py holds the driver-side full table)."""
+    t = Tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey", F.translate("p_type", "AEIOU", "aeiou").alias("type_folded")
+    )
+
+
+@query(
+    "scalar_regexp_replace",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(text, '<[^>]+>', '', 'g')         AS text_notags,
+           regexp_replace(text, '[0-9]+', '#', 'g')         AS text_nonum
+    FROM documents
+    """,
+)
+def scalar_regexp_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_replace chains (O23 strip-tags semantics)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.regexp_replace("text", r"<[^>]+>", "").alias("text_notags"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("text_nonum"),
+    )
+
+
+@query(
+    "scalar_when_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'pending' END AS status_label,
+           CASE WHEN o_totalprice > 200000 THEN 'large' ELSE 'small' END AS size_label
+    FROM orders
+    """,
+)
+def scalar_when_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise conditionals (O13 guard semantics)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("status_label"),
+        F.when(F.col("o_totalprice") > 200000, "large")
+        .otherwise("small")
+        .alias("size_label"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT event_id,
+           year(ts)                   AS y,
+           month(ts)                  AS m,
+           day(ts)                    AS d,
+           hour(ts)                   AS h,
+           date_trunc('day', ts)      AS day_start,
+           date_trunc('hour', ts)     AS hour_start,
+           strftime(ts, '%Y-%m-%d')   AS day_str
+    FROM events
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime extraction/truncation (DBF date + created_at semantics)."""
+    t = Tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)       AS disc_dev,
+           floor(l_quantity)                      AS qty_floor,
+           ceil(l_extendedprice / 1000)           AS price_k,
+           round(sqrt(l_quantity), 4)             AS qty_sqrt,
+           CAST(l_quantity AS INTEGER) % 7        AS qty_mod
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/round/floor/ceil/sqrt/mod math surface."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')        AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (O11's GeoJSON-in-a-cell
+    shape; events.props here)."""
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return t.events.select(
+        "event_id", k.alias("k_str"), k.cast("int").alias("k_int")
+    )
+
+
+@query(
+    "scalar_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_field
+    FROM events
+    """,
+)
+def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct + getField access."""
+    t = Tables(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return t.events.select(
+        "event_id", parsed.getField("k").alias("k_field")
+    )
+
+
+@query(
+    "scalar_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4)        AS first_component,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS component_sum
+    FROM embeddings
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array size / element access / fold — `F.aggregate` keeps the fold
+    JVM-side (no UDF) which is what makes it viable on 100 TB of vectors."""
+    t = Tables(spark, sf_dir)
+    vec = F.col("embedding").cast("array<double>")
+    return t.embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(vec, 1), 4).alias("first_component"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("component_sum"),
+    )
+
+
+@query(
+    "scalar_cast_lattice",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k_int,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE)   AS k_float,
+           CAST(value AS VARCHAR)                              AS value_str
+    FROM events
+    """,
+)
+def scalar_cast_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.2 promotion lattice as casts: integer -> float -> varchar."""
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return t.events.select(
+        "event_id",
+        k.cast("int").alias("k_int"),
+        k.cast("double").alias("k_float"),
+        F.col("value").cast("string").alias("value_str"),
+    )

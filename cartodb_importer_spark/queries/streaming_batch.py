@@ -1,0 +1,125 @@
+"""Streaming operators checked in batch mode (SURVEY §2.3-S): the window /
+session / dedup logic is shared with streaming/streams.py — the oracle
+checks the batch relation; pytest checks stream-vs-batch equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.streams import (
+    dedup_events,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from . import Tables, query
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts)                     AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — identical code path serves
+    readStream sources (watermarked) and this batch check."""
+    t = Tables(spark, sf_dir)
+    return tumbling_counts(t.events)
+
+
+@query(
+    "stream_sliding_hourly",
+    oracle="""
+    WITH contrib AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0 FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+    )
+    SELECT w0 AS window_start, w0 + INTERVAL '1 hour' AS window_end, count(*) AS n
+    FROM contrib GROUP BY w0
+    """,
+)
+def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows: each event lands in two overlapping windows
+    (Catalyst Expand, then a normal aggregate)."""
+    t = Tables(spark, sf_dir)
+    return sliding_counts(t.events)
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           count(*)                        AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user. Spark's session_window
+    end = last event + gap; the oracle reproduces that with a
+    gaps-and-islands formulation."""
+    t = Tables(spark, sf_dir)
+    return session_counts(t.events)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    GROUP BY ALL
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-once dedup on event_id over a doubled source (simulating
+    at-least-once delivery). Streaming variant bounds state with
+    dropDuplicatesWithinWatermark."""
+    t = Tables(spark, sf_dir)
+    doubled = t.events.union(t.events)
+    return dedup_events(doubled).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "stream_late_data_filter",
+    oracle="""
+    SELECT event_id, ts
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL '1 day' FROM events)
+    """,
+)
+def stream_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, batch-checkable: rows older than
+    (max event time - delay) are the ones a 1-day watermark would drop."""
+    t = Tables(spark, sf_dir)
+    max_ts = t.events.agg(F.max("ts").alias("m"))
+    return (
+        t.events.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 1 DAY"))
+        .select("event_id", "ts")
+    )

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- deterministic timestamp semantics vs the DuckDB oracle ---
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(NANOS) (e.g. DuckDB-written events.ts) reads as
+        # long nanos; Tables() converts to timestamp losslessly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- partitioning defaults; AQE coalesces post-shuffle ---
         .config(
             "spark.sql.shuffle.partitions",

@@ -1,0 +1,114 @@
+"""Streaming pipeline builders over the `events` table shape.
+
+Scale notes: watermarks bound state (without one, windowed aggregation
+state grows forever on an unbounded stream); `availableNow` triggers give
+deterministic batch-equivalent runs for tests; `dropDuplicatesWithinWatermark`
+is the bounded-state streaming dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as st
+
+EVENTS_SCHEMA = st.StructType(
+    [
+        st.StructField("event_id", st.LongType()),
+        st.StructField("ts", st.TimestampType()),
+        st.StructField("user_id", st.LongType()),
+        st.StructField("event_type", st.StringType()),
+        st.StructField("value", st.DoubleType()),
+        st.StructField("props", st.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files (each
+    arriving file is a micro-batch)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. Works on batch
+    and streaming frames alike (watermark is a no-op in batch)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", window).alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows (gap-based). In streaming mode the watermark closes
+    sessions; in batch the result is the gaps-and-islands relation."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming-safe exact dedup on event_id. On a stream, state is
+    bounded by the watermark (dropDuplicatesWithinWatermark); in batch it
+    degenerates to plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain a stream deterministically (availableNow) into an in-memory
+    table for batch-equivalence assertions."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

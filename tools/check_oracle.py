@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
+row count, column names, and (sorted, rounded) values.
+
+Usage: python tools/check_oracle.py [query ...]   # default: all
+       SF_DIR=/root/testdata/sf0.01 python tools/check_oracle.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from cartodb_importer_spark.queries import TABLES
+from cartodb_importer_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, round floats, sort rows — order-insensitive
+    canonical form (mirrors the driver's hash prep)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def main() -> int:
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sys.argv[1:] or sorted(queries)
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        try:
+            sdf = queries[name](spark, SF_DIR).toPandas()
+            if name not in oracles:
+                print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+                n_rows_only += 1
+                continue
+            ddf = con.sql(oracles[name]).df()
+            a, b = canon(sdf), canon(ddf)
+            if list(a.columns) != list(b.columns):
+                print(f"FAIL {name}: columns {list(a.columns)} != {list(b.columns)}")
+                n_fail += 1
+                continue
+            if len(a) != len(b):
+                print(f"FAIL {name}: rows {len(a)} != {len(b)}")
+                n_fail += 1
+                continue
+            try:
+                pd.testing.assert_frame_equal(
+                    a, b, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9
+                )
+            except AssertionError as e:
+                print(f"FAIL {name}: values differ\n  {str(e).splitlines()[-1]}")
+                # show first differing rows for debugging
+                neq = (a != b) & ~(a.isna() & b.isna())
+                bad = neq.any(axis=1)
+                if bad.any():
+                    i = bad.idxmax()
+                    print(f"  spark row {i}: {a.loc[i].to_dict()}")
+                    print(f"  duck  row {i}: {b.loc[i].to_dict()}")
+                n_fail += 1
+                continue
+            print(f"PASS {name}: {len(a)} rows")
+            n_pass += 1
+        except Exception:
+            print(f"ERROR {name}:")
+            traceback.print_exc(limit=5)
+            n_fail += 1
+    print(
+        f"\n{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only "
+        f"of {len(names)} (sf={SF_DIR})"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

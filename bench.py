@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is driven to completion with the noop sink (full execution, no
+driver-side collect cost). Session startup is excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: covers scan+agg, multi-join, window, as-of, set-op, dedup,
+# similarity, text analysis, sessionization — the shapes that dominate real
+# pipelines.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "agg_count_distinct",
+    "agg_rollup",
+    "window_topk_per_group",
+    "join_asof",
+    "setop_except_all",
+    "llm_dedup_exact",
+    "llm_minhash_pairs",
+    "llm_cosine_topk",
+    "llm_text_stats",
+    "stream_session_windows",
+]
+
+
+def main() -> None:
+    from cartodb_importer_spark.queries import QUERIES
+    from cartodb_importer_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # one tiny warmup action so JVM/codegen startup doesn't land on q1
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

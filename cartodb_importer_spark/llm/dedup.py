@@ -33,34 +33,68 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(survivors, on=id_col, how="semi")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (distinct)."""
-    ws = words(col)
+def shingles_of(ws: Column, n: int) -> Column:
+    """Word n-gram shingles from a words array column.
+
+    PERFORMANCE CONTRACT: ``ws`` must be a plain column reference (a
+    materialized projection), not an expression tree. Higher-order-function
+    lambdas re-evaluate every referenced expression per element (no common
+    subexpression elimination in interpreted eval), so passing ``words(col)``
+    directly turns this O(len) construction into O(len^2) per document."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
-    )
+
+    def shingle_at(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)])
+
+    sh = F.transform(idx, shingle_at)
     return F.array_distinct(F.when(F.size(ws) >= n, sh).otherwise(F.array()))
 
 
-def minhash_band(col: Column, band: int, n: int = 3) -> Column:
-    """One MinHash value: min over shingles of md5(band || '|' || shingle).
-    Using md5-hex min (lexicographic) keeps the construction portable to any
-    SQL engine while preserving the MinHash property per band."""
-    sh = shingles(col, n)
-    hashed = F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
-    return F.array_min(hashed)
+def shingles(col: Column, n: int = 3) -> Column:
+    """Convenience single-expression shingles — fine for tests/small data;
+    hot paths must use the two-step projection (see minhash_signature)."""
+    return shingles_of(words(col), n)
+
+
+def shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle array) with words materialized between projections so
+    each stage's lambdas reference cheap attributes."""
+    return df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__ws")
+    ).select(F.col(id_col), shingles_of(F.col("__ws"), n).alias("__sh"))
+
+
+def band_width(bands: int) -> int:
+    """Hex chars of the md5 digest allotted to each band."""
+    return max(32 // bands, 1)
 
 
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 8, n: int = 3
 ) -> DataFrame:
-    """Per-document MinHash signature, one column per band."""
-    return df.select(
+    """Per-document MinHash signature, one column per band.
+
+    Cost discipline: ONE md5 per shingle, period. Band b's hash is an
+    independent slice of that digest (hex chars [b*w, (b+1)*w)), so adding
+    bands costs substrings, not digests — at 100 TB the md5s are the compute
+    bill. The shingle array materializes once per row and every band's min
+    reads the same hashed array."""
+    w = band_width(bands)
+    hashed = shingle_frame(df, text_col, id_col, n).select(
+        F.col(id_col),
+        F.transform(F.col("__sh"), lambda s: F.md5(s)).alias("__hs"),
+    )
+    return hashed.select(
         id_col,
         *[
-            minhash_band(F.col(text_col), b, n).alias(f"mh_{b}")
+            F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    (lambda b_: lambda h: F.substring(h, b_ * w + 1, w))(b),
+                )
+            ).alias(f"mh_{b}")
             for b in range(bands)
         ],
     )
@@ -74,17 +108,25 @@ def minhash_candidate_pairs(
     meet are those already likely similar, so the join never goes
     quadratic in the corpus size."""
     sig = minhash_signature(df, text_col, id_col, bands, n)
-    stacked = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("val"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    stacked = (
+        sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"mh_{b}").alias("val")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bv"),
+        )
+        .select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+        # the self-join reads this twice; without persist Spark recomputes
+        # the whole shingle+md5 tree on both sides
+        .persist()
+    )
     left = stacked.alias("a")
     right = stacked.alias("b")
     return (
@@ -110,9 +152,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify step after
     LSH banding)."""
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
-    )
+    sh = shingle_frame(df, text_col, id_col, n).withColumnRenamed("__sh", "sh")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

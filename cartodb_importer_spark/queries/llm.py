@@ -36,9 +36,12 @@ def _duck_shingles(words_expr: str, n: int) -> str:
     )
 
 
-def _duck_minhash(shingle_expr: str, band: int) -> str:
+def _duck_minhash(shingle_expr: str, band: int, bands: int) -> str:
+    # mirrors dedup.minhash_signature: one md5 per shingle, band = hex slice
+    w = max(32 // bands, 1)
     return (
-        f"list_min(list_transform({shingle_expr}, s -> md5('{band}|' || s)))"
+        f"list_min(list_transform({shingle_expr}, "
+        f"s -> substr(md5(s), {band * w + 1}, {w})))"
     )
 
 
@@ -63,7 +66,7 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_BANDS = 4
 _sig_cols = ",\n           ".join(
-    _duck_minhash(_duck_shingles("w", 3), b) + f" AS mh_{b}"
+    _duck_minhash(_duck_shingles("w", 3), b, _MH_BANDS) + f" AS mh_{b}"
     for b in range(_MH_BANDS)
 )
 
@@ -89,7 +92,7 @@ def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P_BANDS = 4
 _pair_stack = "\n      UNION ALL\n".join(
     f"      SELECT doc_id, {b} AS band, "
-    + _duck_minhash(_duck_shingles("w", 2), b)
+    + _duck_minhash(_duck_shingles("w", 2), b, _P_BANDS)
     + " AS val FROM ws"
     for b in range(_P_BANDS)
 )

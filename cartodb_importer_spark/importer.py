@@ -1,0 +1,149 @@
+"""The two public entry points, mirroring the reference API surface:
+
+* ``Importer`` — CartoDB::Importer#import! (importer.rb:87-476): stage ->
+  route -> normalize -> georeference -> publish (staging+rename) -> count,
+  returning ``ImportResult(name, rows_imported, import_type, log)``.
+* ``Exporter`` — CartoDB::Exporter#export! (exporter.rb:43-173): read table
+  -> csv/kml/shp file -> zip, returning ``ExportResult(name, import_type,
+  path)``.
+
+Lifecycle parity notes (SURVEY §3): the eager DB connection becomes a lazy
+catalog; the subprocess boundaries (wget/ogr2ogr/shp2pgsql/psql) are gone —
+readers produce DataFrames directly; rollback drops only not-yet-published
+staging tables so a failed import never clobbers an existing table
+(spec/import_spec.rb:23-52).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from . import naming
+from .georef import georeference_points, rebuild_the_geom
+from .sinks.catalog import Catalog
+
+
+@dataclass
+class ImportResult:
+    """importer.rb:341-346 OpenStruct equivalent."""
+
+    name: str
+    rows_imported: int
+    import_type: str
+    log: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ExportResult:
+    """exporter.rb:67-71 OpenStruct equivalent."""
+
+    name: str
+    import_type: str
+    path: str
+
+
+class Importer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        import_from_file: str,
+        suggested_name: str | None = None,
+        debug: bool = False,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.source = import_from_file
+        self.debug = debug
+        self.runlog: list[str] = []
+        base = os.path.splitext(os.path.basename(import_from_file))[0]
+        self.suggested_name = naming.get_valid_name(
+            naming.sanitize(suggested_name or base), self.catalog.table_names()
+        )  # importer.rb:52-57
+
+    def log(self, msg: str) -> None:
+        self.runlog.append(msg)
+        if self.debug:
+            print(msg)
+
+    def run(self) -> ImportResult:
+        from .readers.router import route
+
+        workdir = None
+        try:
+            df, meta = route(self.spark, self.source)
+            workdir = meta.get("workdir")
+            # archive explosion may retarget the name (importer.rb:108-111)
+            if meta.get("suggested_name"):
+                self.suggested_name = naming.get_valid_name(
+                    naming.sanitize(meta["suggested_name"]),
+                    self.catalog.table_names(),
+                )
+            # O9 empty guard (importer.rb:238-242)
+            if df.isEmpty():
+                raise ValueError("Empty table")
+            # O10 name sanitation (readers already sanitize; idempotent)
+            df = df.toDF(*naming.sanitize_columns(df.columns))
+            # O11 GeoJSON the_geom rebuild — only when the column holds
+            # GeoJSON text (probe one non-null cell driver-side)
+            if "the_geom" in df.columns:
+                probe = (
+                    df.select("the_geom")
+                    .filter("the_geom IS NOT NULL")
+                    .first()
+                )
+                if probe and str(probe[0]).lstrip().startswith("{"):
+                    df = rebuild_the_geom(df)
+                    self.log("rebuilt the_geom from GeoJSON")
+            # O12/O13 lat-lon georeferencing
+            before_cols = set(df.columns)
+            df = georeference_points(df)
+            if "the_geom" in set(df.columns) - before_cols:
+                self.log("georeferenced POINT from lat/lon columns")
+            # O15/O17 staged publish + O19 count
+            rows = self.catalog.publish(df, self.suggested_name)
+            self.log(f"published {self.suggested_name} ({rows} rows)")
+            return ImportResult(
+                name=self.suggested_name,
+                rows_imported=rows,
+                import_type=meta.get("import_type", ""),
+                log=self.runlog,
+            )
+        finally:
+            # O20 ensure: unlink temp files (importer.rb:469-475)
+            if workdir and os.path.isdir(workdir):
+                shutil.rmtree(workdir, ignore_errors=True)
+
+
+class Exporter:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        table: str,
+        type: str = "csv",
+        out_dir: str = ".",
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.table = table
+        self.type = type
+        self.out_dir = out_dir
+
+    def run(self) -> ExportResult:
+        from .sinks import files as fsinks
+
+        df = self.catalog.read(self.spark, self.table)
+        if self.type == "csv":
+            path = fsinks.export_csv_zip(df, self.table, self.out_dir)
+        elif self.type == "kml":
+            path = fsinks.export_kmz(df, self.table, self.out_dir)
+        elif self.type == "shp":
+            path = fsinks.export_shp_zip(df, self.table, self.out_dir)
+        else:
+            raise ValueError(f"unsupported export type {self.type!r}")
+        return ExportResult(name=self.table, import_type=self.type, path=path)

@@ -1,0 +1,205 @@
+"""ESRI Shapefile reader (O14/O15): binary .shp geometry + .dbf attributes
+-> DataFrame with a ``the_geom`` WKT column, reprojected to EPSG:4326 and
+forced 2D (importer.rb:375-386 semantics).
+
+The reference shells out to shp2pgsql and a Python normalizer probing SRID
+(with a network fallback to prj2epsg.org we deliberately drop — SURVEY §7
+risk 4); here the .prj is parsed with pyproj when available, else a small
+embedded WKT->EPSG table covering the common cases.
+
+Driver-side parse: shapefiles are capped at 2 GB by their own format, so a
+single file never needs executor parallelism; at scale the fleet of files
+parallelizes (one task per file via the importer), and the resulting
+DataFrame is immediately distributed.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dbf import read_dbf
+
+SHAPE_POINT = 1
+SHAPE_POLYLINE = 3
+SHAPE_POLYGON = 5
+SHAPE_MULTIPOINT = 8
+# Z/M variants carry the same XY layout first; we force 2D (ST_Force_2D
+# equivalent, importer.rb:380)
+_Z_TO_BASE = {11: 1, 13: 3, 15: 5, 18: 8, 21: 1, 23: 3, 25: 5, 28: 8}
+
+
+def _fmt(x: float) -> str:
+    """Render a coordinate the way both Spark and DuckDB cast doubles."""
+    return repr(float(x))
+
+
+def _points_wkt(pts: list[tuple[float, float]]) -> str:
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts)
+
+
+def _read_shapes(path: str) -> list[str | None]:
+    """Parse the .shp into WKT strings (None for null shapes)."""
+    shapes: list[str | None] = []
+    with open(path, "rb") as f:
+        header = f.read(100)
+        (file_len_words,) = struct.unpack(">i", header[24:28])
+        file_len = file_len_words * 2
+        while f.tell() < file_len:
+            rec_header = f.read(8)
+            if len(rec_header) < 8:
+                break
+            _, content_len_words = struct.unpack(">ii", rec_header)
+            content = f.read(content_len_words * 2)
+            (shape_type,) = struct.unpack("<i", content[:4])
+            shape_type = _Z_TO_BASE.get(shape_type, shape_type)
+            if shape_type == 0:
+                shapes.append(None)
+            elif shape_type == SHAPE_POINT:
+                x, y = struct.unpack("<2d", content[4:20])
+                shapes.append(f"POINT({_fmt(x)} {_fmt(y)})")
+            elif shape_type == SHAPE_MULTIPOINT:
+                (n,) = struct.unpack("<i", content[36:40])
+                pts = struct.unpack(f"<{2 * n}d", content[40 : 40 + 16 * n])
+                pairs = list(zip(pts[0::2], pts[1::2]))
+                shapes.append(f"MULTIPOINT({_points_wkt(pairs)})")
+            elif shape_type in (SHAPE_POLYLINE, SHAPE_POLYGON):
+                nparts, npoints = struct.unpack("<2i", content[36:44])
+                parts = struct.unpack(f"<{nparts}i", content[44 : 44 + 4 * nparts])
+                off = 44 + 4 * nparts
+                pts = struct.unpack(
+                    f"<{2 * npoints}d", content[off : off + 16 * npoints]
+                )
+                pairs = list(zip(pts[0::2], pts[1::2]))
+                rings = []
+                bounds = list(parts) + [npoints]
+                for i in range(nparts):
+                    rings.append(pairs[bounds[i] : bounds[i + 1]])
+                if shape_type == SHAPE_POLYLINE:
+                    if nparts == 1:
+                        shapes.append(f"LINESTRING({_points_wkt(rings[0])})")
+                    else:
+                        body = ", ".join(f"({_points_wkt(r)})" for r in rings)
+                        shapes.append(f"MULTILINESTRING({body})")
+                else:
+                    body = ", ".join(f"({_points_wkt(r)})" for r in rings)
+                    shapes.append(f"POLYGON({body})")
+            else:
+                shapes.append(None)
+    return shapes
+
+
+def read_prj_epsg(prj_path: str) -> int:
+    """SRID from the .prj WKT. pyproj when importable (no network, unlike
+    the reference's prj2epsg.org fallback); else a minimal embedded match;
+    missing/unknown .prj defaults to 4326 (the reference's default when
+    shp_normalizer prints nothing usable)."""
+    if not os.path.exists(prj_path):
+        return 4326
+    wkt = open(prj_path, encoding="utf-8", errors="replace").read()
+    try:
+        from pyproj import CRS
+
+        epsg = CRS.from_wkt(wkt).to_epsg()
+        return int(epsg) if epsg else 4326
+    except Exception:
+        pass
+    if "WGS_1984_Web_Mercator" in wkt or "3857" in wkt:
+        return 3857
+    if "GCS_WGS_1984" in wkt or "WGS 84" in wkt:
+        return 4326
+    return 4326
+
+
+def _reproject(pairs_wkt: list[str | None], srid: int) -> list[str | None]:
+    """Reproject WKT coordinate text to 4326 via pyproj (O16). Identity
+    when srid already 4326 or pyproj unavailable (logged by caller)."""
+    if srid == 4326:
+        return pairs_wkt
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        return pairs_wkt
+    import re
+
+    tr = Transformer.from_crs(srid, 4326, always_xy=True)
+
+    def fix_coords(m: re.Match) -> str:
+        x, y = float(m.group(1)), float(m.group(2))
+        lon, lat = tr.transform(x, y)
+        return f"{_fmt(lon)} {_fmt(lat)}"
+
+    coord_rx = re.compile(r"(-?[\d.eE+]+) (-?[\d.eE+]+)")
+    return [
+        coord_rx.sub(fix_coords, w) if w is not None else None
+        for w in pairs_wkt
+    ]
+
+
+def read_shp(spark: SparkSession, shp_path: str) -> tuple[DataFrame, dict]:
+    """Read .shp + sidecar .dbf/.prj into a DataFrame: sanitized attribute
+    columns, serial ``gid`` (shp2pgsql adds one — spec import_spec.rb:256),
+    and ``the_geom`` WKT in 4326."""
+    from .. import naming
+
+    base = os.path.splitext(shp_path)[0]
+    shapes = _read_shapes(shp_path)
+
+    dbf_path = base + ".dbf"
+    names: list[str] = []
+    rows: list[list] = []
+    if os.path.exists(dbf_path):
+        with open(dbf_path, "rb") as f:
+            it = read_dbf(f)
+            names = [str(n) for n in next(it)]
+            next(it)  # specs
+            rows = [list(r) for r in it]
+    srid = read_prj_epsg(base + ".prj")
+    shapes = _reproject(shapes, srid)
+
+    from decimal import Decimal
+
+    clean = naming.sanitize_columns(names)
+    data = []
+    for i, shape in enumerate(shapes):
+        attrs = rows[i] if i < len(rows) else [None] * len(names)
+        attrs = [
+            float(a)
+            if isinstance(a, Decimal)
+            else (str(a) if a is not None and not isinstance(a, (int, float)) else a)
+            for a in attrs
+        ]
+        data.append([i + 1] + attrs + [shape])
+    from pyspark.sql import types as st
+
+    fields = [st.StructField("gid", st.IntegerType())]
+    for i, c in enumerate(clean):
+        sample = next((r[i] for r in rows if r[i] is not None), None)
+        if isinstance(sample, Decimal):
+            t: st.DataType = st.DoubleType()  # DBF N with deci (dbfUtils.py:47)
+        elif isinstance(sample, bool):
+            t = st.StringType()
+        elif isinstance(sample, int):
+            t = st.LongType()
+        elif isinstance(sample, float):
+            t = st.DoubleType()
+        else:
+            t = st.StringType()
+        fields.append(st.StructField(c, t))
+    fields.append(st.StructField("the_geom", st.StringType()))
+    # normalize attr cell types to declared schema
+    for row in data:
+        for j, fld in enumerate(fields[1:-1], start=1):
+            v = row[j]
+            if v is None:
+                continue
+            if isinstance(fld.dataType, st.LongType):
+                row[j] = int(v)
+            elif isinstance(fld.dataType, st.DoubleType):
+                row[j] = float(v)
+            else:
+                row[j] = str(v)
+    df = spark.createDataFrame(data, st.StructType(fields))
+    return df, {"srid": srid, "rows": len(data), "import_type": ".shp"}

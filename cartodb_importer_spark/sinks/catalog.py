@@ -1,0 +1,185 @@
+"""Table catalogs implementing the reference's publish protocol:
+
+    write staging table `importing_<unix_ts>_<name>`  (importer.rb:355)
+    -> atomic RENAME to the final name                (importer.rb:389)
+    -> count what actually landed                     (importer.rb:396)
+    with rollback dropping the staging table on error (importer.rb:460-468)
+
+Two implementations:
+
+* JdbcCatalog — df.write.jdbc to Postgres + DDL over a JDBC connection
+  (rename, GIST index on the_geom). Production parity with the reference.
+* LocalCatalog — a parquet directory as the warehouse; rename is an atomic
+  directory move. Hermetic (no external DB), used by tests and available as
+  a real sink (a parquet lakehouse IS the 100 TB-native target).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """Protocol: list/exists/rename/drop/read/write_staging/count."""
+
+    def table_names(self) -> list[str]:
+        raise NotImplementedError
+
+    def exists(self, name: str) -> bool:
+        return name in self.table_names()
+
+    def write(self, df: DataFrame, name: str) -> None:
+        raise NotImplementedError
+
+    def rename(self, old: str, new: str) -> None:
+        raise NotImplementedError
+
+    def drop(self, name: str) -> None:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        raise NotImplementedError
+
+    def count(self, spark: SparkSession, name: str) -> int:
+        return self.read(spark, name).count()
+
+    # ------------------------------------------------------- publish protocol
+    def staging_name(self, name: str) -> str:
+        return f"importing_{int(time.time())}_{name}"  # importer.rb:355
+
+    def publish(self, df: DataFrame, name: str) -> int:
+        """Write staging, atomically rename, return landed row count.
+        On failure the staging table is dropped and the original table (if
+        any) is untouched — the reference's rollback contract
+        (spec/import_spec.rb:36-52: a failed import never clobbers)."""
+        staging = self.staging_name(name)
+        try:
+            self.write(df, staging)
+            if self.exists(name):
+                self.drop(staging)
+                raise ValueError(f"table {name!r} already exists")
+            self.rename(staging, name)
+        except Exception:
+            try:
+                self.drop(staging)
+            finally:
+                pass
+            raise
+        return self.count(df.sparkSession, name)
+
+
+class LocalCatalog(Catalog):
+    """Parquet-directory warehouse. Atomicity: os.rename of the table dir
+    (atomic on one filesystem — readers see the old listing or the new)."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def table_names(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(self._path(d))
+        )
+
+    def write(self, df: DataFrame, name: str) -> None:
+        df.write.mode("errorifexists").parquet(self._path(name))
+
+    def rename(self, old: str, new: str) -> None:
+        os.rename(self._path(old), self._path(new))
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self._path(name))
+
+
+class JdbcCatalog(Catalog):
+    """Postgres over JDBC. DataFrame writes go through df.write.jdbc with
+    batchsize/numPartitions tuned for bulk load; DDL (rename/drop/index/
+    catalog queries) goes through a single driver-side JDBC connection.
+
+    At 100 TB the JDBC sink is the bottleneck by construction (Postgres is
+    the narrow end); numPartitions parallelizes COPY-style inserts and the
+    staging+rename keeps readers off partial tables meanwhile.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        properties: dict[str, str] | None = None,
+        batchsize: int = 10_000,
+        num_partitions: int = 8,
+    ):
+        self.spark = spark
+        self.url = url
+        self.properties = {"driver": "org.postgresql.Driver", **(properties or {})}
+        self.batchsize = batchsize
+        self.num_partitions = num_partitions
+
+    def _connection(self):
+        jvm = self.spark._sc._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            if k != "driver":
+                props.setProperty(k, v)
+        return jvm.java.sql.DriverManager.getConnection(self.url, props)
+
+    def _execute(self, sql: str):
+        conn = self._connection()
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(sql)
+            stmt.close()
+        finally:
+            conn.close()
+
+    def _query_strings(self, sql: str) -> list[str]:
+        conn = self._connection()
+        try:
+            stmt = conn.createStatement()
+            rs = stmt.executeQuery(sql)
+            out = []
+            while rs.next():
+                out.append(rs.getString(1))
+            return out
+        finally:
+            conn.close()
+
+    def table_names(self) -> list[str]:
+        return self._query_strings(
+            "SELECT tablename FROM pg_tables WHERE schemaname = 'public'"
+        )
+
+    def write(self, df: DataFrame, name: str) -> None:
+        (
+            df.repartition(self.num_partitions)
+            .write.option("batchsize", self.batchsize)
+            .jdbc(self.url, f'"{name}"', mode="errorifexists", properties=self.properties)
+        )
+
+    def rename(self, old: str, new: str) -> None:
+        self._execute(f'ALTER TABLE "{old}" RENAME TO "{new}"')
+
+    def drop(self, name: str) -> None:
+        self._execute(f'DROP TABLE IF EXISTS "{name}"')
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.jdbc(self.url, f'"{name}"', properties=self.properties)
+
+    def create_gist_index(self, table: str, geom_col: str = "the_geom") -> None:
+        """importer.rb:274,332,382 — spatial index after publish. Only
+        meaningful once the WKT column is upgraded to geometry in PostGIS."""
+        self._execute(
+            f'CREATE INDEX "{table}_{geom_col}_gist" ON "{table}" '
+            f"USING GIST (ST_GeomFromText({geom_col}, 4326))"
+        )

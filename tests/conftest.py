@@ -1,0 +1,10 @@
+import pytest
+
+from cartodb_importer_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", shuffle_partitions=4)
+    yield s
+    s.stop()

@@ -1,0 +1,188 @@
+"""End-to-end import pipeline tests, porting the reference's behavioral
+contracts (spec/import_spec.rb) to the Spark engine + LocalCatalog."""
+
+import os
+import zipfile
+
+import pytest
+
+from cartodb_importer_spark.importer import Exporter, Importer
+from cartodb_importer_spark.sinks.catalog import LocalCatalog
+
+WALMART_CSV = """storenum,OpenDate,Latitude,Longitude,conversion
+1,"Sun Jul 01 00:00:00 -0400 1962",36.7,-92.4,3
+2,"Mon Jul 02 00:00:00 -0400 1962",35.2,-94.5,
+3,"Tue Jul 03 00:00:00 -0400 1962",999.0,-91.1,7
+"""
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    return LocalCatalog(str(tmp_path / "warehouse"))
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+def test_csv_import_with_georef(spark, catalog, tmp_path):
+    # mirrors spec/import_spec.rb:363-385 (walmart latlon georef)
+    path = _write(tmp_path, "walmart.csv", WALMART_CSV)
+    res = Importer(spark, catalog, path).run()
+    assert res.name == "walmart"
+    assert res.rows_imported == 3
+    assert res.import_type == ".csv"
+    df = catalog.read(spark, "walmart")
+    assert df.columns == [
+        "storenum", "opendate", "latitude", "longitude", "conversion", "the_geom",
+    ]
+    rows = {r["storenum"]: r for r in df.collect()}
+    assert rows[1]["the_geom"] == "POINT(-92.4 36.7)"
+    # out-of-range latitude (999.0) fails the guard regex -> NULL geometry
+    assert rows[3]["the_geom"] is None
+    # inference: storenum integer, latitude double, opendate varchar
+    types = dict(df.dtypes)
+    assert types["storenum"] == "int"
+    assert types["latitude"] == "double"
+    assert types["opendate"] == "string"
+    assert types["conversion"] == "int"  # blanks skipped in lattice
+
+
+def test_empty_csv_raises_and_rolls_back(spark, catalog, tmp_path):
+    # spec/import_spec.rb:23-34
+    path = _write(tmp_path, "empty.csv", "f1,f2,f3\n")
+    with pytest.raises(ValueError, match="Empty table"):
+        Importer(spark, catalog, path).run()
+    assert catalog.table_names() == []
+
+
+def test_name_collision_suffix(spark, catalog, tmp_path):
+    # spec/import_spec.rb:54-70
+    path = _write(tmp_path, "clubbing.csv", "a,b\n1,x\n")
+    assert Importer(spark, catalog, path).run().name == "clubbing"
+    assert Importer(spark, catalog, path).run().name == "clubbing_1"
+    assert Importer(spark, catalog, path).run().name == "clubbing_2"
+
+
+def test_failed_import_never_clobbers(spark, catalog, tmp_path):
+    # spec/import_spec.rb:36-52
+    ok = _write(tmp_path, "data.csv", "a,b\n1,x\n")
+    Importer(spark, catalog, ok).run()
+    before = catalog.read(spark, "data").collect()
+    bad = _write(tmp_path / "sub" if False else tmp_path, "data2.csv", "a,b\n")
+    with pytest.raises(ValueError):
+        Importer(spark, catalog, bad, suggested_name="data").run()
+    assert catalog.read(spark, "data").collect() == before
+    assert "importing_" not in "".join(catalog.table_names())
+
+
+def test_zip_import_selects_supported_entry(spark, catalog, tmp_path):
+    # spec/import_spec.rb:106-126 (pino.zip: data.csv + ignorable txt)
+    zpath = tmp_path / "pino.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("pino/.hidden.csv", "x\n1\n")
+        zf.writestr("__MACOSX/data.csv", "x\n1\n")
+        zf.writestr("pino/plantar.txt", "ignore me")
+        zf.writestr("pino/data.csv", "name,description\na,b\nc,d\ne,f\ng,h\n")
+    res = Importer(spark, catalog, str(zpath)).run()
+    assert res.name == "data"  # retargeted to the entry name
+    assert res.rows_imported == 4
+
+
+def test_geojson_import(spark, catalog, tmp_path):
+    # spec/import_spec.rb:236 (simple.json)
+    geojson = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"Name":"a","Pop":12},
+       "geometry":{"type":"Point","coordinates":[2.1,41.4]}},
+      {"type":"Feature","properties":{"Name":"b","Pop":7},
+       "geometry":{"type":"MultiPolygon","coordinates":[[[[2,39],[2.5,39],[2.5,39.5],[2,39]]]]}}
+    ]}"""
+    path = _write(tmp_path, "simple.json", geojson)
+    res = Importer(spark, catalog, path).run()
+    assert res.rows_imported == 2
+    df = catalog.read(spark, "simple")
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["a"]["the_geom"] == "POINT(2.1 41.4)"
+    assert rows["b"]["the_geom"] == (
+        "MULTIPOLYGON(((2.0 39.0, 2.5 39.0, 2.5 39.5, 2.0 39.0)))"
+    )
+
+
+def test_gpx_import(spark, catalog, tmp_path):
+    gpx = """<?xml version="1.0"?>
+    <gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
+      <trk><name>t</name><trkseg>
+        <trkpt lat="41.0" lon="2.0"><ele>12</ele><time>2010-01-01T00:00:00Z</time></trkpt>
+        <trkpt lat="41.1" lon="2.1"><ele>13</ele><time>2010-01-01T00:01:00Z</time></trkpt>
+      </trkseg></trk>
+    </gpx>"""
+    path = _write(tmp_path, "route.gpx", gpx)
+    res = Importer(spark, catalog, path).run()
+    assert res.rows_imported == 2
+    df = catalog.read(spark, "route")
+    row = df.orderBy("ogc_fid").first()
+    assert row["the_geom"] == "POINT(2.0 41.0)"
+    assert row["time"] == "2010-01-01T00:00:00Z"  # DateTime stays string
+
+
+def test_kml_import(spark, catalog, tmp_path):
+    # spec/import_spec.rb:207 (rmnp.kml, 1 placemark)
+    kml = """<?xml version="1.0" encoding="UTF-8"?>
+    <kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+      <Placemark><name>rmnp</name>
+        <Point><coordinates>-105.6,40.4,0</coordinates></Point>
+      </Placemark>
+    </Document></kml>"""
+    path = _write(tmp_path, "rmnp.kml", kml)
+    res = Importer(spark, catalog, path).run()
+    assert res.rows_imported == 1
+    row = catalog.read(spark, "rmnp").first()
+    assert row["name"] == "rmnp"
+    assert row["the_geom"] == "POINT(-105.6 40.4)"
+
+
+def test_shp_roundtrip(spark, catalog, tmp_path):
+    """Export a georeferenced table to SHP, re-import the zip — exercising
+    the SHP writer AND reader (dbf + shp binary codecs)."""
+    src = _write(
+        tmp_path, "pts.csv", "id,name,lat,lon\n1,alpha,40.1,-3.7\n2,beta,41.4,2.1\n"
+    )
+    Importer(spark, catalog, src).run()
+    out = Exporter(spark, catalog, "pts", type="shp", out_dir=str(tmp_path)).run()
+    assert out.path.endswith("pts.zip")
+    res = Importer(spark, catalog, out.path).run()
+    assert res.rows_imported == 2
+    df = catalog.read(spark, res.name)
+    assert "gid" in df.columns and "the_geom" in df.columns
+    geoms = {r["name"]: r["the_geom"] for r in df.collect()}
+    assert geoms["alpha"] == "POINT(-3.7 40.1)"
+
+
+def test_csv_export_zip(spark, catalog, tmp_path):
+    src = _write(tmp_path, "t.csv", "a,b\n1,x\n2,y\n")
+    Importer(spark, catalog, src).run()
+    out = Exporter(spark, catalog, "t", type="csv", out_dir=str(tmp_path)).run()
+    with zipfile.ZipFile(out.path) as zf:
+        assert zf.namelist() == ["t.csv"]
+        body = zf.read("t.csv").decode()
+    assert body.splitlines()[0] == "a,b"
+    assert len(body.splitlines()) == 3
+
+
+def test_kmz_export_doc_kml(spark, catalog, tmp_path):
+    src = _write(tmp_path, "geo.csv", "id,lat,lon\n1,40.0,-3.0\n")
+    Importer(spark, catalog, src).run()
+    out = Exporter(spark, catalog, "geo", type="kml", out_dir=str(tmp_path)).run()
+    with zipfile.ZipFile(out.path) as zf:
+        assert zf.namelist() == ["doc.kml"]  # exporter.rb:82
+        assert b"<coordinates>-3.0,40.0</coordinates>" in zf.read("doc.kml")
+
+
+def test_delimiter_sniffing(spark, catalog, tmp_path):
+    path = _write(tmp_path, "semi.csv", "a;b;c\n1;2;3\n4;5;6\n")
+    res = Importer(spark, catalog, path).run()
+    df = catalog.read(spark, "semi")
+    assert df.columns == ["a", "b", "c"]
+    assert res.rows_imported == 2

@@ -218,15 +218,8 @@ def simhash16(col: Column) -> Column:
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
-    """Hamming distance between two 16-bit simhashes (popcount of XOR)."""
-    x = a.bitwiseXOR(b)
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(15)), lambda i: F.shiftright(x, i) % 2
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    """Hamming distance between two simhashes (popcount of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def near_dedup_ml_minhash_lsh(

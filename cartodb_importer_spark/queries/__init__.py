@@ -67,13 +67,13 @@ class Tables:
         if name not in TABLES:
             raise AttributeError(f"unknown table {name!r}")
         if name not in self._cache:
-            self._cache[name] = _read_normalized(
+            self._cache[name] = read_parquet_normalized(
                 self._spark, f"{self._sf_dir}/{name}.parquet"
             )
         return self._cache[name]
 
 
-def _read_normalized(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, converting TIMESTAMP(NANOS) columns (read as long
     nanos under spark.sql.legacy.parquet.nanosAsLong) back to timestamps.
     Integer `div` keeps the ns->us conversion exact (double division would

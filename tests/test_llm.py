@@ -1,0 +1,109 @@
+"""LLM-pipeline operator tests: near-dedup end-to-end, SimHash Hamming,
+IVF recall vs brute force, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartodb_importer_spark.llm import dedup as D
+from cartodb_importer_spark.llm import multimodal as M
+from cartodb_importer_spark.llm import similarity as S
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different text about spark query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "spark query engines shuffle data between executors for joins"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    out = D.exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2, 3, 5}  # 4 dropped (exact dup of 1)
+
+
+def test_near_dedup_minhash_drops_near_duplicate(docs):
+    out = D.near_dedup_minhash(docs, threshold=0.5, bands=8, n=2)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids
+    assert 4 not in ids  # exact dup: jaccard 1.0
+    assert 2 not in ids  # near dup: one word differs -> high bigram jaccard
+    assert {3, 5} <= ids
+
+
+def test_jaccard_values(docs):
+    pairs = D.minhash_candidate_pairs(docs, bands=8, n=2)
+    scored = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, pairs, n=2).collect()
+    }
+    assert scored[(1, 4)] == 1.0
+    assert 0.5 < scored[(1, 2)] < 1.0
+
+
+def test_simhash_hamming_near_dup(spark, docs):
+    sig = docs.select("doc_id", D.simhash16(F.col("text")).alias("sh"))
+    a = sig.filter("doc_id = 1").first()["sh"]
+    b = sig.filter("doc_id = 2").first()["sh"]
+    c = sig.filter("doc_id = 3").first()["sh"]
+    d = sig.filter("doc_id = 4").first()["sh"]
+    assert a == d  # identical docs -> identical simhash
+    ham = spark.createDataFrame([(a, b), (a, c)], "x int, y int").select(
+        D.simhash_hamming(F.col("x"), F.col("y")).alias("h")
+    ).collect()
+    assert ham[0]["h"] <= ham[1]["h"]  # near-dup closer than unrelated
+
+
+def test_ml_minhash_lsh_finds_near_dups(docs):
+    pairs = D.near_dedup_ml_minhash_lsh(docs, threshold=0.9, num_hash_tables=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {
+        r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()
+    }
+    cents = S.train_ivf_centroids(emb, n_cells=8)
+    with_cells = S.assign_ivf_cell(emb, cents)
+    approx = {
+        r["vec_id"]
+        for r in S.ivf_topk(with_cells, cents, q, k=10, nprobe=4).collect()
+    }
+    # nprobe=4 of 8 cells: expect decent recall, and the query vector itself
+    # must be found (it lives in the probed nearest cell by construction)
+    assert 0 in approx
+    assert len(exact & approx) >= 5
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = M.media_from_documents(docs)
+    feats = M.extract_features(media)
+    rows = feats.limit(5).collect()
+    assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows)
+    assert all(len(r["sha256"]) == 64 for r in rows)
+    # deterministic: same payload -> same feature
+    again = M.extract_features(media).limit(5).collect()
+    assert [r["feature"] for r in rows] == [r["feature"] for r in again]
+
+
+def test_multimodal_resize_and_frames(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    media = M.media_from_documents(docs)
+    resized = M.resize_images(media, 224, 224)
+    r = resized.first()
+    assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
+    assert r["kind"] == "image"
+    frames = M.sample_video_frames(media, every_ms=500)
+    f = frames.orderBy("media_id", "frame_idx").first()
+    assert f["frame_idx"] == 0 and f["ts_ms"] == 0
+    assert len(bytes(f["frame"])) <= 64

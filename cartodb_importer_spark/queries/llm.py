@@ -360,3 +360,180 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     with_cells = S.assign_ivf_cell(emb, centroids)
     return S.ivf_topk(with_cells, centroids, q, k=10, nprobe=4)
+
+
+# ------------------------------------------------- quality / sampling ops
+
+
+@query(
+    "llm_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_DUCK_WORDS.format(col="text")} AS ws,
+             {_DUCK_TOKEN_COUNT.format(col="text")} AS n_tok
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             least(n_tok / 50.0, 1.0) AS len_score,
+             1 - least(CASE WHEN length(text) > 0
+                       THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+                       ELSE 0.0 END * 5, 1.0) AS punct_score,
+             least(CASE WHEN len(ws) > 0
+                   THEN len(list_filter(ws, w -> list_contains(['the','and','of','is','to'], w))) * 1.0 / len(ws)
+                   ELSE 0.0 END * 10, 1.0) AS stop_score
+      FROM base
+    )
+    SELECT doc_id,
+           round((len_score + punct_score + stop_score) / 3, 4) AS quality
+    FROM parts
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length / punctuation / stopword
+    components) — the pre-training corpus filter, one scan, no UDF."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "llm_near_dedup",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                       / len(list_distinct(list_concat(sa.s, sb.s)))
+                  ELSE 0.0 END AS j
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM scored WHERE j >= 0.8)
+    """,
+)
+def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline end-to-end: LSH banding -> candidate pairs
+    -> exact Jaccard -> drop higher-id members of >=0.8 pairs."""
+    t = Tables(spark, sf_dir)
+    return D.near_dedup_minhash(
+        t.documents, threshold=0.8, bands=_P_BANDS, n=2
+    ).select("doc_id", "lang")
+
+
+@query(
+    "llm_hash_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) % 10 = 0
+    """,
+)
+def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (reproducible 10% sample across
+    runs/engines/partitionings — what seeded random sampling can't give a
+    training pipeline)."""
+    t = Tables(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+    return t.documents.filter(bucket.cast("long") % 10 == 0).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "llm_train_test_split",
+    oracle="""
+    SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test split by content hash; the split
+    column doubles as a write-time partition key."""
+    t = Tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        t.documents.withColumn(
+            "split", F.when(bucket < 80, "train").otherwise("test")
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "llm_euclidean_topk",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_distance(CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])), 6) AS euclidean_dist
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY euclidean_dist, e.vec_id
+    LIMIT 10
+    """,
+)
+def llm_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean nearest-neighbor top-10 (JVM-side zip_with fold)."""
+    t = Tables(spark, sf_dir)
+    qdf = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    v = F.col("embedding").cast("array<double>")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, F.col("qv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    return (
+        t.embeddings.crossJoin(F.broadcast(qdf))
+        .select("vec_id", F.round(dist, 6).alias("euclidean_dist"))
+        .orderBy(F.asc("euclidean_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "llm_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm,
+           round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'sum'), 6) AS l1_norm
+    FROM embeddings
+    """,
+)
+def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms — the normalize-at-write-time building block (cosine on
+    pre-normalized vectors degrades to a dot product at query time)."""
+    t = Tables(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    l1 = F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x))
+    return t.embeddings.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2_norm"),
+        F.round(l1, 6).alias("l1_norm"),
+    )

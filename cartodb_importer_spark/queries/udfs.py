@@ -1,0 +1,125 @@
+"""UDF surface (SURVEY §2.3): row-at-a-time Python udf (declared, and
+declared SLOW — kept off every hot path), Arrow-batched scalar pandas_udf,
+grouped-aggregate pandas_udf, and applyInPandas group-map.
+
+Each query computes something a plain SQL oracle can mirror, so the UDF
+machinery itself is value-checked, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from . import Tables, query
+
+
+@query(
+    "udf_python_row",
+    oracle="""
+    SELECT n_nationkey, reverse(upper(n_name)) AS rev_name
+    FROM nation
+    """,
+)
+def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the declared slow path, demonstrated on a
+    25-row dimension precisely because that's the only place it belongs."""
+
+    @udf("string")
+    def rev_upper(s: str) -> str:
+        return s.upper()[::-1] if s is not None else None
+
+    t = Tables(spark, sf_dir)
+    return t.nation.select(
+        "n_nationkey", rev_upper(F.col("n_name")).alias("rev_name")
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, round(ln(1 + value) * 2, 6) AS log_score
+    FROM events WHERE value >= 0
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas_udf: vectorized numpy math over whole
+    batches (the 10-100x-over-row-udf path when JVM built-ins can't express
+    the function; here they could — the point is checking the machinery)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def log_score(v: pd.Series) -> pd.Series:
+        return np.round(np.log1p(v) * 2, 6)
+
+    t = Tables(spark, sf_dir)
+    return t.events.filter(F.col("value") >= 0).select(
+        "event_id", log_score(F.col("value")).alias("log_score")
+    )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_discount) / sum(l_discount), 4)
+             AS weighted_avg_price
+    FROM lineitem
+    WHERE l_discount > 0
+    GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (UDAF surface): discount-weighted mean
+    price per return flag."""
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, weight: pd.Series) -> float:
+        return float(round((price * weight).sum() / weight.sum(), 4))
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_discount") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            weighted_avg(F.col("l_extendedprice"), F.col("l_discount")).alias(
+                "weighted_avg_price"
+            )
+        )
+    )
+
+
+@query(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
+                 ELSE (value - min(value) OVER w)
+                      / (max(value) OVER w - min(value) OVER w) END, 6)
+             AS value_norm
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas group-map: per-user min-max normalization — the
+    'custom stateful operator per group' shape (each group arrives as one
+    pandas frame; output schema declared up front)."""
+
+    def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        norm = 0.5 if hi == lo else (pdf["value"] - lo) / (hi - lo)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "value_norm": (norm if hi != lo else pd.Series([0.5] * len(pdf))).round(6),
+            }
+        )
+
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("user_id").applyInPandas(
+        minmax, "event_id long, user_id long, value_norm double"
+    )

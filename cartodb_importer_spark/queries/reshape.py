@@ -1,0 +1,181 @@
+"""Reshape + additional scalar coverage: pivot/unpivot, explode, date
+arithmetic, extended string functions, salted skew aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_agg
+from . import Tables, query
+
+
+@query(
+    "reshape_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS F,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with EXPLICIT pivot values — at scale, always pass
+    the value list (otherwise Spark runs an extra distinct job to discover
+    them)."""
+    t = Tables(spark, sf_dir)
+    out = (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("O"),
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'custkey_as_double', CAST(c_custkey AS DOUBLE) FROM customer
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide -> long without a shuffle (Catalyst Expand)."""
+    t = Tables(spark, sf_dir)
+    wide = t.customer.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_custkey").cast("double").alias("custkey_as_double"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "custkey_as_double"], "metric", "value"
+    )
+
+
+@query(
+    "reshape_explode",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               (c, i) -> {'pos': i - 1, 'comp': round(CAST(c AS DOUBLE), 4)})) AS u
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT vec_id, CAST(u.pos AS INTEGER) AS pos, u.comp AS comp FROM x
+    """,
+)
+def reshape_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the embedding array — array rows to (pos, value)
+    pairs (UDTF shape)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.embeddings.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "comp"
+            ),
+        )
+        .select("vec_id", "pos", F.round("comp", 4).alias("comp"))
+    )
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           date_diff('day', o.o_orderdate, l.l_shipdate)      AS ship_delay_days,
+           l.l_shipdate + INTERVAL '30 days'                  AS ship_plus_30,
+           CAST(round(date_diff('day', o.o_orderdate, l.l_shipdate) / 7, 0) AS BIGINT) AS ship_delay_weeks
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: datediff / interval add across a fact join."""
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        delay.alias("ship_delay_days"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")).alias("ship_plus_30"),
+        F.round(delay / 7, 0).cast("long").alias("ship_delay_weeks"),
+    )
+
+
+@query(
+    "scalar_string_extended",
+    oracle="""
+    SELECT s_suppkey,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0')        AS padded_key,
+           concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR)) AS name_nation,
+           regexp_extract(s_name, '([0-9]+)', 1)           AS name_digits,
+           split_part(s_name, '#', 2)                      AS name_suffix,
+           CASE WHEN starts_with(s_name, 'supplier') THEN 1 ELSE 0 END AS is_supplier,
+           reverse(s_name)                                 AS name_rev
+    FROM supplier
+    """,
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad / concat_ws / regexp_extract / split / startswith / reverse."""
+    t = Tables(spark, sf_dir)
+    return t.supplier.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded_key"),
+        F.concat_ws(
+            "|", F.col("s_name"), F.col("s_nationkey").cast("string")
+        ).alias("name_nation"),
+        F.regexp_extract("s_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.element_at(F.split("s_name", "#"), 2).alias("name_suffix"),
+        F.when(F.col("s_name").startswith("supplier"), 1)
+        .otherwise(0)
+        .alias("is_supplier"),
+        F.reverse("s_name").alias("name_rev"),
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           count(*)             AS count_value,
+           round(sum(value), 2) AS sum_value,
+           min(value)           AS min_value,
+           max(value)           AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py) over a low-
+    cardinality (maximally skewed) key — byte-identical results to a plain
+    groupBy, bounded per-task load at any skew."""
+    t = Tables(spark, sf_dir)
+    out = salted_agg(
+        t.events,
+        keys=["event_type"],
+        aggs=[
+            ("count", "value"),
+            ("sum", "value"),
+            ("min", "value"),
+            ("max", "value"),
+        ],
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "count_value",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

@@ -1,0 +1,124 @@
+"""Reference-fidelity tests for §2.2 type inference, georeferencing guard
+regexes, the as-of join, and the raster reader stub."""
+
+from pyspark.sql import functions as F
+
+from cartodb_importer_spark.georef import LAT_RX, LON_RX, find_latlon_columns
+from cartodb_importer_spark.infer import (
+    apply_inferred_types,
+    infer_column_types,
+    sniff_delimiter,
+)
+from cartodb_importer_spark.operators.asof import asof_join
+
+
+def test_lattice_promotion(spark):
+    # importer.rb:527-547 — integer < float < varchar, blanks skipped
+    df = spark.createDataFrame(
+        [
+            ("1", "1", "1", "", "abc"),
+            ("2", "2.5", "x", None, "2,5"),
+            ("3", "3", "4", "  ", "9"),
+        ],
+        "ints string, floats string, mixed string, blank string, commadec string",
+    )
+    types = infer_column_types(df)
+    assert types == {
+        "ints": "integer",
+        "floats": "float",
+        "mixed": "varchar",
+        "blank": "varchar",  # all-blank defaults to varchar (importer.rb:557)
+        "commadec": "varchar",  # '2,5' matches float rx but 'abc' forces varchar
+    }
+
+
+def test_int32_overflow_promotes_to_float(spark):
+    # importer.rb:544 — value > 2147483647 promotes integer -> float
+    df = spark.createDataFrame(
+        [("1",), ("2147483648",)], "big string"
+    )
+    assert infer_column_types(df) == {"big": "float"}
+    df2 = spark.createDataFrame([("1",), ("2147483647",)], "ok string")
+    assert infer_column_types(df2) == {"ok": "integer"}
+
+
+def test_comma_decimal_cast(spark):
+    # importer.rb:528 admits ',' as decimal separator; cast normalizes it
+    df = spark.createDataFrame([("1,5",), ("2,25",)], "v string")
+    types = infer_column_types(df)
+    assert types == {"v": "float"}
+    out = apply_inferred_types(df, types)
+    assert [r["v"] for r in out.collect()] == [1.5, 2.25]
+
+
+def test_delimiter_sniffer_prefers_max_columns():
+    # importer.rb:489-502
+    assert sniff_delimiter("a,b,c") == ","
+    assert sniff_delimiter("a;b;c") == ";"
+    assert sniff_delimiter("a|b|c|d") == "|"
+    assert sniff_delimiter("a\tb\tc") == "\t" or sniff_delimiter("a;b") == ";"
+
+
+def test_latlon_guard_regexes(spark):
+    # importer.rb:327-329 verbatim: lon in [-180,180], lat in [-90,90]
+    cases = [
+        ("180", True), ("-180", True), ("179.99", True), ("181", False),
+        ("-180.1", False), ("0", True), ("95.5", True),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "v string")
+    got = [r[0] for r in df.select(F.col("v").rlike(LON_RX)).collect()]
+    assert got == [e for _, e in cases]
+    lat_cases = [("90", True), ("-90", True), ("89.9", True), ("90.1", False)]
+    df2 = spark.createDataFrame([(c,) for c, _ in lat_cases], "v string")
+    got2 = [r[0] for r in df2.select(F.col("v").rlike(LAT_RX)).collect()]
+    assert got2 == [e for _, e in lat_cases]
+
+
+def test_latlon_candidate_priority():
+    # importer.rb:299-300: first candidate in list order wins
+    lat, lon = find_latlon_columns(["lati", "latitude", "lng", "longitude"])
+    assert lat == "latitude"  # 'latitude' precedes 'lati' in candidates
+    assert lon == "longitude"
+
+
+def test_asof_join_backward_and_forward(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 50)],
+        "id long, k string, t long",
+    ).select("id", "k", F.timestamp_millis(F.col("t") * 1000).alias("ts"))
+    right = spark.createDataFrame(
+        [("u", 60, 600), ("u", 200, 2000), ("u", 100, 1000)],
+        "k string, t long, payload long",
+    ).select(
+        "k", F.timestamp_millis(F.col("t") * 1000).alias("rts"), "payload"
+    )
+    back = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["payload"],
+    )
+    got = {r["id"]: r["payload"] for r in back.collect()}
+    # id1@100 -> rts100(payload 1000); id2@250 -> rts200; id3@50 -> none
+    assert got == {1: 1000, 2: 2000, 3: None}
+
+    fwd = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["payload"], direction="forward",
+    )
+    got_f = {r["id"]: r["payload"] for r in fwd.collect()}
+    # id1@100 -> rts100; id2@250 -> none; id3@50 -> rts60
+    assert got_f == {1: 1000, 2: None, 3: 600}
+
+
+def test_raster_stub_tiling(spark, tmp_path):
+    from cartodb_importer_spark.readers.raster import (
+        raster_tile_stats, read_raster,
+    )
+
+    p = tmp_path / "fake.tif"
+    p.write_bytes(b"x" * (180 * 180 * 2 + 100))  # 2 full tiles + remainder
+    df, meta = read_raster(spark, str(p))
+    assert meta["decoder"] == "stub"
+    assert df.count() == 3
+    stats = raster_tile_stats(df).collect()
+    sizes = sorted(r["block_bytes"] for r in stats)
+    assert sizes == [100, 32400, 32400]

@@ -137,6 +137,8 @@ class Exporter:
     def run(self) -> ExportResult:
         from .sinks import files as fsinks
 
+        import os
+
         df = self.catalog.read(self.spark, self.table)
         if self.type == "csv":
             path = fsinks.export_csv_zip(df, self.table, self.out_dir)
@@ -144,6 +146,14 @@ class Exporter:
             path = fsinks.export_kmz(df, self.table, self.out_dir)
         elif self.type == "shp":
             path = fsinks.export_shp_zip(df, self.table, self.out_dir)
+        elif self.type == "json":
+            # engine extension: partitioned JSON directory (scalable sink)
+            path = os.path.join(self.out_dir, f"{self.table}_json")
+            fsinks.write_json_dir(df, path)
+        elif self.type == "parquet":
+            # engine extension: partitioned parquet directory
+            path = os.path.join(self.out_dir, f"{self.table}_parquet")
+            fsinks.write_parquet_dir(df, path)
         else:
             raise ValueError(f"unsupported export type {self.type!r}")
         return ExportResult(name=self.table, import_type=self.type, path=path)

@@ -112,6 +112,26 @@ class JdbcCatalog(Catalog):
     staging+rename keeps readers off partial tables meanwhile.
     """
 
+    DIALECTS = {
+        "postgresql": {
+            "driver": "org.postgresql.Driver",
+            "list_tables": (
+                "SELECT tablename FROM pg_tables WHERE schemaname = 'public'"
+            ),
+            "rename": 'ALTER TABLE "{old}" RENAME TO "{new}"',
+            "drop": 'DROP TABLE IF EXISTS "{name}"',
+        },
+        "derby": {
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "list_tables": (
+                "SELECT tablename FROM sys.systables WHERE tabletype = 'T'"
+            ),
+            "rename": 'RENAME TABLE "{old}" TO "{new}"',
+            # Derby has no IF EXISTS; drop() swallows missing-table errors
+            "drop": 'DROP TABLE "{name}"',
+        },
+    }
+
     def __init__(
         self,
         spark: SparkSession,
@@ -119,10 +139,12 @@ class JdbcCatalog(Catalog):
         properties: dict[str, str] | None = None,
         batchsize: int = 10_000,
         num_partitions: int = 8,
+        dialect: str = "postgresql",
     ):
         self.spark = spark
         self.url = url
-        self.properties = {"driver": "org.postgresql.Driver", **(properties or {})}
+        self.dialect = self.DIALECTS[dialect]
+        self.properties = {"driver": self.dialect["driver"], **(properties or {})}
         self.batchsize = batchsize
         self.num_partitions = num_partitions
 
@@ -156,9 +178,7 @@ class JdbcCatalog(Catalog):
             conn.close()
 
     def table_names(self) -> list[str]:
-        return self._query_strings(
-            "SELECT tablename FROM pg_tables WHERE schemaname = 'public'"
-        )
+        return self._query_strings(self.dialect["list_tables"])
 
     def write(self, df: DataFrame, name: str) -> None:
         (
@@ -168,10 +188,14 @@ class JdbcCatalog(Catalog):
         )
 
     def rename(self, old: str, new: str) -> None:
-        self._execute(f'ALTER TABLE "{old}" RENAME TO "{new}"')
+        self._execute(self.dialect["rename"].format(old=old, new=new))
 
     def drop(self, name: str) -> None:
-        self._execute(f'DROP TABLE IF EXISTS "{name}"')
+        try:
+            self._execute(self.dialect["drop"].format(name=name))
+        except Exception as e:  # missing table is fine (IF EXISTS semantics)
+            if "does not exist" not in str(e) and "42Y55" not in str(e):
+                raise
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.jdbc(self.url, f'"{name}"', properties=self.properties)

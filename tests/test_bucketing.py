@@ -1,0 +1,61 @@
+"""Bucketed-layout tests: a join between same-bucketed tables must plan
+with NO shuffle on either side; the unbucketed control must shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartodb_importer_spark.sinks.bucketing import (
+    co_located_join, plan_has_shuffle, write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        num_buckets=8,
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = co_located_join(spark, "b_orders", "b_lineitem", on=["o_orderkey"])
+        assert not plan_has_shuffle(j)
+        # control: the same join from raw parquet must shuffle
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        l = (
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+        )
+        assert plan_has_shuffle(o.join(l, "o_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_correct(spark, bucketed_tables):
+    j = co_located_join(spark, "b_orders", "b_lineitem", on=["o_orderkey"])
+    direct = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .join(
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    assert j.count() == direct.count()
+
+
+def test_bucketed_agg_has_no_shuffle(spark, bucketed_tables):
+    g = spark.table("b_lineitem").groupBy("o_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    assert not plan_has_shuffle(g)

@@ -270,3 +270,30 @@ def scalar_cast_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("double").alias("k_float"),
         F.col("value").cast("string").alias("value_str"),
     )
+
+
+@query(
+    "scalar_map_ops",
+    oracle="""
+    SELECT event_id,
+           array_to_string(['k','type'], ',')                    AS keys_csv,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)    AS k_value,
+           event_type                                            AS type_value
+    FROM events
+    """,
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value access (create_map, map_keys,
+    element_at) — output flattened to scalars so the check is
+    engine-portable."""
+    t = Tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("type"), F.col("event_type"),
+    )
+    return t.events.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "k").cast("int").alias("k_value"),
+        F.element_at(m, "type").alias("type_value"),
+    )

@@ -197,13 +197,13 @@ _DUCK_TOKEN_COUNT = "len(regexp_extract_all(lower({col}), '[a-z0-9]+'))"
       SELECT doc_id, text,
              {_DUCK_WORDS.format(col="text")} AS ws,
              {_DUCK_TOKEN_COUNT.format(col="text")} AS n_tokens,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
              length(text) AS n_chars_computed
       FROM documents
     )
     SELECT doc_id, n_chars_computed, n_tokens, n_tokens_bpe,
            round(CASE WHEN length(text) > 0
-                 THEN len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text)
+                 THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
                  ELSE 0.0 END, 4) AS punct_ratio,
            round(CASE WHEN len(ws) > 0
                  THEN len(list_filter(ws, w -> list_contains(['the','and','of','is','to'], w))) * 1.0 / len(ws)

@@ -87,3 +87,37 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
     got = _drain(spark, S.dedup_events(stream_df), "t_dedup", "append")
     assert got.count() == src.count()
     assert got.select("event_id").distinct().count() == src.count()
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState: the stream's LAST emitted row per user must
+    equal the batch aggregate (state accumulates across micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.streaming.stateful import (
+        batch_user_totals, running_user_totals,
+    )
+
+    stream_df = S.read_events_stream(spark, events_dir)
+    q = (
+        running_user_totals(stream_df)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends each emission; keep the final
+    # (max n_events) row per user
+    emitted = spark.table("t_stateful")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    expected = batch_user_totals(spark.read.parquet(events_dir))
+    cols = ["user_id", "n_events", "total_value"]
+    assert _canon(final, cols) == _canon(expected, cols)

@@ -19,23 +19,105 @@ def _load_rows(path: str) -> tuple[list[str], list[list[str | None]]]:
     if ext in ("xlsx", "xlsm"):
         try:
             from openpyxl import load_workbook
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "xlsx import requires openpyxl (not installed in this env)"
-            ) from e
-        wb = load_workbook(path, read_only=True, data_only=True)
-        ws = wb.worksheets[0]
-        rows = [
-            ["" if c is None else str(c) for c in row]
-            for row in ws.iter_rows(values_only=True)
-        ]
+        except ImportError:
+            rows = _read_xlsx_stdlib(path)
+        else:
+            wb = load_workbook(path, read_only=True, data_only=True)
+            ws = wb.worksheets[0]
+            rows = [
+                ["" if c is None else str(c) for c in row]
+                for row in ws.iter_rows(values_only=True)
+            ]
     elif ext == "ods":
-        raise NotImplementedError("ods import requires odfpy (not installed)")
-    else:  # legacy .xls
+        rows = _read_ods_stdlib(path)
+    else:  # legacy .xls (binary BIFF) — genuinely needs xlrd
         raise NotImplementedError("legacy .xls import requires xlrd (not installed)")
     if not rows:
         return [], []
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
     return rows[0], rows[1:]
+
+
+def _read_xlsx_stdlib(path: str) -> list[list[str]]:
+    """Minimal XLSX reader: an .xlsx is a zip of XML — parse sheet1 +
+    sharedStrings with the stdlib. Covers inline/shared strings and
+    numeric cells (the reference converts spreadsheets to CSV text anyway,
+    so everything downstream is string-typed before inference)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        sheet_name = next(
+            n for n in zf.namelist()
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        )
+        root = ET.fromstring(zf.read(sheet_name))
+        rows: list[list[str]] = []
+        for row_el in root.iter(f"{NS}row"):
+            row: list[str] = []
+            for c in row_el.findall(f"{NS}c"):
+                ref = c.get("r", "")
+                col_idx = _col_index("".join(ch for ch in ref if ch.isalpha()))
+                while len(row) < col_idx:
+                    row.append("")
+                ctype = c.get("t", "n")
+                v = c.find(f"{NS}v")
+                is_el = c.find(f"{NS}is")
+                if ctype == "s" and v is not None:
+                    row.append(shared[int(v.text)])
+                elif ctype == "inlineStr" and is_el is not None:
+                    row.append(
+                        "".join(t.text or "" for t in is_el.iter(f"{NS}t"))
+                    )
+                else:
+                    row.append(v.text if v is not None and v.text else "")
+            rows.append(row)
+        return rows
+
+
+def _col_index(letters: str) -> int:
+    """'A' -> 0, 'B' -> 1, ..., 'AA' -> 26."""
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_ods_stdlib(path: str) -> list[list[str]]:
+    """Minimal ODS reader: content.xml table rows/cells, honoring
+    number-columns-repeated for cell runs."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    T = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+    TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+    with zipfile.ZipFile(path) as zf:
+        root = ET.fromstring(zf.read("content.xml"))
+    table = next(iter(root.iter(f"{T}table")), None)
+    rows: list[list[str]] = []
+    if table is None:
+        return rows
+    for row_el in table.iter(f"{T}table-row"):
+        row: list[str] = []
+        for cell in row_el.findall(f"{T}table-cell"):
+            repeat = int(cell.get(f"{T}number-columns-repeated", "1"))
+            text = "".join(
+                "".join(p.itertext()) for p in cell.findall(f"{TEXT}p")
+            )
+            # huge trailing repeats pad to the sheet width; cap sanely
+            row.extend([text] * min(repeat, 1024 if text else 1))
+        rows.append(row)
+    # drop fully-empty trailing rows
+    while rows and all(c == "" for c in rows[-1]):
+        rows.pop()
+    return rows
 
 
 def read_excel(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:

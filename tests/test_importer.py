@@ -186,3 +186,43 @@ def test_delimiter_sniffing(spark, catalog, tmp_path):
     df = catalog.read(spark, "semi")
     assert df.columns == ["a", "b", "c"]
     assert res.rows_imported == 2
+
+
+def test_kmz_import(spark, catalog, tmp_path):
+    kml = """<?xml version="1.0" encoding="UTF-8"?>
+    <kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+      <Placemark><name>a</name><Point><coordinates>1.5,2.5,0</coordinates></Point></Placemark>
+      <Placemark><name>b</name><Point><coordinates>3.5,4.5,0</coordinates></Point></Placemark>
+    </Document></kml>"""
+    kmz = tmp_path / "sites.kmz"
+    with zipfile.ZipFile(kmz, "w") as zf:
+        zf.writestr("doc.kml", kml)
+    res = Importer(spark, catalog, str(kmz)).run()
+    assert res.rows_imported == 2
+    # name retargeted to the archive entry (doc), per O4 semantics
+    assert res.name == "doc"
+    geoms = {r["name"]: r["the_geom"] for r in catalog.read(spark, "doc").collect()}
+    assert geoms == {"a": "POINT(1.5 2.5)", "b": "POINT(3.5 4.5)"}
+
+
+def test_gpx_layers(spark, tmp_path):
+    from cartodb_importer_spark.readers.gpx import read_gpx
+
+    gpx = """<?xml version="1.0"?>
+    <gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
+      <wpt lat="40.0" lon="-3.0"><name>w1</name></wpt>
+      <trk><name>t1</name><trkseg>
+        <trkpt lat="41.0" lon="2.0"/><trkpt lat="41.1" lon="2.1"/>
+      </trkseg></trk>
+      <rte><name>r1</name>
+        <rtept lat="50.0" lon="8.0"/><rtept lat="50.1" lon="8.1"/>
+      </rte>
+    </gpx>"""
+    p = tmp_path / "multi.gpx"
+    p.write_text(gpx)
+    tracks, _ = read_gpx(spark, str(p), layer="tracks")
+    assert tracks.first()["the_geom"] == "LINESTRING(2.0 41.0, 2.1 41.1)"
+    routes, _ = read_gpx(spark, str(p), layer="routes")
+    assert routes.first()["the_geom"] == "LINESTRING(8.0 50.0, 8.1 50.1)"
+    wpts, _ = read_gpx(spark, str(p), layer="waypoints")
+    assert wpts.first()["the_geom"] == "POINT(-3.0 40.0)"

@@ -253,3 +253,89 @@ def near_dedup_ml_minhash_lsh(
         F.col(f"datasetB.{id_col}").alias("id_b"),
         F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a similarity-pair edge list: returns
+    (id, component) where component is the smallest id reachable from id.
+
+    The iterative min-label propagation: each round, every node adopts the
+    minimum label among itself and its neighbors; converged when no label
+    changes. Rounds needed = graph diameter (near-dup clusters are
+    shallow — typically 2-4 rounds). Each round is one join + one
+    aggregate; no driver-side graph materialization, so a 100 TB edge list
+    iterates entirely as shuffles.
+
+    This is the cluster step of full near-dedup: survivors = one doc per
+    component (the component id itself, being the min doc id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_components(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Cluster-aware near-dedup: band -> candidates -> Jaccard filter ->
+    connected components -> keep exactly ONE doc per component (the min
+    id). Pairwise dropping (near_dedup_minhash) can over-delete on chains
+    (a~b, b~c but a!~c drops both b and c); component dedup keeps one
+    representative per transitive cluster."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
+    scored = jaccard_pairs(df, cand, text_col, id_col, n)
+    edges = scored.filter(F.col("jaccard") >= threshold)
+    comps = connected_components(edges)
+    drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="anti")

@@ -159,3 +159,68 @@ def ivf_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def train_hyperplanes(
+    dim: int, n_planes: int = 12, seed: int = 42
+) -> list[list[float]]:
+    """Seeded random hyperplanes for sign-LSH over cosine similarity.
+    Unlike IVF centroids these need no training data — suitable for
+    streaming ingest where centroids can't be retrained."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def assign_lsh_bucket(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the sign-LSH bucket id: bit b = sign(v . plane_b). Vectors
+    with small angles share buckets with high probability. Pure JVM
+    expression — usable as a write-time partition key."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(v, p) >= 0, F.lit(2**b)).otherwise(F.lit(0))
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def _query_bucket(planes: list[list[float]], query_vec: list[float]) -> int:
+    bucket = 0
+    for b, plane in enumerate(planes):
+        if sum(float(x) * float(y) for x, y in zip(query_vec, plane)) >= 0:
+            bucket += 2**b
+    return bucket
+
+
+def lsh_topk(
+    df_with_buckets: DataFrame,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    hamming_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-LSH top-k: scan only buckets within ``hamming_probe`` bit flips
+    of the query's bucket (multiprobe). Probed fraction of the corpus is
+    roughly sum_{i<=probe} C(n_planes, i) / 2^n_planes."""
+    qb = _query_bucket(planes, query_vec)
+    probes = {qb}
+    if hamming_probe >= 1:
+        for b in range(len(planes)):
+            probes.add(qb ^ (1 << b))
+    if hamming_probe >= 2:
+        for b1 in range(len(planes)):
+            for b2 in range(b1 + 1, len(planes)):
+                probes.add(qb ^ (1 << b1) ^ (1 << b2))
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df_with_buckets.filter(F.col("lsh_bucket").isin(list(probes)))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -537,3 +537,31 @@ def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2, 6).alias("l2_norm"),
         F.round(l1, 6).alias("l1_norm"),
     )
+
+
+@query("llm_dedup_clusters")
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware near-dedup: connected components over the >=0.8
+    Jaccard pair graph, one survivor per component. Rows-only check
+    (iterative label propagation is not SQL-expressible); component
+    correctness is pinned by tests/test_llm.py goldens."""
+    t = Tables(spark, sf_dir)
+    return D.dedup_components(
+        t.documents, threshold=0.8, bands=_P_BANDS, n=2
+    ).select("doc_id", "lang")
+
+
+@query("llm_lsh_topk")
+def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (random hyperplane) approximate cosine top-k with
+    2-bit multiprobe. Rows-only check; recall vs brute force is asserted in
+    tests/test_llm.py."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    planes = S.train_hyperplanes(dim=len(q), n_planes=8)
+    bucketed = S.assign_lsh_bucket(emb, planes)
+    return S.lsh_topk(bucketed, planes, q, k=10, hamming_probe=2)

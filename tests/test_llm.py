@@ -107,3 +107,42 @@ def test_multimodal_resize_and_frames(spark):
     f = frames.orderBy("media_id", "frame_idx").first()
     assert f["frame_idx"] == 0 and f["ts_ms"] == 0
     assert len(bytes(f["frame"])) <= 64
+
+
+def test_connected_components(spark):
+    # two clusters {1,2,3} (chain) and {10,11}; singleton 20 has no edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_keeps_one_per_cluster(spark):
+    chain = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # ~1
+        (3, "alpha beta gamma delta epsilon zeta mu iota"),    # ~2, less ~1
+        (9, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(chain, "doc_id long, text string")
+    out = D.dedup_components(df, threshold=0.4, bands=8, n=2)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 9]  # one survivor per transitive cluster
+
+
+def test_lsh_hyperplane_topk(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    planes = S.train_hyperplanes(dim=len(q), n_planes=8)
+    bucketed = S.assign_lsh_bucket(emb, planes)
+    # buckets must partition the corpus
+    assert bucketed.count() == emb.count()
+    got = S.lsh_topk(bucketed, planes, q, k=10, hamming_probe=2)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert 0 in ids  # query vector is in the exact query bucket
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+    assert len(ids & exact) >= 3  # multiprobe recall on 500 vectors

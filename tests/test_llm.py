@@ -146,3 +146,22 @@ def test_lsh_hyperplane_topk(spark):
     assert 0 in ids  # query vector is in the exact query bucket
     exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
     assert len(ids & exact) >= 3  # multiprobe recall on 500 vectors
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """Write embeddings partitioned by ivf_cell; an nprobe query must prune
+    the parquet scan to the probed partitions (SCALE.md claim)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.train_ivf_centroids(emb, n_cells=8)
+    out = str(tmp_path / "emb_by_cell")
+    S.assign_ivf_cell(emb, cents).write.partitionBy("ivf_cell").parquet(out)
+    stored = spark.read.parquet(out)
+    probed = stored.filter(F.col("ivf_cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    # pruning is real: the probed scan reads fewer rows than the table
+    assert 0 < probed.count() < stored.count()
+    # and the query still returns correct top-k within the probed cells
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    res = S.ivf_topk(stored, cents, q, k=5, nprobe=3)
+    assert res.count() == 5

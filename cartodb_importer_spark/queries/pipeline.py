@@ -179,3 +179,45 @@ def pipeline_georef_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("none_found", lat2 or lon2),
     ]
     return spark.createDataFrame(rows, "probe string, matched string")
+
+
+def _fold_sql_fragment(col: str) -> str:
+    from ..functions import _FOLD_DST, _FOLD_SRC
+
+    src = _FOLD_SRC.replace("'", "''")
+    dst = _FOLD_DST.replace("'", "''")
+    return (
+        "translate(replace(replace(replace(replace("
+        f"{col}, 'æ', 'ae'), 'œ', 'oe'), 'Æ', 'AE'), 'Œ', 'OE'), "
+        f"'{src}', '{dst}')"
+    )
+
+
+@query(
+    "pipeline_diacritic_fold",
+    oracle=f"""
+    WITH accented AS (
+      SELECT doc_id, 'Café Niño' || substr(text, 1, 40) || 'ò ą' AS s
+      FROM documents
+    )
+    SELECT doc_id, {_fold_sql_fragment("s")} AS folded
+    FROM accented
+    """,
+)
+def pipeline_diacritic_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized O22: the reference diacritic fold as translate()
+    (whole-stage codegen) over a constructed accented column — the
+    at-scale twin of the driver-side naming.normalize, value-checked
+    against the same flattened table in the oracle."""
+    from ..functions import fold_diacritics
+
+    t = Tables(spark, sf_dir)
+    accented = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("Café Niño"), F.substring("text", 1, 40), F.lit("ò ą")
+        ).alias("s"),
+    )
+    return accented.select(
+        "doc_id", fold_diacritics(F.col("s")).alias("folded")
+    )

@@ -179,3 +179,202 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           round(sum(CASE WHEN n.n_name = 'NATION_3'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: one nation's revenue fraction per year
+    — conditional aggregation over a broadcast-dimension join."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                t.supplier.join(
+                    F.broadcast(t.nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q12_late_shipments",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL '90 days'
+    GROUP BY 1
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: shipping-lateness classification across the fact
+    join (interval comparison between tables)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue percentage (single-month window)."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#4' AND p.p_size >= 10
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers per (brand, type) with negative
+    and range predicates on the dimension."""
+    t = Tables(spark, sf_dir)
+    parts = t.part.filter(
+        (F.col("p_brand") != "Brand#4") & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_brand", "p_type")
+    return (
+        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 30)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: OR-of-ANDs predicate spanning both join sides —
+    the optimizer must keep the equi-join and evaluate the disjunction as
+    a post-join filter."""
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.join(
+        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((b == "Brand#4") & s.between(1, 15) & q.between(1, 30))
+        | ((b == "Brand#19") & s.between(10, 30) & q.between(10, 40))
+        | ((b == "Brand#17") & s.between(20, 50) & q.between(20, 50))
+    )
+    return j.filter(pred).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH cnt AS (
+      SELECT c.c_custkey, c.c_acctbal, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT n_orders, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM cnt
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND n_orders < 8
+    GROUP BY 1
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: scalar-subquery threshold + low-activity filter
+    (wealthy customers with fewer than 8 orders), grouped by order count."""
+    t = Tables(spark, sf_dir)
+    avg_bal = (
+        t.customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("threshold"))
+    )
+    counts = (
+        t.customer.join(
+            t.orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(avg_bal))
+        .filter((F.col("c_acctbal") > F.col("threshold")) & (F.col("n_orders") < 8))
+        .groupBy("n_orders")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Time-series resampling: regular-grid downsampling with gap filling —
+the hypertable-rollup shape (continuous aggregate over a time grid).
+
+Construction: per-key time bounds -> sequence() grid explode -> left join
+the bucketed aggregate -> forward-fill via last(ignorenulls) over a
+running frame. Two shuffles total (the aggregate and the grid join; the
+window reuses the join's partitioning). The grid explode is bounded by
+(span / interval) rows per key — at 100 TB pick the interval so grids stay
+proportionate; gaps materialize as rows only on the filled output, never
+as shuffle inflation of the raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Bucket ``value`` by (key, interval), fill missing buckets on a
+    per-key grid from the key's first bucket to its last event, and
+    forward-fill the aggregate. Output: (key, slot, v, v_ffill, is_gap)."""
+    slot = F.date_trunc("hour", F.col(ts)) if interval == "1 hour" else F.date_trunc(
+        "day", F.col(ts)
+    )
+    bucketed = (
+        df.groupBy(F.col(key), slot.alias("slot"))
+        .agg(F.round(F.sum(value), 2).alias("v"))
+    )
+    bounds = df.groupBy(key).agg(
+        F.min(F.col(ts)).alias("lo"), F.max(F.col(ts)).alias("hi")
+    )
+    lo_slot = (
+        F.date_trunc("hour", F.col("lo"))
+        if interval == "1 hour"
+        else F.date_trunc("day", F.col("lo"))
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence(lo_slot, F.col("hi"), F.expr(f"INTERVAL {interval}"))
+        ).alias("slot"),
+    )
+    joined = grid.join(bucketed, on=[key, "slot"], how="left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key,
+        "slot",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+        F.col("v").isNull().alias("is_gap"),
+    )

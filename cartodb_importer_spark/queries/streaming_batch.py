@@ -123,3 +123,33 @@ def stream_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 1 DAY"))
         .select("event_id", "ts")
     )
+
+
+@query(
+    "stream_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM events GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS slot
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS slot, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.slot, h.v,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.slot
+             ROWS UNBOUNDED PRECEDING) AS v_ffill,
+           h.v IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.slot = g.slot
+    """,
+)
+def stream_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + gap fill + forward fill per user — the
+    hypertable-rollup operator (operators/timeseries.py)."""
+    from ..operators.timeseries import resample_ffill
+
+    t = Tables(spark, sf_dir)
+    return resample_ffill(t.events, key="user_id", ts="ts", value="value")

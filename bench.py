@@ -36,6 +36,10 @@ HEADLINE = [
     "llm_cosine_topk",
     "llm_text_stats",
     "stream_session_windows",
+    "stream_resample_ffill",
+    "q8_market_share",
+    "reshape_pivot",
+    "udf_apply_in_pandas",
 ]
 
 

@@ -565,3 +565,67 @@ def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = S.train_hyperplanes(dim=len(q), n_planes=8)
     bucketed = S.assign_lsh_bucket(emb, planes)
     return S.lsh_topk(bucketed, planes, q, k=10, hamming_probe=2)
+
+
+@query(
+    "llm_pattern_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\s]+'))                                 AS n_urls,
+           len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b'))          AS n_phoneish,
+           len(regexp_extract_all(text, '[0-9]'))                                           AS n_digits
+    FROM documents
+    """,
+)
+def llm_pattern_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish pattern counts (emails / URLs / phone-shaped / digits) —
+    the corpus-scrubbing stats pass, single scan, regexp_count built-ins."""
+    t = Tables(spark, sf_dir)
+    c = F.col("text")
+    return t.documents.select(
+        "doc_id",
+        F.regexp_count(
+            c, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        ).alias("n_emails"),
+        F.regexp_count(c, F.lit(r"https?://[^\s]+")).alias("n_urls"),
+        F.regexp_count(
+            c, F.lit(r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b")
+        ).alias("n_phoneish"),
+        F.regexp_count(c, F.lit(r"[0-9]")).alias("n_digits"),
+    )
+
+
+@query(
+    "llm_repetition_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                         x -> x != '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ws)                                   AS n_words,
+           len(list_distinct(ws))                    AS n_unique,
+           round(CASE WHEN len(ws) > 0
+                 THEN 1.0 - len(list_distinct(ws)) * 1.0 / len(ws)
+                 ELSE 0.0 END, 4)                    AS repetition_ratio
+    FROM w
+    """,
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token repetition ratio (1 - unique/total) — the boilerplate/spam
+    quality signal used by corpus filters."""
+    t = Tables(spark, sf_dir)
+    ws_df = t.documents.select("doc_id", T.words(F.col("text")).alias("ws"))
+    n = F.size("ws")
+    u = F.size(F.array_distinct("ws"))
+    return ws_df.select(
+        "doc_id",
+        n.alias("n_words"),
+        u.alias("n_unique"),
+        F.round(
+            F.when(n > 0, 1.0 - u.cast("double") / n).otherwise(0.0), 4
+        ).alias("repetition_ratio"),
+    )

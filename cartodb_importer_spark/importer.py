@@ -104,9 +104,30 @@ class Importer:
             df = georeference_points(df)
             if "the_geom" in set(df.columns) - before_cols:
                 self.log("georeferenced POINT from lat/lon columns")
-            # O15/O17 staged publish + O19 count
+            # O15/O17 staged publish + O19 count, with Observation metrics
+            # riding the write action (no extra job — the Spark-native form
+            # of the reference's runlog row accounting)
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = None
+            if "the_geom" in df.columns:
+                obs = Observation("import_metrics")
+                df = df.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(
+                        F.col("the_geom").isNull().cast("int")
+                    ).alias("n_null_geom"),
+                )
             rows = self.catalog.publish(df, self.suggested_name)
             self.log(f"published {self.suggested_name} ({rows} rows)")
+            if obs is not None:
+                metrics = obs.get
+                self.log(
+                    f"georef metrics: {metrics['n_null_geom']} of "
+                    f"{metrics['n_rows']} rows have null geometry"
+                )
             return ImportResult(
                 name=self.suggested_name,
                 rows_imported=rows,

@@ -59,3 +59,17 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed_tables):
         F.sum("l_quantity").alias("q")
     )
     assert not plan_has_shuffle(g)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Appended files with evolved schemas read as the merged superset —
+    the long-lived-table contract (new columns arrive NULL-backfilled)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.mode("overwrite").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double") \
+        .write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5

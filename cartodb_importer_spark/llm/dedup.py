@@ -339,3 +339,37 @@ def dedup_components(
         F.col("id").alias(id_col)
     )
     return df.join(drop, on=id_col, how="anti")
+
+
+def minhash_signature_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Production-speed MinHash: ONE xxhash64 per shingle (native codegen,
+    no hex strings), bands = 16-bit slices of the 64-bit hash. Same API and
+    banding semantics as minhash_signature; NOT oracle-portable (DuckDB has
+    no xxhash64), so correctness is pinned by tests comparing banding
+    behavior, not by the SQL oracle. Use this at 100 TB; use the md5 form
+    where cross-engine verification matters."""
+    if bands > 4:
+        raise ValueError("fast variant packs at most 4 16-bit bands")
+    hashed = shingle_frame(df, text_col, id_col, n).select(
+        F.col(id_col),
+        F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__hs"),
+    )
+    cols = []
+    for b in range(bands):
+        shift = 16 * b
+        cols.append(
+            F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    (lambda sh: lambda h: F.shiftrightunsigned(h, sh)
+                     .bitwiseAND(F.lit(0xFFFF)))(shift),
+                )
+            ).alias(f"mh_{b}")
+        )
+    return hashed.select(id_col, *cols)

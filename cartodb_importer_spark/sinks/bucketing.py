@@ -45,3 +45,19 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains an Exchange (shuffle) operator."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange" in plan
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent backfill: dynamic partition overwrite replaces ONLY the
+    partitions present in ``df``, leaving sibling partitions untouched —
+    re-running a day's pipeline rewrites that day, never the table. This is
+    the batch-correction primitive every long-lived pipeline needs."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

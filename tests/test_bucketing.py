@@ -73,3 +73,23 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    from cartodb_importer_spark.sinks.bucketing import overwrite_partitions
+
+    p = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0), ("2024-01-02", 3, 30.0)],
+        "day string, id int, v double",
+    )
+    overwrite_partitions(base, p, ["day"])
+    # backfill day 1 with corrected values; day 2 must survive untouched
+    fix = spark.createDataFrame(
+        [("2024-01-01", 1, 11.0)], "day string, id int, v double"
+    )
+    overwrite_partitions(fix, p, ["day"])
+    out = spark.read.parquet(p)
+    # NB: partition values are type-inferred on read ('2024-01-01' -> date)
+    rows = sorted((str(r["day"]), r["id"], r["v"]) for r in out.collect())
+    assert rows == [("2024-01-01", 1, 11.0), ("2024-01-02", 3, 30.0)]

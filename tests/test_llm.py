@@ -165,3 +165,15 @@ def test_ivf_partition_pruning(spark, tmp_path):
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     res = S.ivf_topk(stored, cents, q, k=5, nprobe=3)
     assert res.count() == 5
+
+
+def test_minhash_fast_banding_behavior(spark, docs):
+    """xxhash64 fast variant: identical docs share ALL bands; unrelated
+    docs differ in at least one band (sanity, not probability bounds)."""
+    sig = {r["doc_id"]: (r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"])
+           for r in D.minhash_signature_fast(docs, bands=4, n=2).collect()}
+    assert sig[1] == sig[4]          # exact dup: all bands equal
+    assert sig[1] != sig[3]          # unrelated: signatures differ
+    # near-dup shares at least one band with overwhelming probability here
+    shared = sum(1 for a, b in zip(sig[1], sig[2]) if a == b)
+    assert shared >= 1

@@ -629,3 +629,39 @@ def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n > 0, 1.0 - u.cast("double") / n).otherwise(0.0), 4
         ).alias("repetition_ratio"),
     )
+
+
+@query(
+    "llm_simhash_hamming",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct({_DUCK_WORDS.format(col="text")}) AS ws
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, {_simhash_bits_sql} AS simhash FROM w
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
+    FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming distance between consecutive documents — the
+    near-dup comparison primitive (popcount of XOR), value-checked."""
+    t = Tables(spark, sf_dir)
+    sig = t.documents.select(
+        "doc_id", D.simhash16(F.col("text")).alias("simhash")
+    )
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            D.simhash_hamming(
+                F.col("sa").cast("long"), F.col("sb").cast("long")
+            ).alias("hamming"),
+        )
+    )

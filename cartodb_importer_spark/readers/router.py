@@ -25,8 +25,10 @@ SUPPORTED_FORMATS = [
 
 
 def stage_source(source: str, workdir: str) -> str:
-    """O1/O2: URL -> download; local path -> use in place."""
-    if source.startswith(("http://", "https://", "ftp://")):
+    """O1/O2: URL -> download/copy into the workdir; local path -> use in
+    place. file:// URLs are copied (the reference's wget handles them the
+    same way)."""
+    if source.startswith(("http://", "https://", "ftp://", "file://")):
         name = os.path.basename(urllib.parse.urlparse(source).path) or "download"
         target = os.path.join(workdir, name)
         urllib.request.urlretrieve(source, target)  # noqa: S310 (reference: wget)

@@ -93,3 +93,25 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
     # NB: partition values are type-inferred on read ('2024-01-01' -> date)
     rows = sorted((str(r["day"]), r["id"], r["v"]) for r in out.collect())
     assert rows == [("2024-01-01", 1, 11.0), ("2024-01-02", 3, 30.0)]
+
+
+def test_join_strategy_switches_with_threshold(spark):
+    """Plan-level check: small dim joins broadcast by default; with
+    broadcast disabled the same join becomes a sort-merge/shuffled join."""
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan(j)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j2 = o.join(c, o.o_custkey == c.c_custkey)
+        p2 = plan(j2)
+        assert "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2
+        assert "BroadcastHashJoin" not in p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

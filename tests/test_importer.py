@@ -226,3 +226,12 @@ def test_gpx_layers(spark, tmp_path):
     assert routes.first()["the_geom"] == "LINESTRING(8.0 50.0, 8.1 50.1)"
     wpts, _ = read_gpx(spark, str(p), layer="waypoints")
     assert wpts.first()["the_geom"] == "POINT(-3.0 40.0)"
+
+
+def test_url_import_file_scheme(spark, catalog, tmp_path):
+    # O1: URL sources stage through the workdir (file:// exercises the
+    # download path without network)
+    src = _write(tmp_path, "remote.csv", "a,b\n1,x\n2,y\n")
+    res = Importer(spark, catalog, f"file://{src}").run()
+    assert res.name == "remote"
+    assert res.rows_imported == 2

@@ -297,3 +297,33 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").cast("int").alias("k_value"),
         F.element_at(m, "type").alias("type_value"),
     )
+
+
+@query(
+    "scalar_fuzzy_match",
+    oracle="""
+    SELECT s.s_suppkey,
+           min(levenshtein(s.s_name, n.n_name)) AS min_edit_dist,
+           arg_min(n.n_name, levenshtein(s.s_name, n.n_name) * 100 + n.n_nationkey)
+             AS closest_name
+    FROM supplier s CROSS JOIN nation n
+    GROUP BY 1
+    """,
+)
+def scalar_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: per supplier, the edit-distance-closest
+    nation name (blocked cross join against a small candidate set + argmin
+    — the name-resolution shape; tiebreak on nationkey keeps the argmin
+    deterministic)."""
+    t = Tables(spark, sf_dir)
+    dist = F.levenshtein(F.col("s_name"), F.col("n_name"))
+    return (
+        t.supplier.crossJoin(F.broadcast(t.nation))
+        .groupBy("s_suppkey")
+        .agg(
+            F.min(dist).alias("min_edit_dist"),
+            F.min_by(
+                F.col("n_name"), dist * 100 + F.col("n_nationkey")
+            ).alias("closest_name"),
+        )
+    )

@@ -60,3 +60,26 @@ def resample_ffill(
         F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+def upsert_latest(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+) -> DataFrame:
+    """Merge/upsert without a lakehouse format: union existing and update
+    rows, keep the highest-version row per key (deterministic tiebreak on
+    update-side priority). One shuffle on the key — the CDC-compaction
+    shape; with Delta/Iceberg this becomes a real MERGE, same semantics."""
+    tagged_e = existing.withColumn("__src", F.lit(0))
+    tagged_u = updates.withColumn("__src", F.lit(1))
+    unioned = tagged_e.unionByName(tagged_u)
+    w = Window.partitionBy(key).orderBy(
+        F.desc(version_col), F.desc("__src")
+    )
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

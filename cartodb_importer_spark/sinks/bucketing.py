@@ -61,3 +61,26 @@ def overwrite_partitions(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~target size (long-lived streaming/append tables accrete small files
+    that poison scan parallelism). Returns the new file count."""
+    import glob
+    import os
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

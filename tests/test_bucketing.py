@@ -115,3 +115,38 @@ def test_join_strategy_switches_with_threshold(spark):
         assert "BroadcastHashJoin" not in p2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_upsert_latest(spark):
+    from cartodb_importer_spark.operators.timeseries import upsert_latest
+
+    existing = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")], "id long, ver int, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, 3, "b2"), (3, 2, "c2"), (4, 1, "d")], "id long, ver int, v string"
+    )
+    out = {r["id"]: (r["ver"], r["v"])
+           for r in upsert_latest(existing, updates, "id", "ver").collect()}
+    assert out == {
+        1: (1, "a"),    # untouched
+        2: (3, "b2"),   # higher version wins
+        3: (2, "c2"),   # equal version: update side wins
+        4: (1, "d"),    # new key inserted
+    }
+
+
+def test_compaction(spark, tmp_path):
+    from cartodb_importer_spark.sinks.bucketing import compact
+
+    p = str(tmp_path / "many_small")
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(24).write.mode("overwrite").parquet(p)
+    import glob
+    before = len(glob.glob(p + "/*.parquet"))
+    assert before >= 20
+    after = compact(spark, p, target_file_mb=128)
+    assert after < before
+    back = spark.read.parquet(p)
+    assert back.count() == 10000
+    assert back.agg({"v": "sum"}).first()[0] == 2 * sum(range(10000))

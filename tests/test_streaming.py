@@ -121,3 +121,40 @@ def test_stateful_running_totals(spark, events_dir):
     expected = batch_user_totals(spark.read.parquet(events_dir))
     cols = ["user_id", "n_events", "total_value"]
     assert _canon(final, cols) == _canon(expected, cols)
+
+
+def test_foreach_batch_to_catalog_with_checkpoint_recovery(spark, tmp_path):
+    """Stream files into a LocalCatalog via foreachBatch; restarting from
+    the checkpoint after new data arrives must process ONLY the new file
+    (no reprocessing, no duplicates) — the exactly-once contract."""
+    from cartodb_importer_spark.queries import read_parquet_normalized
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+    from cartodb_importer_spark.streaming.sinks import stream_to_catalog
+
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    events = read_parquet_normalized(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    first = events.filter("event_id < 400")
+    second = events.filter("event_id >= 400 AND event_id < 700")
+    third = events.filter("event_id >= 700")
+
+    first.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = S.read_events_stream(spark, src_dir)
+    q = stream_to_catalog(stream, cat, "landed", ckpt)
+    q.awaitTermination()
+    n1 = cat.read(spark, "landed").count()
+    assert n1 == first.count() + second.count()
+
+    # new file arrives; restart from the same checkpoint
+    third.coalesce(1).write.mode("append").parquet(src_dir)
+    stream2 = S.read_events_stream(spark, src_dir)
+    q2 = stream_to_catalog(stream2, cat, "landed", ckpt)
+    q2.awaitTermination()
+    landed = cat.read(spark, "landed")
+    assert landed.count() == events.count()
+    assert landed.select("event_id").distinct().count() == events.count()

@@ -665,3 +665,96 @@ def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hamming"),
         )
     )
+
+
+# ------------------------------------------------- chunking / packing ops
+
+_CHUNK, _STRIDE = 30, 20
+
+
+@query(
+    "llm_chunk_documents",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS ws FROM documents
+    ), idx AS (
+      SELECT doc_id, ws,
+             unnest(range(0, greatest(len(ws) - {_CHUNK} + {_STRIDE}, 1), {_STRIDE})) AS start
+      FROM w
+    )
+    SELECT doc_id, CAST(start / {_STRIDE} AS INTEGER) AS chunk_idx,
+           array_to_string(ws[start + 1 : start + {_CHUNK}], ' ') AS chunk_text,
+           least(len(ws) - start, {_CHUNK}) AS n_tokens
+    FROM idx
+    WHERE start < len(ws)
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({c}-token chunks, {s}-token
+    stride) — the context-window preprocessing op. Chunk construction is
+    an index explode + array slice, all JVM-side.""".format(
+        c=_CHUNK, s=_STRIDE
+    )
+    t = Tables(spark, sf_dir)
+    ws_df = t.documents.select("doc_id", T.words(F.col("text")).alias("ws"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("ws") - _CHUNK + _STRIDE - 1, F.lit(0)),
+        F.lit(_STRIDE),
+    )
+    exploded = ws_df.select(
+        "doc_id", "ws", F.explode(starts).alias("start")
+    ).filter(F.col("start") < F.size("ws"))
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("start") + 1, _CHUNK), " "
+        ).alias("chunk_text"),
+        F.least(F.size("ws") - F.col("start"), F.lit(_CHUNK)).alias("n_tokens"),
+    )
+
+
+@query(
+    "llm_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS INTEGER) AS bin_id
+      FROM toks
+    )
+    SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to ~512-token training bins per
+    language via running-sum binning (the deterministic, single-window
+    approximation of first-fit packing; bins can overflow by at most one
+    document, which padding absorbs)."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", "lang", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast(
+            "int"
+        ),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

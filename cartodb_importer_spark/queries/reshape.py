@@ -179,3 +179,46 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "reshape_upsert_latest",
+    oracle="""
+    WITH existing AS (
+      SELECT o_orderkey, o_totalprice, 1 AS ver, 0 AS src
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), updates AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 2 AS ver, 1 AS src
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), unioned AS (
+      SELECT * FROM existing UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, ver
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY ver DESC, src DESC) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    """,
+)
+def reshape_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert via operators.upsert_latest: half the orders exist at v1,
+    a quarter arrive as v2 updates (doubled price); latest version per key
+    survives."""
+    from ..operators.timeseries import upsert_latest
+
+    t = Tables(spark, sf_dir)
+    existing = (
+        t.orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("ver", F.lit(1))
+    )
+    updates = (
+        t.orders.filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+        .withColumn("ver", F.lit(2))
+    )
+    out = upsert_latest(existing, updates, "o_orderkey", "ver")
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "ver"
+    )

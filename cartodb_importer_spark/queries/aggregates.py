@@ -357,3 +357,63 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_extendedprice"), 3).alias("price_skew"),
         F.round(F.kurtosis("l_extendedprice"), 3).alias("price_kurt"),
     )
+
+
+@query(
+    "agg_outlier_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore,
+           abs(e.value - s.mu) > 2 * s.sigma    AS is_outlier
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+)
+def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging — the numeric quality filter.
+    Group stats computed once and broadcast back (two-pass; the windowed
+    one-pass variant costs a sort, this costs a tiny join)."""
+    t = Tables(spark, sf_dir)
+    stats = t.events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        t.events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+            (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma")).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (floor division — portable, no
+    width_bucket dependency); one aggregate pass."""
+    t = Tables(spark, sf_dir)
+    bin_col = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return t.orders.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )

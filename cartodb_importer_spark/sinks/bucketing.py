@@ -84,3 +84,22 @@ def compact(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def zorder_key(x: "Column", y: "Column", bits: int = 16) -> "Column":
+    """Z-order (Morton) key: interleave the bits of two bucketized ints so
+    rows close in BOTH dimensions land close in sort order — sortWithin-
+    Partitions(zorder_key(...)) clusters parquet row groups for 2-D
+    predicates (min/max stats prune on both columns). Pure expressions."""
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        xb = F.shiftrightunsigned(x.cast("long"), b).bitwiseAND(F.lit(1))
+        yb = F.shiftrightunsigned(y.cast("long"), b).bitwiseAND(F.lit(1))
+        key = (
+            key
+            .bitwiseOR(F.shiftleft(xb, 2 * b))
+            .bitwiseOR(F.shiftleft(yb, 2 * b + 1))
+        )
+    return key

@@ -150,3 +150,24 @@ def test_compaction(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 10000
     assert back.agg({"v": "sum"}).first()[0] == 2 * sum(range(10000))
+
+
+def test_zorder_key_interleaving(spark):
+    from cartodb_importer_spark.sinks.bucketing import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3)], "x int, y int"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 4).alias("z")).collect()
+    }
+    # Morton codes: interleave x bits (even positions) and y bits (odd)
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    assert got[(2, 0)] == 4
+    assert got[(3, 3)] == 15
+    # locality: manhattan-close points have closer z keys than far ones
+    assert abs(got[(1, 1)] - got[(0, 0)]) < abs(got[(3, 3)] - got[(0, 0)])

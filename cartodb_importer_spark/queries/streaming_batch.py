@@ -153,3 +153,30 @@ def stream_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return resample_ffill(t.events, key="user_id", ts="ts", value="value")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error'
+     AND e.ts >= p.ts
+     AND e.ts <= p.ts + INTERVAL '1 hour'
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in batch form (purchases x subsequent
+    same-user errors within 1h) — on streams the same builder runs with
+    watermarked state (tests/test_streaming.py proves equivalence)."""
+    from ..streaming.streams import purchase_to_error_join
+
+    t = Tables(spark, sf_dir)
+    out = purchase_to_error_join(
+        t.events.filter(F.col("event_type") == "purchase"),
+        t.events.filter(F.col("event_type") == "error"),
+    )
+    return out.select("user_id", "purchase_id", "error_id")

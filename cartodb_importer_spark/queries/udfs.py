@@ -8,6 +8,8 @@ machinery itself is value-checked, not just smoke-tested.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,4 +124,36 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.events.groupBy("user_id").applyInPandas(
         minmax, "event_id long, user_id long, value_norm double"
+    )
+
+
+@query(
+    "udf_pandas_iterator",
+    oracle="""
+    SELECT doc_id,
+           round(ln(1 + length(text)) * 1.5, 6) AS model_score
+    FROM documents
+    """,
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form scalar pandas_udf — the MODEL-SERVING pattern: the
+    expensive init (here a fake 'model' dict; in production a tokenizer or
+    ONNX session) loads ONCE PER PYTHON WORKER, then streams over Arrow
+    batches. The per-batch body never re-initializes.
+
+    NB: the Iterator import must live at module scope — postponed annotation
+    evaluation resolves the pandas_udf signature against module globals."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def model_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = {"coef": 1.5}  # expensive init happens once per worker
+        for lengths in batches:
+            yield pd.Series(
+                np.round(np.log1p(lengths.astype("float64")) * model["coef"], 6)
+            )
+
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", model_score(F.length("text")).alias("model_score")
     )

@@ -112,3 +112,38 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_to_error_join(
+    purchases: DataFrame,
+    errors: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to same-user
+    errors within ``window`` after it. On streams both sides carry
+    watermarks and the time-bound predicate bounds the join state (without
+    the interval condition, stream-stream state grows forever). Works
+    identically on batch frames for equivalence testing."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if errors.isStreaming:
+        e = e.withWatermark("e_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return p.join(e, cond).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "error_id", "p_ts", "e_ts"
+    )

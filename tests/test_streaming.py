@@ -158,3 +158,24 @@ def test_foreach_batch_to_catalog_with_checkpoint_recovery(spark, tmp_path):
     landed = cat.read(spark, "landed")
     assert landed.count() == events.count()
     assert landed.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """Stream-stream join (purchases x subsequent errors within 1h per
+    user) equals the batch interval join."""
+    from cartodb_importer_spark.streaming.streams import (
+        purchase_to_error_join, read_events_stream,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    bp = batch.filter("event_type = 'purchase'")
+    be = batch.filter("event_type = 'error'")
+    expected = purchase_to_error_join(bp, be)
+
+    sp = read_events_stream(spark, events_dir).filter("event_type = 'purchase'")
+    se = read_events_stream(spark, events_dir).filter("event_type = 'error'")
+    joined = purchase_to_error_join(sp, se, watermark="40 days")
+    got = _drain(spark, joined, "t_ssjoin", "append")
+    cols = ["user_id", "purchase_id", "error_id"]
+    assert _canon(got, cols) == _canon(expected, cols)
+    assert got.count() > 0  # non-trivial join

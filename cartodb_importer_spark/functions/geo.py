@@ -60,3 +60,16 @@ def haversine_km(
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
     )
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def grid_cell(
+    lon: Column, lat: Column, cell_deg: float = 1.0
+) -> Column:
+    """Integer grid-cell id for a lon/lat point (floor binning) — the
+    write-time spatial partition key: partitionBy(grid_cell) lets bbox
+    queries prune the parquet scan to touched cells, the poor-man's
+    spatial index that actually scales (SCALE.md geo note)."""
+    xi = F.floor((lon + 180.0) / cell_deg).cast("int")
+    yi = F.floor((lat + 90.0) / cell_deg).cast("int")
+    cells_x = int(360 / cell_deg)
+    return (yi * cells_x + xi).cast("int")

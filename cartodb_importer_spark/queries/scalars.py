@@ -327,3 +327,29 @@ def scalar_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closest_name"),
         )
     )
+
+
+@query(
+    "scalar_binary_encoding",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24)))  AS b64,
+           lower(hex(encode(substr(text, 1, 8)))) AS hex_prefix,
+           ascii(substr(text, 1, 1))              AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INTEGER)) AS letter
+    FROM documents
+    """,
+)
+def scalar_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 / hex / ascii / chr — binary-column encode/decode surface
+    (multimodal payloads travel through exactly these)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("b64"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias(
+            "hex_prefix"
+        ),
+        F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("letter"),
+    )

@@ -122,3 +122,50 @@ def test_raster_stub_tiling(spark, tmp_path):
     stats = raster_tile_stats(df).collect()
     sizes = sorted(r["block_bytes"] for r in stats)
     assert sizes == [100, 32400, 32400]
+
+
+def test_grid_cell_partition_pruning(spark, tmp_path):
+    """Write points partitioned by grid cell; a bbox query must prune the
+    scan to the touched cells (PartitionFilters in the plan)."""
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.functions.geo import grid_cell
+
+    rows = [(i, -10.0 + i * 0.5, 35.0 + (i % 7) * 0.5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, lon double, lat double")
+    out = str(tmp_path / "points_by_cell")
+    df.withColumn(
+        "cell", grid_cell(F.col("lon"), F.col("lat"), cell_deg=1.0)
+    ).write.partitionBy("cell").parquet(out)
+    stored = spark.read.parquet(out)
+    # bbox [-5,0]x[35,37] -> small set of cells
+    want_cells = {
+        r["cell"]
+        for r in df.withColumn(
+            "cell", grid_cell(F.col("lon"), F.col("lat"), 1.0)
+        )
+        .filter("lon between -5 and 0 and lat between 35 and 37")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    probed = stored.filter(F.col("cell").isin(list(want_cells)))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert 0 < probed.count() < stored.count()
+
+
+def test_ragged_csv_rows_tolerated(spark, tmp_path):
+    """PERMISSIVE read: short rows null-pad, long rows truncate — imports
+    never die on ragged lines (real CSVs have them)."""
+    from cartodb_importer_spark.importer import Importer
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+
+    p = tmp_path / "ragged.csv"
+    p.write_text("a,b,c\n1,x,9\n2,y\n3,z,8,EXTRA\n")
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    res = Importer(spark, cat, str(p)).run()
+    assert res.rows_imported == 3
+    rows = {r["a"]: r for r in cat.read(spark, "ragged").collect()}
+    assert rows[2]["c"] is None        # short row null-padded
+    assert rows[3]["c"] == 8           # extra column dropped

@@ -378,3 +378,420 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_3')
+       OR (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_2')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: revenue flowing between a
+    nation pair, per year, in both directions. The same dimension table
+    (nation) joins twice under different roles — both broadcast; the only
+    shuffle is the lineitem|><|orders fact join. Semantics origin: engine
+    surface (SURVEY §2.3 joins); no reference analogue by construction."""
+    t = Tables(spark, sf_dir)
+    cust_nation = (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .filter(F.col("n_name").isin("NATION_2", "NATION_3"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp_nation = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .filter(F.col("n_name").isin("NATION_2", "NATION_3"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    joined = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey  = p.p_partkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-line profit by supplier nation and year,
+    restricted to parts whose name matches a substring. The part filter is
+    applied BEFORE the broadcast so the hash table only carries matching
+    keys (testdata has no partsupp/supplycost; revenue stands in for
+    profit). Engine surface per SURVEY §2.3."""
+    t = Tables(spark, sf_dir)
+    parts = t.part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    supp = t.supplier.join(
+        F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    joined = (
+        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return joined.groupBy("nation", F.year("o_orderdate").alias("o_year")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "profit"
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice) AS part_value
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, round(part_value, 2) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT 1.25 * avg(part_value) FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock scan: parts whose total traded value
+    exceeds a global threshold (1.25x the mean part value — scale-free, so the
+    same query is meaningful at sf0.001 and at 100 TB). One shuffle for the
+    per-part aggregate; the scalar threshold is a 1-row broadcast, never a
+    driver collect (no partsupp in testdata; lineitem value stands in)."""
+    t = Tables(spark, sf_dir)
+    pv = t.lineitem.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("part_value")
+    )
+    threshold = pv.agg((1.25 * F.avg("part_value")).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count histogram. The join predicate
+    carries an extra non-key conjunct on the RIGHT side of a left join —
+    rows failing it keep the customer but contribute no order (count=0
+    bucket). Two shuffles (join + final tiny regroup); the first groupBy
+    reuses the join partitioning on c_custkey."""
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.select("c_custkey")
+        .join(
+            t.orders.select("o_custkey", "o_orderkey", "o_orderpriority"),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier, keep
+    the max. The max is computed as an unpartitioned window over the tiny
+    per-supplier aggregate (|suppliers| rows, already shuffled) — never a
+    driver-side collect. Ties all surface, matching the reference SQL's
+    equality semantics. Revenue is rounded BEFORE the equality compare so
+    both engines select on identical values."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_rev"
+            )
+        )
+    )
+    best = rev.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    return (
+        t.supplier.join(F.broadcast(best), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    HAVING sum(l.l_quantity) > 300
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: group-then-filter (HAVING) over
+    the fact join, top-k by price. The per-order quantity rollup happens on
+    lineitem ALONE first (smallest possible shuffle payload: two columns),
+    then survivors — a tiny set — broadcast-join back to orders/customer."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        t.orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t.customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH sq AS (
+      SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%blue%'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM sq WHERE qty > (SELECT 1.1 * avg(qty) FROM sq)
+    )
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested-IN: suppliers who moved an above-average
+    (1.1x mean — scale-free, so the predicate stays selective from sf0.001
+    to 100 TB) quantity of matching parts. The IN-subquery becomes a
+    left-semi join against a pre-aggregated (tiny, broadcast) qualifying
+    set; the scalar mean is a 1-row broadcast, not a driver collect."""
+    t = Tables(spark, sf_dir)
+    blue_parts = t.part.filter(F.col("p_name").contains("blue")).select("p_partkey")
+    per_supp = (
+        t.lineitem.join(
+            F.broadcast(blue_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    threshold = per_supp.agg((1.1 * F.avg("qty")).alias("threshold"))
+    qualifying = (
+        per_supp.crossJoin(F.broadcast(threshold))
+        .filter(F.col("qty") > F.col("threshold"))
+        .select("l_suppkey")
+    )
+    return t.supplier.join(
+        F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL '60 days'
+    ),
+    multi AS (
+      SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late
+    JOIN multi ON late.l_orderkey = multi.l_orderkey
+    JOIN supplier s ON late.l_suppkey = s.s_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM late l2
+      WHERE l2.l_orderkey = late.l_orderkey AND l2.l_suppkey <> late.l_suppkey
+    )
+    GROUP BY 1
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style waiting-supplier hunt: suppliers who were the ONLY
+    late shipper on a multi-supplier order. EXISTS maps to a semi join,
+    NOT EXISTS to an anti join — both against derived sets partitioned on
+    the same l_orderkey key so AQE can chain the shuffles (testdata has no
+    commit/receipt dates; late = shipped >60 days after order date)."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_suppkey")
+    late = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    sole_late = (
+        late.join(multi, "l_orderkey", "semi")
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "anti",
+        )
+    )
+    return (
+        sole_late.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q2_cheapest_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             min(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+      FROM cost
+    )
+    SELECT p.p_partkey, p.p_brand, r.l_suppkey AS s_suppkey,
+           r.unit_cost AS unit_cost
+    FROM ranked r JOIN part p ON r.l_partkey = p.p_partkey
+    WHERE r.unit_cost = r.best_cost AND p.p_size = 15
+    """,
+)
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated-min: for each part (of a given size), the
+    supplier(s) quoting the lowest observed unit price. The correlated
+    MIN subquery is a window-min over the per-(part,supplier) aggregate —
+    one shuffle keyed on l_partkey serves both the groupBy and the window
+    (no re-partition between them). unit_cost is emitted UNROUNDED: it is
+    a min of single IEEE divisions (no accumulation), bitwise identical
+    across engines, whereas round(x, 4) at a half-way boundary is not."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    cost = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("best_cost"))
+    return (
+        best.join(
+            F.broadcast(
+                t.part.filter(F.col("p_size") == 15).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "unit_cost",
+        )
+    )

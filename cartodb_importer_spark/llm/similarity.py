@@ -224,3 +224,42 @@ def lsh_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: pairs of vectors in the
+    same block whose cosine similarity meets ``threshold``; the larger id
+    is marked the duplicate of the smaller (keep-first policy, matching
+    the exact-dedup tie rule in llm/dedup.py).
+
+    The self-join is keyed on ``block_col`` so the pair space is quadratic
+    only within a block, never globally — at 100 TB the block key would be
+    an LSH bucket or IVF cell id (see lsh_bucket/assign_cells in this
+    module) computed at write time; the pairing/filter plan is identical
+    whatever the blocking key. Returns (id_kept, id_dup, cosine_sim).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_kept"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_dup"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, on="blk").filter(F.col("id_kept") < F.col("id_dup"))
+    return (
+        pairs.select(
+            "id_kept",
+            "id_dup",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -758,3 +758,27 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@query(
+    "llm_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_kept, b.vec_id AS id_dup,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.30
+    """,
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup family next
+    to exact/MinHash/SimHash/Jaccard): same-block vectors with cosine >=
+    threshold, larger id marked duplicate. Threshold 0.30 sits at this
+    synthetic corpus's p99 (its vectors are near-random; real corpora use
+    ~0.95) so the filter path is genuinely exercised. Blocked on `label`
+    — at production scale the block key is an LSH bucket / IVF cell, same
+    plan shape."""
+    t = Tables(spark, sf_dir)
+    return S.embedding_near_dup(t.embeddings, threshold=0.30)

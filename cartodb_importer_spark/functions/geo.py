@@ -5,8 +5,11 @@ subset the engine needs as pure Catalyst expressions (regexp + trig —
 whole-stage codegen, no UDF, no Sedona dependency): point accessors,
 bounding-box predicates, haversine distance.
 
-Not a GIS: polygons/projections beyond point ops stay in PostGIS after the
-JDBC sink (the reference's own division of labor).
+Polygon support covers single-ring POLYGON text: ring parse to coordinate
+arrays, shoelace area, perimeter, and centroid — all array-HOF expressions
+(transform/zip_with/aggregate), still JVM-side and UDF-free. Reprojection
+and multi-ring/holes stay in PostGIS after the JDBC sink (the reference's
+own division of labor).
 """
 
 from __future__ import annotations
@@ -60,6 +63,153 @@ def haversine_km(
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
     )
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+_POLY_RING_RX = r"^POLYGON\s*\(\(\s*(.*?)\s*\)\)$"
+
+
+def st_polygon(xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:
+    """Build a closed axis-aligned bbox POLYGON WKT (counter-clockwise
+    ring, first point repeated last per the WKT spec)."""
+    p = lambda x, y: F.concat(x.cast("string"), F.lit(" "), y.cast("string"))  # noqa: E731
+    return F.concat(
+        F.lit("POLYGON(("),
+        p(xmin, ymin), F.lit(", "),
+        p(xmax, ymin), F.lit(", "),
+        p(xmax, ymax), F.lit(", "),
+        p(xmin, ymax), F.lit(", "),
+        p(xmin, ymin),
+        F.lit("))"),
+    )
+
+
+def _ring_points(geom: Column) -> Column:
+    """Split a single-ring POLYGON's ring text into 'x y' point strings."""
+    ring = F.regexp_extract(geom, _POLY_RING_RX, 1)
+    return F.split(ring, r",\s*")
+
+
+def st_ring_xs(geom: Column) -> Column:
+    """X coordinates of a POLYGON's outer ring (closed: last == first)."""
+    return F.transform(
+        _ring_points(geom),
+        lambda pt: F.split(pt, r"\s+").getItem(0).cast("double"),
+    )
+
+
+def st_ring_ys(geom: Column) -> Column:
+    """Y coordinates of a POLYGON's outer ring (closed: last == first)."""
+    return F.transform(
+        _ring_points(geom),
+        lambda pt: F.split(pt, r"\s+").getItem(1).cast("double"),
+    )
+
+
+def _fsum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def st_area(geom: Column) -> Column:
+    """Planar shoelace area of a single-ring POLYGON (closed ring).
+
+    sum(x_i*y_{i+1} - x_{i+1}*y_i) over consecutive vertex pairs, halved
+    and absolute — signs cancel for either winding order. The coordinate
+    arrays are materialized once per row; slices feed zip_with so the
+    whole computation stays in one projection (no UDF, no explode)."""
+    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
+    n1 = F.size(xs) - 1
+    cross = _fsum(
+        F.zip_with(F.slice(xs, 1, n1), F.slice(ys, 2, n1), lambda x, y: x * y)
+    ) - _fsum(
+        F.zip_with(F.slice(xs, 2, n1), F.slice(ys, 1, n1), lambda x, y: x * y)
+    )
+    return F.abs(cross) / 2.0
+
+
+def st_perimeter(geom: Column) -> Column:
+    """Planar perimeter of a single-ring POLYGON (sum of edge lengths)."""
+    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
+    n1 = F.size(xs) - 1
+    dx = F.zip_with(F.slice(xs, 2, n1), F.slice(xs, 1, n1), lambda a, b: a - b)
+    dy = F.zip_with(F.slice(ys, 2, n1), F.slice(ys, 1, n1), lambda a, b: a - b)
+    return _fsum(F.zip_with(dx, dy, lambda a, b: F.sqrt(a * a + b * b)))
+
+
+def st_centroid_x(geom: Column) -> Column:
+    """X of the area-weighted centroid of a single-ring POLYGON (standard
+    shoelace centroid; NULL/NaN for degenerate zero-area rings — callers
+    filter those, matching PostGIS ST_Centroid's POINT EMPTY behavior)."""
+    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
+    n1 = F.size(xs) - 1
+    x1, x2 = F.slice(xs, 1, n1), F.slice(xs, 2, n1)
+    y1, y2 = F.slice(ys, 1, n1), F.slice(ys, 2, n1)
+    cross = F.zip_with(
+        F.zip_with(x1, y2, lambda x, y: x * y),
+        F.zip_with(x2, y1, lambda x, y: x * y),
+        lambda a, b: a - b,
+    )
+    signed_area = _fsum(cross) / 2.0
+    sx = _fsum(
+        F.zip_with(
+            F.zip_with(x1, x2, lambda a, b: a + b), cross, lambda s, c: s * c
+        )
+    )
+    # try_divide: degenerate zero-area ring -> NULL (ANSI mode would throw
+    # before any downstream filter gets the chance to prune the row).
+    return F.try_divide(sx, 6.0 * signed_area)
+
+
+def st_centroid_y(geom: Column) -> Column:
+    """Y of the area-weighted centroid of a single-ring POLYGON."""
+    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
+    n1 = F.size(xs) - 1
+    x1, x2 = F.slice(xs, 1, n1), F.slice(xs, 2, n1)
+    y1, y2 = F.slice(ys, 1, n1), F.slice(ys, 2, n1)
+    cross = F.zip_with(
+        F.zip_with(x1, y2, lambda x, y: x * y),
+        F.zip_with(x2, y1, lambda x, y: x * y),
+        lambda a, b: a - b,
+    )
+    signed_area = _fsum(cross) / 2.0
+    sy = _fsum(
+        F.zip_with(
+            F.zip_with(y1, y2, lambda a, b: a + b), cross, lambda s, c: s * c
+        )
+    )
+    return F.try_divide(sy, 6.0 * signed_area)
+
+
+def st_point_in_polygon(x: Column, y: Column, geom: Column) -> Column:
+    """Ray-casting point-in-polygon over a single-ring POLYGON: counts
+    edge crossings of the horizontal ray to +inf. Strictly-inside
+    semantics for points clear of the boundary (boundary points are
+    engine-defined, as in most planar-geometry libraries).
+
+    Implemented as one aggregate over edge structs — no UDF; O(ring
+    length) per row, constant memory."""
+    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
+    n1 = F.size(xs) - 1
+    edges = F.zip_with(
+        F.zip_with(F.slice(xs, 1, n1), F.slice(ys, 1, n1), lambda a, b: F.struct(a.alias("x"), b.alias("y"))),
+        F.zip_with(F.slice(xs, 2, n1), F.slice(ys, 2, n1), lambda a, b: F.struct(a.alias("x"), b.alias("y"))),
+        lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+    )
+
+    def crosses(e: Column) -> Column:
+        py_, qy = e["p"]["y"], e["q"]["y"]
+        px, qx = e["p"]["x"], e["q"]["x"]
+        straddles = (py_ > y) != (qy > y)
+        # try_divide: horizontal edges (qy == py_) never straddle, but the
+        # guard must not rely on conjunct evaluation order under ANSI mode.
+        x_at_y = px + F.try_divide(y - py_, qy - py_) * (qx - px)
+        return straddles & (x < x_at_y)
+
+    n_cross = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc + F.when(crosses(e), 1).otherwise(0),
+    )
+    return n_cross % 2 == 1
 
 
 def grid_cell(

@@ -90,3 +90,117 @@ def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             haversine_km(lon, lat, F.lit(-3.7), F.lit(40.4)), 4
         ).alias("dist_km"),
     )
+
+
+@query(
+    "geo_polygon_metrics",
+    oracle="""
+    WITH box AS (
+      SELECT l_orderkey,
+             min(l_tax) AS xmin, min(l_discount) AS ymin,
+             max(l_tax) AS xmax, max(l_discount) AS ymax
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey,
+           round((xmax - xmin) * (ymax - ymin), 6)             AS area,
+           round(2 * ((xmax - xmin) + (ymax - ymin)), 6)       AS perimeter,
+           round((xmin + xmax) / 2, 6)                         AS cx,
+           round((ymin + ymax) / 2, 6)                         AS cy
+    FROM box
+    WHERE xmax > xmin AND ymax > ymin
+    """,
+)
+def geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon area/perimeter/centroid via the WKT ring parser: each
+    order's lineitem points collapse to a bbox POLYGON WKT, which is then
+    parsed BACK into coordinate arrays and measured with the shoelace
+    formula — array HOFs end to end, no UDF. The oracle derives the same
+    numbers analytically from min/max, so the WKT round-trip, ring parse,
+    and shoelace/centroid algebra are verified against an independent
+    formulation. Degenerate (zero-area) rings are filtered, matching
+    PostGIS ST_Centroid's refusal to emit a point for empty geometry."""
+    from ..functions.geo import (
+        st_area,
+        st_centroid_x,
+        st_centroid_y,
+        st_perimeter,
+        st_polygon,
+    )
+
+    t = Tables(spark, sf_dir)
+    box = t.lineitem.groupBy("l_orderkey").agg(
+        F.min("l_tax").alias("xmin"),
+        F.min("l_discount").alias("ymin"),
+        F.max("l_tax").alias("xmax"),
+        F.max("l_discount").alias("ymax"),
+    )
+    # Degeneracy is decided on the analytic extents, not the shoelace
+    # result: a zero-height ring's shoelace sum is fp noise (~1e-19), not
+    # exactly 0, and must not sneak past an `area > 0` filter.
+    box = box.filter(
+        (F.col("xmax") > F.col("xmin")) & (F.col("ymax") > F.col("ymin"))
+    )
+    g = box.select(
+        "l_orderkey",
+        st_polygon(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ).alias("the_geom"),
+    )
+    geom = F.col("the_geom")
+    return (
+        g.select(
+            "l_orderkey",
+            st_area(geom).alias("area_raw"),
+            st_perimeter(geom).alias("perim_raw"),
+            st_centroid_x(geom).alias("cx_raw"),
+            st_centroid_y(geom).alias("cy_raw"),
+        )
+        .select(
+            "l_orderkey",
+            F.round("area_raw", 6).alias("area"),
+            F.round("perim_raw", 6).alias("perimeter"),
+            F.round("cx_raw", 6).alias("cx"),
+            F.round("cy_raw", 6).alias("cy"),
+        )
+    )
+
+
+# L-shaped (concave) region in the (l_tax, l_discount) plane. Vertices sit
+# on 0.005-offset coordinates while the data lives on the 0.01 grid, so no
+# point ever falls on an edge — ray-casting boundary semantics never engage.
+_L_POLY = (
+    "POLYGON((0.005 0.005, 0.045 0.005, 0.045 0.025, "
+    "0.025 0.025, 0.025 0.055, 0.005 0.055, 0.005 0.005))"
+)
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (
+             (l_tax > 0.005 AND l_tax < 0.045 AND l_discount > 0.005 AND l_discount < 0.025)
+             OR (l_tax > 0.005 AND l_tax < 0.025 AND l_discount > 0.025 AND l_discount < 0.055)
+           ) AS n_inside,
+           count(*) AS n_total
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ray-casting containment against a concave (L-shaped) polygon —
+    concavity makes the crossing count genuinely vary (1 or 2 edges hit),
+    which a bbox test would never exercise. The oracle states the same
+    region as explicit rectangle unions, independently of the ray-cast.
+    One aggregate per row over the edge array; at 100 TB this is a
+    scan-local projection with no shuffle beyond the final tiny groupBy."""
+    from ..functions.geo import st_point_in_polygon
+
+    t = Tables(spark, sf_dir)
+    inside = st_point_in_polygon(
+        F.col("l_tax"), F.col("l_discount"), F.lit(_L_POLY)
+    )
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.when(inside, 1)).alias("n_inside"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

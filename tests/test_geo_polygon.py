@@ -1,0 +1,128 @@
+"""Unit tests for the WKT polygon functions (functions/geo.py): ring
+parsing, shoelace area, perimeter, centroid, and ray-casting containment —
+verified against hand-computed values for known shapes, both winding
+orders, and a concave ring where the crossing count actually varies.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartodb_importer_spark.functions.geo import (
+    st_area,
+    st_centroid_x,
+    st_centroid_y,
+    st_perimeter,
+    st_point_in_polygon,
+    st_polygon,
+    st_ring_xs,
+    st_ring_ys,
+)
+
+# 3-4-5 right triangle at the origin (closed ring, CCW).
+TRIANGLE = "POLYGON((0 0, 3 0, 0 4, 0 0))"
+# Unit square, CCW and CW windings.
+SQUARE_CCW = "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"
+SQUARE_CW = "POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))"
+# Concave L: a 2x3 rectangle missing its upper-right 1x2 notch.
+L_SHAPE = "POLYGON((0 0, 2 0, 2 1, 1 1, 1 3, 0 3, 0 0))"
+
+
+def _metrics(spark, wkt):
+    row = (
+        spark.range(1)
+        .select(
+            st_area(F.lit(wkt)).alias("area"),
+            st_perimeter(F.lit(wkt)).alias("perim"),
+            st_centroid_x(F.lit(wkt)).alias("cx"),
+            st_centroid_y(F.lit(wkt)).alias("cy"),
+        )
+        .first()
+    )
+    return row
+
+
+def test_ring_parse(spark):
+    row = (
+        spark.range(1)
+        .select(
+            st_ring_xs(F.lit(TRIANGLE)).alias("xs"),
+            st_ring_ys(F.lit(TRIANGLE)).alias("ys"),
+        )
+        .first()
+    )
+    assert row.xs == [0.0, 3.0, 0.0, 0.0]
+    assert row.ys == [0.0, 0.0, 4.0, 0.0]
+
+
+def test_triangle_metrics(spark):
+    m = _metrics(spark, TRIANGLE)
+    assert m.area == pytest.approx(6.0)
+    assert m.perim == pytest.approx(3 + 4 + 5)
+    assert m.cx == pytest.approx(1.0)
+    assert m.cy == pytest.approx(4.0 / 3.0)
+
+
+@pytest.mark.parametrize("wkt", [SQUARE_CCW, SQUARE_CW])
+def test_square_winding_invariance(spark, wkt):
+    m = _metrics(spark, wkt)
+    assert m.area == pytest.approx(1.0)
+    assert m.perim == pytest.approx(4.0)
+    assert m.cx == pytest.approx(0.5)
+    assert m.cy == pytest.approx(0.5)
+
+
+def test_degenerate_ring_null_centroid(spark):
+    flat = "POLYGON((0 0, 2 0, 2 0, 0 0, 0 0))"
+    m = _metrics(spark, flat)
+    assert m.area == pytest.approx(0.0, abs=1e-12)
+    assert m.cx is None or math.isnan(m.cx)
+
+
+def test_st_polygon_roundtrip(spark):
+    m = (
+        spark.range(1)
+        .select(
+            st_area(
+                st_polygon(F.lit(1.0), F.lit(2.0), F.lit(4.0), F.lit(6.0))
+            ).alias("area")
+        )
+        .first()
+    )
+    assert m.area == pytest.approx(12.0)
+
+
+def test_point_in_concave_polygon(spark):
+    # (x, y, expected): notch points are outside, arm points inside.
+    cases = [
+        (0.5, 0.5, True),   # lower-left, inside both arms' union
+        (1.5, 0.5, True),   # lower arm
+        (0.5, 2.5, True),   # left arm
+        (1.5, 2.5, False),  # the notch
+        (2.5, 0.5, False),  # right of everything
+        (0.5, 3.5, False),  # above everything
+        (-0.5, 0.5, False),
+    ]
+    df = spark.createDataFrame(
+        [(x, y, exp) for x, y, exp in cases], "x double, y double, exp boolean"
+    )
+    got = df.select(
+        "x",
+        "y",
+        "exp",
+        st_point_in_polygon(F.col("x"), F.col("y"), F.lit(L_SHAPE)).alias("inside"),
+    ).collect()
+    for r in got:
+        assert r.inside == r.exp, f"({r.x},{r.y}) expected {r.exp} got {r.inside}"
+
+
+def test_point_in_polygon_winding_invariance(spark):
+    cw = "POLYGON((0 0, 0 3, 1 3, 1 1, 2 1, 2 0, 0 0))"  # L_SHAPE reversed
+    df = spark.createDataFrame([(0.5, 0.5), (1.5, 2.5)], "x double, y double")
+    got = df.select(
+        st_point_in_polygon(F.col("x"), F.col("y"), F.lit(L_SHAPE)).alias("a"),
+        st_point_in_polygon(F.col("x"), F.col("y"), F.lit(cw)).alias("b"),
+    ).collect()
+    for r in got:
+        assert r.a == r.b

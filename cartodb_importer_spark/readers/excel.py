@@ -30,8 +30,10 @@ def _load_rows(path: str) -> tuple[list[str], list[list[str | None]]]:
             ]
     elif ext == "ods":
         rows = _read_ods_stdlib(path)
-    else:  # legacy .xls (binary BIFF) — genuinely needs xlrd
-        raise NotImplementedError("legacy .xls import requires xlrd (not installed)")
+    else:  # legacy .xls: own BIFF8 reader (no xlrd in the dependency set)
+        from .xls_biff import read_xls_rows
+
+        rows = read_xls_rows(path)
     if not rows:
         return [], []
     width = max(len(r) for r in rows)

@@ -15,6 +15,8 @@ ALLOWED_NLJ = {
     "llm_euclidean_topk",      # 1-row query vector broadcast
     "scalar_fuzzy_match",      # 25-row candidate set broadcast
     "stream_late_data_filter", # 1-row max-ts broadcast
+    "q11_important_parts",     # 1-row threshold broadcast
+    "q20_excess_suppliers",    # 1-row threshold broadcast
     "q22_idle_customers",      # 1-row threshold broadcast
     "agg_rollup",              # broadcast dims (BNLJ never appears; safety)
 }

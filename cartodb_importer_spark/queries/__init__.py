@@ -113,3 +113,4 @@ from . import streaming_batch  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401

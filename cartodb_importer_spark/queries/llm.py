@@ -782,3 +782,62 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape."""
     t = Tables(spark, sf_dir)
     return S.embedding_near_dup(t.embeddings, threshold=0.30)
+
+
+# ---------------------------------------------------------------- PII scrub
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_NUM_RE = r"[0-9]{3,}"
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id::VARCHAR ||
+             '@mail.example.com id ' || (doc_id * 7919)::VARCHAR AS text
+      FROM documents
+    ),
+    pass1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS text
+      FROM aug
+    )
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(text, '{_NUM_RE}')) AS n_nums,
+           regexp_replace(text, '{_NUM_RE}', '<NUM>', 'g') AS redacted
+    FROM pass1
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage of a training-data pipeline:
+    emails then standalone digit runs replaced by typed placeholders, with
+    per-document match counts for audit. The synthetic corpus contains no
+    PII, so the query plants a deterministic email + numeric id per row
+    (identically in the oracle) to keep the redaction path genuinely
+    exercised at every scale factor. Pure regexp_replace/regexp_count —
+    JVM codegen, no Python, embarrassingly parallel (no shuffle at all)."""
+    t = Tables(spark, sf_dir)
+    aug = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com id "),
+            (F.col("doc_id") * 7919).cast("string"),
+        ).alias("text"),
+    )
+    pass1 = aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>").alias("text"),
+    )
+    return pass1.select(
+        "doc_id",
+        "n_emails",
+        F.regexp_count("text", F.lit(_NUM_RE)).alias("n_nums"),
+        F.regexp_replace("text", _NUM_RE, "<NUM>").alias("redacted"),
+    )

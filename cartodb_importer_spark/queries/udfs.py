@@ -157,3 +157,53 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select(
         "doc_id", model_score(F.length("text")).alias("model_score")
     )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle=r"""
+    SELECT doc_id, s['i'] - 1 AS sentence_idx, s['s'] AS sentence
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(
+                 list_transform(string_split_regex(text, '[.!?]'),
+                                x -> trim(x, E' \t\n\r')),
+                 x -> x != ''),
+               (x, i) -> {'i': i, 's': x})) AS s
+      FROM documents
+    )
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ table function) splitting documents into
+    indexed sentences via a LATERAL join — the one-row-to-N-rows API the
+    reference has no analogue for. A UDTF is the right tool when the
+    expansion carries per-row Python state (here trivially a counter;
+    in production a sentence segmenter model). For a split this simple the
+    production form is explode(split(...)) — JVM-side, no Python — so this
+    query exists to pin the UDTF API surface and its lateral-join plan.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            import re
+
+            idx = 0
+            for part in re.split(r"[.!?]", text or ""):
+                s = part.strip(" \t\n\r")
+                if s:
+                    yield idx, s
+                    idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    t = Tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM _udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )

@@ -222,3 +222,26 @@ def reshape_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "ver"
     )
+
+
+@query(
+    "reshape_global_index",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderkey) - 1 AS global_idx
+    FROM orders
+    """,
+)
+def reshape_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row numbering (the distributed form of the reference's
+    serial cartodb_id column) WITHOUT the row_number-over-global-order
+    SinglePartition exchange the oracle SQL implies: range-repartition +
+    monotonically_increasing_id bit-split + broadcast offsets
+    (operators/index.py). Identical output, all-parallel plan — the
+    difference between minutes and a dead executor at 100 TB."""
+    from ..operators.index import global_index
+
+    t = Tables(spark, sf_dir)
+    return global_index(t.orders.select("o_orderkey"), "o_orderkey").select(
+        "o_orderkey", "global_idx"
+    )

@@ -353,3 +353,58 @@ def scalar_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
         F.chr(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("letter"),
     )
+
+
+@query(
+    "scalar_variant_extract",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             o_orderkey % 97 = 0 AS malformed,
+             -- NULL (not a CASE around the extract: DuckDB evaluates both
+             -- CASE branches vectorized, so the extract must never see the
+             -- broken text) when the payload is the planted malformed row
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE to_json(struct_pack(k := o_orderkey,
+                                           price := o_totalprice,
+                                           pri := o_orderpriority)) END AS js
+      FROM orders
+    )
+    SELECT o_orderkey, malformed,
+           json_extract(js, '$.k')::BIGINT AS k,
+           round(json_extract(js, '$.price')::DOUBLE, 2) AS price,
+           json_extract_string(js, '$.pri') AS pri
+    FROM j
+    """,
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured columns: try_parse_json
+    keeps malformed payloads as NULL instead of failing the job (1-in-97
+    rows here are deliberately broken), variant_get extracts typed fields
+    from the binary variant encoding — no schema declared up front, unlike
+    from_json. At 100 TB this is the difference between re-parsing JSON
+    text per predicate and one decode into a shredded binary the optimizer
+    can push into."""
+    t = Tables(spark, sf_dir)
+    js = t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("{broken"))
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderpriority").alias("pri"),
+                )
+            )
+        )
+        .alias("js"),
+    )
+    v = js.select("o_orderkey", F.try_parse_json("js").alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.col("v").isNull().alias("malformed"),
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.round(F.variant_get("v", "$.price", "double"), 2).alias("price"),
+        F.variant_get("v", "$.pri", "string").alias("pri"),
+    )

@@ -417,3 +417,151 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("bin_min"),
         F.round(F.max("o_totalprice"), 2).alias("bin_max"),
     )
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT l_returnflag, l_quantity AS mode_qty
+        FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC
+        ) = 1
+    ),
+    med AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 3) AS median_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT m.l_returnflag, m.mode_qty, med.median_qty
+    FROM m JOIN med USING (l_returnflag)
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + interpolated median. Built-in ``mode()`` breaks
+    ties arbitrarily (engine-dependent), so the mode is computed as
+    count-per-value then ``max_by`` over a (count, -value) struct — largest
+    count, smallest value on ties — which hash-matches any engine. Two
+    aggregates + a 3-row join; both shuffles are on the tiny group key."""
+    t = Tables(spark, sf_dir)
+    counts = t.lineitem.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    modes = counts.groupBy("l_returnflag").agg(
+        F.max_by(
+            "l_quantity", F.struct(F.col("cnt"), (-F.col("l_quantity")).alias("neg"))
+        ).alias("mode_qty")
+    )
+    med = t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 3).alias("median_qty")
+    )
+    return modes.join(med, "l_returnflag")
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 2)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in least-squares aggregates (price ~ quantity per flag) — one
+    partial+final hash aggregate, no driver math."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@query(
+    "agg_count_if",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           count(*) FILTER (WHERE l_tax = 0)         AS n_taxfree,
+           round(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+               AS avg_discounted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: ``count_if`` and the filtered-avg idiom
+    (``avg(when(cond, x))`` — nulls are skipped, exactly SQL's FILTER
+    clause). One pass, no pre-filtering subqueries."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        F.round(
+            F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4
+        ).alias("avg_discounted_price"),
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS and_ln,
+           CAST(bit_or(l_linenumber)  AS BIGINT) AS or_ln,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS xor_ln
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — associative+commutative, so Catalyst
+    runs them map-side partial first; cast to long so the schema matches
+    DuckDB's width."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("long").alias("and_ln"),
+        F.bit_or("l_linenumber").cast("long").alias("or_ln"),
+        F.bit_xor("l_linenumber").cast("long").alias("xor_ln"),
+    )
+
+
+@query(
+    "agg_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS month,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           count(*)                        AS n,
+           round(sum(l_extendedprice) / count(*), 4) AS avg_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup merge: daily PARTIAL aggregates (sum, count
+    — the mergeable state, not avg) are re-aggregated to monthly without
+    rescanning the base table. At 100 TB the daily partials are a persisted
+    rollup table ~1e4× smaller than the source; the monthly merge touches
+    only them. avg is derived at the end as sum/count — averaging averages
+    would be wrong under unequal day sizes."""
+    t = Tables(spark, sf_dir)
+    daily = t.lineitem.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(
+        F.sum("l_quantity").alias("p_qty"),
+        F.sum("l_extendedprice").alias("p_price"),
+        F.count(F.lit(1)).alias("p_n"),
+    )
+    return daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+        F.sum("p_n").alias("n"),
+        F.round(F.sum("p_price") / F.sum("p_n"), 4).alias("avg_price"),
+    )

@@ -200,3 +200,48 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"),
         )
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT o.o_orderkey, count(e.event_id) AS n_events
+    FROM orders o
+    LEFT JOIN events e
+      ON e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (no equi key: every event landing in each order's
+    3-day window) executed as an EQUI join by binning time into days: the
+    interval side explodes into its ≤3 covering day-bins, the point side
+    maps to its day, and the join key is the bin — then the exact range
+    predicate refines. Turns an O(n·m) nested-loop/cartesian into one hash
+    shuffle on the bin key; this is how stream-to-table interval joins stay
+    feasible at 100 TB. The oracle states the naive range-join semantics."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.select("o_orderkey", F.col("o_orderdate").alias("start"))
+    o_days = o.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(F.to_date("start"), F.date_add(F.to_date("start"), 2))
+        ),
+    )
+    e = t.events.select(
+        "event_id", "ts", F.to_date("ts").alias("bin")
+    )
+    matched = (
+        o_days.join(e, "bin")
+        .filter(
+            (F.col("ts") >= F.col("start"))
+            & (F.col("ts") < F.col("start") + F.expr("INTERVAL 3 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return o.join(matched, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_events"),
+    )

@@ -841,3 +841,59 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_NUM_RE)).alias("n_nums"),
         F.regexp_replace("text", _NUM_RE, "<NUM>").alias("redacted"),
     )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS n_word_tokens,
+           CAST(len(list_distinct(
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')
+           )) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count: letter runs, digit runs, and single
+    punctuation marks (the GPT-2 pre-tokenizer's ASCII skeleton). All
+    JVM-side regexp — the per-document token budget underlying packing and
+    pricing, with no Python in the loop."""
+    t = Tables(spark, sf_dir)
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    words = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), F.lit(0))
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(words).cast("long").alias("n_word_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+              % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (50% en / 10% rest),
+    deterministic by content hash — reproducible across engines, runs, and
+    repartitionings, unlike sampleBy(seed). A pure filter: no shuffle, fully
+    pushdown-friendly."""
+    t = Tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(10))
+    return t.documents.filter(bucket < rate).select("doc_id", "lang")

@@ -408,3 +408,64 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.variant_get("v", "$.price", "double"), 2).alias("price"),
         F.variant_get("v", "$.pri", "string").alias("pri"),
     )
+
+
+@query(
+    "scalar_sequence_explode",
+    oracle="""
+    SELECT r_regionkey,
+           unnest(range(0, r_regionkey + 1)) AS i
+    FROM region
+    """,
+)
+def scalar_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation: sequence() + explode (SQL unnest(range(...))) — the
+    scale-safe way to densify (each row expands locally on its executor; no
+    driver-side loop, no cross-partition traffic)."""
+    t = Tables(spark, sf_dir)
+    return t.region.select(
+        "r_regionkey",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("r_regionkey"))).alias(
+            "i"
+        ),
+    )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || lower(source) || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1)       AS host,
+           regexp_extract(url, 'https?://[^/]+([^?]*)', 1)  AS path,
+           regexp_extract(url, '\\?(.*)$', 1)               AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)       AS lang_param
+    FROM u
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the built-in parse_url (JVM-side; the oracle
+    spells the same semantics as regexes). Crawl-scale pipelines use this
+    for host-level grouping/blocking before dedup."""
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = t.documents.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

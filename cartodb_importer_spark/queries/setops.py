@@ -127,3 +127,25 @@ def setop_drop_duplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.groupBy("o_custkey").agg(
         F.min("o_orderkey").alias("o_orderkey")
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_suppkey, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (duplicates kept up to the min multiplicity on
+    each side) — Catalyst compiles intersectAll to a count-based aggregate +
+    generate, one shuffle per side on the full row as key."""
+    t = Tables(spark, sf_dir)
+    r = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_suppkey", "l_quantity"
+    )
+    a = t.lineitem.filter(F.col("l_returnflag") == "A").select(
+        "l_suppkey", "l_quantity"
+    )
+    return r.intersectAll(a)

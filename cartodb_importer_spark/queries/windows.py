@@ -205,3 +205,95 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "window_cume_dist_nth",
+    oracle="""
+    SELECT o_orderkey,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 2) AS second_lowest_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value. Ordering includes the unique o_orderkey so
+    there are no peer rows — cume_dist is then engine-independent. nth_value
+    gets an explicit unbounded frame (its default frame stops at the current
+    row, which would make rows before the 2nd value NULL)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias(
+                "second_lowest_price"
+            ),
+        )
+    )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CASE WHEN date_diff('day',
+                        lag(o_orderdate) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) <= 30
+                    THEN 0 ELSE 1 END AS new_session
+        FROM orders
+    ),
+    islands AS (
+        SELECT o_custkey, o_orderdate,
+               sum(new_session) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS island
+        FROM flagged
+    )
+    SELECT o_custkey, island, count(*) AS n_orders,
+           min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+    FROM islands GROUP BY o_custkey, island
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization in batch: an order starts a new
+    session when >30 days since the customer's previous order; island id =
+    running sum of session-start flags. The batch twin of
+    session_window(ts, gap) — one shuffle on o_custkey shared by both
+    window passes and the final aggregate (same partition key), so Catalyst
+    plans a single exchange."""
+    t = Tables(spark, sf_dir)
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap_days = F.datediff("o_orderdate", F.lag("o_orderdate").over(wo))
+    flagged = t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(gap_days <= 30, F.lit(0)).otherwise(F.lit(1)).alias("new_session"),
+    )
+    islands = flagged.select(
+        "o_custkey",
+        "o_orderdate",
+        F.sum("new_session").over(wo).alias("island"),
+    )
+    return islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )

@@ -1,0 +1,176 @@
+"""Dependency-free coordinate reprojection to WGS84 (EPSG:4326).
+
+The reference reprojects in-database with PostGIS ``ST_Transform``
+(importer.rb:375-386, O16). Here the common projected CRSs are implemented
+directly so the SHP path reprojects even without pyproj installed:
+
+* EPSG:3857 (spherical Web Mercator) — closed form;
+* EPSG:326xx / 327xx (WGS84 UTM north/south) — transverse Mercator via the
+  6th-order Krüger series (Karney 2011, "Transverse Mercator with an
+  accuracy of a few nanometers" — public formulas), accurate to well under
+  1 mm within a UTM zone's extent.
+
+All kernels are numpy-vectorized: inside a Pandas UDF they transform whole
+Arrow batches of coordinates at once — the 100 TB path is
+``mapInPandas``/``pandas_udf`` over coordinate arrays, never a per-row
+Python loop (and never a per-row UPDATE like the reference's O11 loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E = float(np.sqrt(_F * (2.0 - _F)))  # first eccentricity
+_E2 = _F * (2.0 - _F)
+
+# Krüger series in n = f / (2 - f)
+_N = _F / (2.0 - _F)
+# rectifying radius
+_A1 = _A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0 + _N**6 / 256.0)
+_ALPHA = (
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180
+    - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
+    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440 + 281 * _N**5 / 630
+    - 1983433 * _N**6 / 1935360,
+    61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880
+    + 167603 * _N**6 / 181440,
+    49561 * _N**4 / 161280 - 179 * _N**5 / 168 + 6601661 * _N**6 / 7257600,
+    34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
+    212378941 * _N**6 / 319334400,
+)
+_BETA = (
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360
+    - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
+    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105
+    - 1118711 * _N**6 / 3870720,
+    17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480
+    + 5569 * _N**6 / 90720,
+    4397 * _N**4 / 161280 - 11 * _N**5 / 504 - 830251 * _N**6 / 7257600,
+    4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
+    20648693 * _N**6 / 638668800,
+)
+
+_K0 = 0.9996  # UTM scale at central meridian
+_UTM_E0 = 500000.0
+_UTM_N0_SOUTH = 10000000.0
+
+_R_MERC = 6378137.0  # Web Mercator sphere radius
+
+
+# ---------------------------------------------------------------- EPSG:3857
+
+
+def webmercator_inverse(x, y):
+    """EPSG:3857 (x, y) metres -> (lon, lat) degrees. Vectorized."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R_MERC)
+    lat = np.degrees(np.arctan(np.sinh(y / _R_MERC)))
+    return lon, lat
+
+
+def webmercator_forward(lon, lat):
+    """(lon, lat) degrees -> EPSG:3857 metres. Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _R_MERC * np.radians(lon)
+    y = _R_MERC * np.arcsinh(np.tan(np.radians(lat)))
+    return x, y
+
+
+# ------------------------------------------------------- transverse Mercator
+
+
+def _tm_forward(lon, lat, lon0: float):
+    """Krüger-series transverse Mercator forward: degrees -> (ξ, η) before
+    scaling (multiply by k0·A1 and add false offsets for a full grid)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    sphi = np.sin(phi)
+    # conformal latitude tangent
+    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return xi, eta
+
+
+def _tm_inverse(xi, eta, lon0: float):
+    """Krüger-series inverse: normalized (ξ, η) -> (lon, lat) degrees."""
+    xi = np.asarray(xi, dtype=np.float64)
+    eta = np.asarray(eta, dtype=np.float64)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    tau_p = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # Newton-solve tau (tan of geographic latitude) from tau' (tan of
+    # conformal latitude): tau' = tau*sqrt(1+sigma^2) - sigma*sqrt(1+tau^2)
+    tau = tau_p / (1.0 - _E2)  # good starting guess
+    for _ in range(6):
+        sigma = np.sinh(_E * np.arctanh(_E * tau / np.hypot(1.0, tau)))
+        f = tau * np.hypot(1.0, sigma) - sigma * np.hypot(1.0, tau) - tau_p
+        df = (
+            (np.hypot(1.0, sigma) * np.hypot(1.0, tau) - sigma * tau)
+            * (1.0 - _E2)
+            * np.hypot(1.0, tau)
+            / (1.0 + (1.0 - _E2) * tau * tau)
+        )
+        tau = tau - f / df
+    lat = np.degrees(np.arctan(tau))
+    lon = np.degrees(lam) + lon0
+    return lon, lat
+
+
+def utm_forward(lon, lat, zone: int, south: bool = False):
+    """(lon, lat) degrees -> UTM (easting, northing) for the given zone."""
+    lon0 = zone * 6.0 - 183.0
+    xi, eta = _tm_forward(lon, lat, lon0)
+    e = _UTM_E0 + _K0 * _A1 * eta
+    n = (_UTM_N0_SOUTH if south else 0.0) + _K0 * _A1 * xi
+    return e, n
+
+
+def utm_inverse(easting, northing, zone: int, south: bool = False):
+    """UTM (easting, northing) -> (lon, lat) degrees for the given zone."""
+    easting = np.asarray(easting, dtype=np.float64)
+    northing = np.asarray(northing, dtype=np.float64)
+    xi = (northing - (_UTM_N0_SOUTH if south else 0.0)) / (_K0 * _A1)
+    eta = (easting - _UTM_E0) / (_K0 * _A1)
+    return _tm_inverse(xi, eta, zone * 6.0 - 183.0)
+
+
+# ------------------------------------------------------------ EPSG dispatch
+
+
+def supported_epsg(srid: int) -> bool:
+    """Can transform_to_4326 handle this SRID without pyproj?"""
+    return (
+        srid == 3857
+        or 32601 <= srid <= 32660
+        or 32701 <= srid <= 32760
+    )
+
+
+def transform_to_4326(srid: int):
+    """Vectorized (x, y) -> (lon, lat) callable for a supported SRID, or
+    None. Mirrors pyproj.Transformer.from_crs(srid, 4326, always_xy=True)
+    for EPSG:3857 and the WGS84 UTM zones."""
+    if srid == 3857:
+        return webmercator_inverse
+    if 32601 <= srid <= 32660:
+        zone = srid - 32600
+        return lambda x, y: utm_inverse(x, y, zone, south=False)
+    if 32701 <= srid <= 32760:
+        zone = srid - 32700
+        return lambda x, y: utm_inverse(x, y, zone, south=True)
+    return None

@@ -108,27 +108,43 @@ def read_prj_epsg(prj_path: str) -> int:
         pass
     if "WGS_1984_Web_Mercator" in wkt or "3857" in wkt:
         return 3857
+    import re
+
+    m = re.search(r"UTM[ _][Zz]one[ _](\d{1,2})\s*,?\s*([NS])", wkt) or re.search(
+        r"UTM_Zone_(\d{1,2})([NS])", wkt
+    )
+    if m and ("1984" in wkt or "WGS 84" in wkt):
+        zone, hemi = int(m.group(1)), m.group(2)
+        return (32600 if hemi == "N" else 32700) + zone
     if "GCS_WGS_1984" in wkt or "WGS 84" in wkt:
         return 4326
     return 4326
 
 
 def _reproject(pairs_wkt: list[str | None], srid: int) -> list[str | None]:
-    """Reproject WKT coordinate text to 4326 via pyproj (O16). Identity
-    when srid already 4326 or pyproj unavailable (logged by caller)."""
+    """Reproject WKT coordinate text to 4326 (O16). pyproj when importable;
+    else the built-in Krüger/Mercator kernels (functions/proj.py) cover
+    EPSG:3857 and the WGS84 UTM zones. Identity when srid is already 4326
+    or unsupported without pyproj (logged by caller)."""
     if srid == 4326:
         return pairs_wkt
+    transform = None
     try:
         from pyproj import Transformer
+
+        tr = Transformer.from_crs(srid, 4326, always_xy=True)
+        transform = tr.transform
     except ImportError:
+        from ..functions import proj
+
+        transform = proj.transform_to_4326(srid)
+    if transform is None:
         return pairs_wkt
     import re
 
-    tr = Transformer.from_crs(srid, 4326, always_xy=True)
-
     def fix_coords(m: re.Match) -> str:
         x, y = float(m.group(1)), float(m.group(2))
-        lon, lat = tr.transform(x, y)
+        lon, lat = transform(x, y)
         return f"{_fmt(lon)} {_fmt(lat)}"
 
     coord_rx = re.compile(r"(-?[\d.eE+]+) (-?[\d.eE+]+)")

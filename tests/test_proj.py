@@ -1,0 +1,136 @@
+"""Dependency-free reprojection kernels (functions/proj.py) + the SHP
+reader's reproject-to-4326 path (O16, importer.rb:375-386) without pyproj.
+
+Anchor values are public: the EPSG:3857 forward of (45, 45) and the
+CN Tower UTM example (zone 17N, ~630084 E / 4833439 N).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cartodb_importer_spark.functions import proj
+from cartodb_importer_spark.readers.shp import read_prj_epsg, read_shp
+
+ESRI_UTM31N = (
+    'PROJCS["WGS_1984_UTM_Zone_31N",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",500000.0],'
+    'PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",3.0],'
+    'PARAMETER["Scale_Factor",0.9996],PARAMETER["Latitude_Of_Origin",0.0],'
+    'UNIT["Meter",1.0]]'
+)
+
+
+def test_webmercator_anchor():
+    x, y = proj.webmercator_forward(45.0, 45.0)
+    assert float(x) == pytest.approx(5009377.085697311, abs=1e-6)
+    assert float(y) == pytest.approx(5621521.486192066, abs=1e-6)
+    lon, lat = proj.webmercator_inverse(x, y)
+    assert float(lon) == pytest.approx(45.0, abs=1e-12)
+    assert float(lat) == pytest.approx(45.0, abs=1e-12)
+
+
+def test_utm_known_point():
+    # CN Tower, UTM zone 17N (public example, metre precision)
+    e, n = proj.utm_forward(-79.387139, 43.642567, 17)
+    assert float(e) == pytest.approx(630084.3, abs=1.0)
+    assert float(n) == pytest.approx(4833438.6, abs=1.0)
+    lon, lat = proj.utm_inverse(e, n, 17)
+    assert float(lon) == pytest.approx(-79.387139, abs=1e-9)
+    assert float(lat) == pytest.approx(43.642567, abs=1e-9)
+
+
+def test_utm_central_meridian_anchor():
+    e, n = proj.utm_forward(3.0, 0.0, 31)
+    assert float(e) == pytest.approx(500000.0, abs=1e-6)
+    assert float(n) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_utm_roundtrip_grid():
+    rs = np.random.RandomState(7)
+    lons = rs.uniform(0.2, 5.8, 500)  # zone 31 extent
+    lats = rs.uniform(-79.5, 83.5, 500)
+    e, n = proj.utm_forward(lons, lats, 31)
+    lon2, lat2 = proj.utm_inverse(e, n, 31)
+    assert np.abs(lon2 - lons).max() < 1e-10
+    assert np.abs(lat2 - lats).max() < 1e-10
+
+
+def test_utm_south_hemisphere():
+    # south zones carry a 10,000 km false northing
+    e, n = proj.utm_forward(-70.0, -33.0, 19, south=True)
+    assert 6_000_000 < float(n) < 10_000_000
+    lon, lat = proj.utm_inverse(e, n, 19, south=True)
+    assert float(lat) == pytest.approx(-33.0, abs=1e-9)
+    assert float(lon) == pytest.approx(-70.0, abs=1e-9)
+
+
+def test_epsg_dispatch():
+    assert proj.supported_epsg(3857)
+    assert proj.supported_epsg(32631) and proj.supported_epsg(32719)
+    assert not proj.supported_epsg(2154)  # Lambert-93 needs pyproj
+    assert proj.transform_to_4326(2154) is None
+
+
+def test_prj_utm_detection(tmp_path):
+    p = tmp_path / "t.prj"
+    p.write_text(ESRI_UTM31N)
+    assert read_prj_epsg(str(p)) == 32631
+    p.write_text('PROJCS["WGS 84 / UTM zone 19S",GEOGCS["WGS 84",...]]')
+    assert read_prj_epsg(str(p)) == 32719
+
+
+def _write_point_shp(path, points):
+    """Minimal point-shapefile emitter (header + fixed 28-byte records)."""
+    n = len(points)
+    file_len_words = (100 + n * 28) // 2
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    with open(path, "wb") as f:
+        f.write(struct.pack(">i", 9994))
+        f.write(b"\x00" * 20)
+        f.write(struct.pack(">i", file_len_words))
+        f.write(struct.pack("<ii", 1000, 1))
+        f.write(struct.pack("<4d", min(xs), min(ys), max(xs), max(ys)))
+        f.write(struct.pack("<4d", 0, 0, 0, 0))
+        for i, (x, y) in enumerate(points, start=1):
+            f.write(struct.pack(">ii", i, 10))  # content = 20 bytes = 10 words
+            f.write(struct.pack("<i2d", 1, x, y))
+
+
+def test_shp_reader_reprojects_utm_without_pyproj(spark, tmp_path):
+    try:
+        import pyproj  # noqa: F401
+
+        pytest.skip("pyproj installed; this test covers the fallback path")
+    except ImportError:
+        pass
+    shp = tmp_path / "utmpts.shp"
+    # (500000, 0) = central meridian on the equator -> exactly (3 E, 0 N)
+    _write_point_shp(str(shp), [(500000.0, 0.0), (630084.3008, 4833438.5857)])
+    (tmp_path / "utmpts.prj").write_text(ESRI_UTM31N)
+    df, meta = read_shp(spark, str(shp))
+    assert meta["srid"] == 32631
+    rows = [r["the_geom"] for r in df.orderBy("gid").collect()]
+    x0, y0 = map(float, rows[0][len("POINT(") : -1].split())
+    assert x0 == pytest.approx(3.0, abs=1e-9)
+    assert y0 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_shp_reader_webmercator(spark, tmp_path):
+    shp = tmp_path / "mercpts.shp"
+    _write_point_shp(str(shp), [(5009377.085697311, 5621521.486192066)])
+    (tmp_path / "mercpts.prj").write_text(
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",...]'
+    )
+    df, meta = read_shp(spark, str(shp))
+    assert meta["srid"] == 3857
+    wkt = df.first()["the_geom"]
+    x, y = map(float, wkt[len("POINT(") : -1].split())
+    assert x == pytest.approx(45.0, abs=1e-9)
+    assert y == pytest.approx(45.0, abs=1e-9)

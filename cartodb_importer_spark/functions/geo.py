@@ -212,6 +212,134 @@ def st_point_in_polygon(x: Column, y: Column, geom: Column) -> Column:
     return n_cross % 2 == 1
 
 
+_POLY_BODY_RX = r"^POLYGON\s*\(\s*(.*)\s*\)$"
+
+
+def st_rings(geom: Column) -> Column:
+    """All rings of a (multi-ring) POLYGON as an array of ring-body strings
+    — element 1 is the shell, the rest are holes. Pure regexp/split."""
+    body = F.regexp_extract(geom, _POLY_BODY_RX, 1)
+    return F.transform(
+        F.split(body, r"\)\s*,\s*\("),
+        lambda r: F.regexp_replace(r, r"^\(|\)$", ""),
+    )
+
+
+def _ring_txt_xs(ring: Column) -> Column:
+    return F.transform(
+        F.split(ring, r",\s*"),
+        lambda pt: F.split(F.trim(pt), r"\s+").getItem(0).cast("double"),
+    )
+
+
+def _ring_txt_ys(ring: Column) -> Column:
+    return F.transform(
+        F.split(ring, r",\s*"),
+        lambda pt: F.split(F.trim(pt), r"\s+").getItem(1).cast("double"),
+    )
+
+
+def _ring_abs_area(ring: Column) -> Column:
+    """Unsigned shoelace area of one closed ring-body string."""
+    xs, ys = _ring_txt_xs(ring), _ring_txt_ys(ring)
+    n1 = F.size(xs) - 1
+    cross = _fsum(
+        F.zip_with(F.slice(xs, 1, n1), F.slice(ys, 2, n1), lambda x, y: x * y)
+    ) - _fsum(
+        F.zip_with(F.slice(xs, 2, n1), F.slice(ys, 1, n1), lambda x, y: x * y)
+    )
+    return F.abs(cross) / 2.0
+
+
+def st_area_multi(geom: Column) -> Column:
+    """Planar area of a POLYGON with optional holes: |shell| − Σ|holes|.
+    Winding order is irrelevant (each ring's area is taken unsigned).
+    One projection of nested array HOFs — no UDF, no explode; ring count
+    and ring length stay O(text length) per row."""
+    areas = F.transform(st_rings(geom), _ring_abs_area)
+    shell = F.element_at(areas, 1)
+    holes = F.aggregate(
+        F.slice(areas, 2, F.greatest(F.size(areas) - 1, F.lit(0))),
+        F.lit(0.0),
+        lambda acc, a: acc + a,
+    )
+    return shell - holes
+
+
+def _ring_crossings(ring: Column, x: Column, y: Column) -> Column:
+    """Ray-casting crossing count of one ring for point (x, y)."""
+    xs, ys = _ring_txt_xs(ring), _ring_txt_ys(ring)
+    n1 = F.size(xs) - 1
+    edges = F.zip_with(
+        F.zip_with(
+            F.slice(xs, 1, n1),
+            F.slice(ys, 1, n1),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+        ),
+        F.zip_with(
+            F.slice(xs, 2, n1),
+            F.slice(ys, 2, n1),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+        ),
+        lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+    )
+
+    def crosses(e: Column) -> Column:
+        py_, qy = e["p"]["y"], e["q"]["y"]
+        px, qx = e["p"]["x"], e["q"]["x"]
+        straddles = (py_ > y) != (qy > y)
+        x_at_y = px + F.try_divide(y - py_, qy - py_) * (qx - px)
+        return straddles & (x < x_at_y)
+
+    return F.aggregate(
+        edges, F.lit(0), lambda acc, e: acc + F.when(crosses(e), 1).otherwise(0)
+    )
+
+
+def st_point_in_polygon_multi(x: Column, y: Column, geom: Column) -> Column:
+    """Even-odd point-in-polygon over ALL rings: odd total crossings =
+    inside. Holes fall out naturally — a point inside a hole crosses the
+    shell once and the hole once (even → outside)."""
+    total = F.aggregate(
+        F.transform(st_rings(geom), lambda r: _ring_crossings(r, x, y)),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    )
+    return total % 2 == 1
+
+
+def _ring_geodesic_area_km2(ring: Column) -> Column:
+    """Unsigned spherical area (km²) of one closed lon/lat ring via the
+    Chamberlain–Duquette formula: R²/2 · |Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)|
+    (public formula, also used by turf.js; exact for spherical bands)."""
+    lam = F.transform(_ring_txt_xs(ring), lambda v: F.radians(v))
+    phi = F.transform(_ring_txt_ys(ring), lambda v: F.radians(v))
+    n1 = F.size(lam) - 1
+    dlam = F.zip_with(
+        F.slice(lam, 2, n1), F.slice(lam, 1, n1), lambda a, b: a - b
+    )
+    sphi = F.zip_with(
+        F.slice(phi, 1, n1),
+        F.slice(phi, 2, n1),
+        lambda a, b: 2.0 + F.sin(a) + F.sin(b),
+    )
+    total = _fsum(F.zip_with(dlam, sphi, lambda d, s: d * s))
+    return F.abs(total) * (EARTH_RADIUS_KM**2) / 2.0
+
+
+def st_geodesic_area_km2(geom: Column) -> Column:
+    """Spherical-earth area in km² of a POLYGON in lon/lat degrees, holes
+    subtracted — the geodesic counterpart of st_area_multi."""
+    areas = F.transform(st_rings(geom), _ring_geodesic_area_km2)
+    shell = F.element_at(areas, 1)
+    holes = F.aggregate(
+        F.slice(areas, 2, F.greatest(F.size(areas) - 1, F.lit(0))),
+        F.lit(0.0),
+        lambda acc, a: acc + a,
+    )
+    return shell - holes
+
+
 def grid_cell(
     lon: Column, lat: Column, cell_deg: float = 1.0
 ) -> Column:

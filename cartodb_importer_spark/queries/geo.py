@@ -204,3 +204,95 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(inside, 1)).alias("n_inside"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+# Donut region in the (l_tax, l_discount) plane: a rectangle shell with a
+# rectangular hole. Vertices on 0.005-offsets, data on the 0.01 grid, so
+# no point lies on an edge and even-odd boundary semantics never engage.
+_DONUT = (
+    "POLYGON((0.005 0.005, 0.075 0.005, 0.075 0.095, 0.005 0.095, 0.005 0.005), "
+    "(0.025 0.035, 0.055 0.035, 0.055 0.065, 0.025 0.065, 0.025 0.035))"
+)
+
+
+@query(
+    "geo_polygon_holes",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (
+             l_tax > 0.005 AND l_tax < 0.075
+             AND l_discount > 0.005 AND l_discount < 0.095
+             AND NOT (l_tax > 0.025 AND l_tax < 0.055
+                      AND l_discount > 0.035 AND l_discount < 0.065)
+           ) AS n_inside,
+           count(*) AS n_total,
+           round((0.07 * 0.09) - (0.03 * 0.03), 9) AS donut_area
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def geo_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring polygon support: even-odd containment against a donut
+    (shell + hole) and hole-subtracting shoelace area. The oracle states
+    the donut as shell-minus-hole rectangle algebra, independent of both
+    the ring parser and the crossing count. A point inside the hole
+    crosses shell once and hole once (even -> outside) — the semantics
+    PostGIS ST_Contains gives for interior rings (reference builds such
+    geometries via shp2pgsql multi-ring loads, importer.rb:348-373)."""
+    from ..functions.geo import st_area_multi, st_point_in_polygon_multi
+
+    t = Tables(spark, sf_dir)
+    inside = st_point_in_polygon_multi(
+        F.col("l_tax"), F.col("l_discount"), F.lit(_DONUT)
+    )
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.when(inside, 1)).alias("n_inside"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.first(st_area_multi(F.lit(_DONUT))), 9).alias("donut_area"),
+    )
+
+
+@query(
+    "geo_geodesic_area",
+    oracle="""
+    WITH box AS (
+      SELECT l_orderkey,
+             min(l_tax) * 1000 - 40    AS xmin, max(l_tax) * 1000 - 40    AS xmax,
+             min(l_discount) * 800 - 40 AS ymin, max(l_discount) * 800 - 40 AS ymax
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey,
+           round(6371.0088 * 6371.0088 * radians(xmax - xmin)
+                 * (sin(radians(ymax)) - sin(radians(ymin))), 2) AS area_km2
+    FROM box
+    WHERE xmax > xmin AND ymax > ymin
+    """,
+)
+def geo_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-earth polygon area: per-order lon/lat bboxes measured by
+    the Chamberlain–Duquette ring formula (general, any polygon), checked
+    against the closed-form spherical-rectangle band area
+    R^2 * dlambda * (sin lat2 - sin lat1) — two genuinely different
+    formulations that agree analytically. Scan-local projection; the only
+    shuffle is the bbox groupBy, which at 100 TB is the same shuffle the
+    planar metrics query already pays (reference reprojects geometry via
+    ST_Transform before area math, importer.rb:375-386)."""
+    from ..functions.geo import st_geodesic_area_km2, st_polygon
+
+    t = Tables(spark, sf_dir)
+    box = t.lineitem.groupBy("l_orderkey").agg(
+        (F.min("l_tax") * 1000 - 40).alias("xmin"),
+        (F.max("l_tax") * 1000 - 40).alias("xmax"),
+        (F.min("l_discount") * 800 - 40).alias("ymin"),
+        (F.max("l_discount") * 800 - 40).alias("ymax"),
+    ).filter((F.col("xmax") > F.col("xmin")) & (F.col("ymax") > F.col("ymin")))
+    g = box.select(
+        "l_orderkey",
+        st_polygon(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ).alias("the_geom"),
+    )
+    return g.select(
+        "l_orderkey",
+        F.round(st_geodesic_area_km2(F.col("the_geom")), 2).alias("area_km2"),
+    )

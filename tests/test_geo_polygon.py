@@ -126,3 +126,98 @@ def test_point_in_polygon_winding_invariance(spark):
     ).collect()
     for r in got:
         assert r.a == r.b
+
+
+# --- multi-ring (holes) + geodesic -----------------------------------------
+
+from cartodb_importer_spark.functions.geo import (  # noqa: E402
+    st_area_multi,
+    st_geodesic_area_km2,
+    st_point_in_polygon_multi,
+    st_rings,
+)
+
+# Unit square shell with a 0.5x0.5 hole in the middle.
+DONUT = (
+    "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0), "
+    "(0.25 0.25, 0.75 0.25, 0.75 0.75, 0.25 0.75, 0.25 0.25))"
+)
+
+
+def test_rings_split(spark):
+    row = spark.range(1).select(st_rings(F.lit(DONUT)).alias("r")).first()
+    assert len(row.r) == 2
+    assert row.r[0].startswith("0 0")
+    assert row.r[1].startswith("0.25 0.25")
+
+
+def test_single_ring_multi_matches_simple(spark):
+    row = (
+        spark.range(1)
+        .select(
+            st_area(F.lit(TRIANGLE)).alias("a"),
+            st_area_multi(F.lit(TRIANGLE)).alias("am"),
+        )
+        .first()
+    )
+    assert row.am == pytest.approx(row.a)
+
+
+def test_donut_area_subtracts_hole(spark):
+    row = spark.range(1).select(st_area_multi(F.lit(DONUT)).alias("a")).first()
+    assert row.a == pytest.approx(1.0 - 0.25)
+
+
+@pytest.mark.parametrize(
+    "x,y,expected",
+    [
+        (0.1, 0.1, True),   # in shell, outside hole
+        (0.5, 0.5, False),  # inside the hole
+        (1.5, 0.5, False),  # outside entirely
+        (0.5, 0.1, True),   # below the hole, inside shell
+    ],
+)
+def test_point_in_donut(spark, x, y, expected):
+    row = (
+        spark.range(1)
+        .select(
+            st_point_in_polygon_multi(
+                F.lit(float(x)), F.lit(float(y)), F.lit(DONUT)
+            ).alias("inside")
+        )
+        .first()
+    )
+    assert row.inside is expected
+
+
+def test_geodesic_band_area(spark):
+    # 10-deg-wide lon box from equator to lat 10: exact spherical area is
+    # R^2 * dlam * (sin(10 deg) - sin 0).
+    wkt = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"
+    R = 6371.0088
+    expected = R * R * math.radians(10.0) * math.sin(math.radians(10.0))
+    row = (
+        spark.range(1)
+        .select(st_geodesic_area_km2(F.lit(wkt)).alias("a"))
+        .first()
+    )
+    assert row.a == pytest.approx(expected, rel=1e-9)
+
+
+def test_geodesic_donut_subtracts_hole(spark):
+    shell = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"
+    holed = (
+        "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(2 2, 8 2, 8 8, 2 8, 2 2))"
+    )
+    hole_only = "POLYGON((2 2, 8 2, 8 8, 2 8, 2 2))"
+    row = (
+        spark.range(1)
+        .select(
+            st_geodesic_area_km2(F.lit(shell)).alias("s"),
+            st_geodesic_area_km2(F.lit(holed)).alias("h"),
+            st_geodesic_area_km2(F.lit(hole_only)).alias("o"),
+        )
+        .first()
+    )
+    assert row.h == pytest.approx(row.s - row.o, rel=1e-9)

@@ -114,3 +114,4 @@ from . import udfs  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import events  # noqa: E402,F401

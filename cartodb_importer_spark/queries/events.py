@@ -1,0 +1,195 @@
+"""Event-analytics operators over the ``events`` table: funnel conversion,
+cohort retention, OHLC candlesticks, and time-weighted averages — the
+query surface a product-analytics / hypertable deployment of the reference
+would run after importing event streams (the reference itself stops at
+import; these extend §2.3-S batch analytics).
+
+Scale notes: every query here shuffles once on its natural key
+(``user_id`` or the time bucket) and aggregates map-side first; none
+collect to the driver. At 100 TB the funnel's three stage-joins reuse the
+same ``user_id`` hash partitioning, so AQE coalesces them into one
+exchange per side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import Tables, query
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT '1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user advances a stage
+    only with an event STRICTLY AFTER their previous-stage entry time.
+    Three per-user min-aggregates chained by joins — all keyed on
+    user_id, so the plan is one shuffle partitioning reused across
+    stages (no cartesian, no window over the full table)."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users"))
+        .unionAll(
+            c.agg(F.lit("2_click").alias("stage"), F.count("*").alias("n_users"))
+        )
+        .unionAll(
+            p.agg(
+                F.lit("3_purchase").alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(f.cohort_date AS VARCHAR) AS cohort_date,
+           date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_day f USING (user_id)
+    WHERE date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) IN (0, 1, 7, 14)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date, counted
+    again at day offsets 0/1/7/14. One user_id shuffle to find cohorts,
+    broadcast back (cohort table is |users|, small relative to events),
+    then a single groupBy on (cohort, offset)."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select("user_id", F.to_date("ts").alias("d"))
+    first_day = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    joined = e.join(first_day, "user_id").withColumn(
+        "day_offset", F.datediff("d", "cohort_date").cast("long")
+    )
+    return (
+        joined.filter(F.col("day_offset").isin(0, 1, 7, 14))
+        .groupBy(F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"), "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "events_ohlc",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type,
+           round(arg_min(value, event_id), 2) AS open,
+           round(max(value), 2)               AS high,
+           round(min(value), 2)               AS low,
+           round(arg_max(value, event_id), 2) AS close,
+           round(sum(value), 2)               AS volume,
+           count(*)                           AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks per event_type — the hypertable
+    ``first/last`` aggregate pattern. Orders by event_id (unique,
+    time-monotone in the generator) rather than ts so open/close are
+    deterministic under value ties; min_by/max_by are single-pass
+    map-side-combinable aggregates, no window, no sort."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.round(F.min_by("value", "event_id"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "event_id"), 2).alias("close"),
+            F.round(F.sum("value"), 2).alias("volume"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts)
+               AS dur
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dur) / sum(dur), 4) AS twa
+    FROM seg
+    WHERE dur IS NOT NULL
+    GROUP BY 1
+    HAVING sum(dur) > 0
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user: each reading is held
+    until the next one (step interpolation), weighted by the hold
+    duration — the TimescaleDB ``time_weight('LOCF')`` semantics. One
+    window partitioned by user_id (parallel across users) feeding one
+    aggregate on the same key: a single shuffle end to end."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = t.events.select(
+        "user_id",
+        "value",
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("value") * F.col("dur_us"))
+                / F.sum("dur_us")
+            ).alias("twa_raw"),
+            F.sum("dur_us").alias("total_dur"),
+        )
+        .filter(F.col("total_dur") > 0)
+        .select("user_id", F.round("twa_raw", 4).alias("twa"))
+    )

@@ -897,3 +897,190 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(10))
     return t.documents.filter(bucket < rate).select("doc_id", "lang")
+
+
+@query(
+    "llm_gopher_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_DUCK_WORDS.format(col="text")} AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(ws)                                             AS n_words,
+             CASE WHEN len(ws) > 0 THEN
+               list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)
+             ELSE 0.0 END                                        AS mean_wl,
+             CASE WHEN len(ws) > 0 THEN
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(ws)
+             ELSE 0.0 END                                        AS frac_alpha,
+             len(list_filter(ws, w ->
+               list_contains(['the','and','of','is','to'], w))) AS n_stop
+      FROM base
+    )
+    SELECT doc_id,
+           n_words,
+           round(mean_wl, 4)    AS mean_word_len,
+           round(frac_alpha, 4) AS frac_alpha_words,
+           n_stop,
+           CAST(
+             n_words BETWEEN 10 AND 10000
+             AND mean_wl BETWEEN 2 AND 10
+             AND frac_alpha > 0.8
+             AND n_stop >= 2
+           AS INT) AS passes
+    FROM m
+    """,
+)
+def llm_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality gate (Rae et al. 2021, public): word
+    count bounds, mean word length window, alphabetic-word fraction, and a
+    minimum stop-word count — each rule a column, plus the conjunction.
+    All array HOFs over one tokenization; a 100 TB corpus filters in a
+    single scan with zero shuffle (thresholds adapted to the synthetic
+    docs' scale; the rule SHAPE is what the operator provides)."""
+    t = Tables(spark, sf_dir)
+    ws = T.words(F.col("text"))
+    base = t.documents.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    mean_wl = F.when(
+        n > 0,
+        F.aggregate("ws", F.lit(0), lambda a, w: a + F.length(w))
+        .cast("double")
+        / n,
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(
+        n > 0,
+        F.size(F.filter("ws", lambda w: w.rlike("[a-z]"))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.filter("ws", lambda w: w.isin(T.LANG_MARKERS["en"]))
+    )
+    m = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_wl"),
+        frac_alpha.alias("frac_alpha"),
+        n_stop.cast("long").alias("n_stop"),
+    )
+    passes = (
+        F.col("n_words").between(10, 10000)
+        & F.col("mean_wl").between(2, 10)
+        & (F.col("frac_alpha") > 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_wl", 4).alias("mean_word_len"),
+        F.round("frac_alpha", 4).alias("frac_alpha_words"),
+        "n_stop",
+        passes.cast("int").alias("passes"),
+    )
+
+
+@query(
+    "llm_top_bigrams",
+    oracle=f"""
+    WITH ws AS (
+      SELECT {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(w[1:len(w)-1], (x, i) -> x || ' ' || w[i+1]))
+               AS bigram
+      FROM ws
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def llm_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-20 word bigrams by exact count —
+    the boilerplate-detection primitive (C4/RefinedWeb strip documents
+    dominated by high-frequency spans). zip_with over the token array
+    builds bigrams without a self-join; the count is one shuffle on the
+    bigram key with map-side partial aggregation, then a 20-row driver
+    result. Ties break on the bigram string, so top-20 is deterministic."""
+    t = Tables(spark, sf_dir)
+    ws = T.words(F.col("text"))
+    base = t.documents.select(ws.alias("w"))
+    n1 = F.size("w") - 1
+    bigrams = F.zip_with(
+        F.slice("w", 1, n1),
+        F.slice("w", 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        base.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_WORDS.format(col="text")}) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+    ), dfq AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.word,
+             (tf.tf * 1.0 / dl.dl) * ln(n.n * 1.0 / dfq.df) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN n
+    ), rk AS (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rk
+      FROM scored
+    )
+    SELECT doc_id, word, round(tfidf, 6) AS tfidf, rk
+    FROM rk WHERE rk <= 5
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic keyword extractor.
+    Term frequencies and document frequencies are two aggregates over one
+    exploded scan; N arrives by broadcasting a single-row count (no
+    driver collect), idf joins back on the word key (skew-safe: word
+    cardinality is large), and the per-doc top-5 is a bounded window.
+    Deterministic under ties via the (tfidf DESC, word) sort."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    tok = t.documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = t.documents.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfq, "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                (F.col("tf") / F.col("dl"))
+                * F.log(F.col("n") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"), "rk")
+    )

@@ -193,3 +193,45 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_dur") > 0)
         .select("user_id", F.round("twa_raw", 4).alias("twa"))
     )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           round(list_reduce(vs, (acc, x) -> 0.7 * acc + 0.3 * x), 4) AS ewma
+    FROM ordered
+    WHERE len(vs) > 0
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3, recursive
+    s_i = 0.7*s_{i-1} + 0.3*x_i seeded with the first reading — pandas
+    ewm(adjust=False)) per user, WITHOUT a Python UDF: collect_list +
+    array_sort + one aggregate() fold, all JVM-side. The fold is
+    inherently sequential per key but keys process in parallel; state per
+    key is one array of that key's readings (bounded by per-user event
+    count — for unbounded keys, switch to the applyInPandasWithState
+    streaming formulation in streaming/stateful.py)."""
+    t = Tables(spark, sf_dir)
+    pairs = t.events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("value").alias("v"))
+            )
+        ).alias("ps")
+    )
+    vs = F.col("ps.v")
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1).cast("double"),
+        lambda acc, x: F.lit(0.7) * acc + F.lit(0.3) * x,
+    )
+    return (
+        pairs.filter(F.size(vs) > 0)
+        .select("user_id", F.round(ewma, 4).alias("ewma"))
+    )

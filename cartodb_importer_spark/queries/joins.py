@@ -245,3 +245,79 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_events"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id, max(o.o_orderdate) AS o_orderdate_asof
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate <= e.ts
+     AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts - INTERVAL 90 DAY
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 90-day tolerance: stale matches (order
+    older than the bound) are nulled, the pandas merge_asof(tolerance=…) /
+    kdb wj contract. Same single-shuffle union+window plan as join_asof —
+    the tolerance is a post-fill predicate, not a join condition, so the
+    plan shape is unchanged."""
+    t = Tables(spark, sf_dir)
+    joined = asof_join(
+        t.events.select("event_id", "user_id", "ts"),
+        t.orders.select(F.col("o_custkey").alias("user_id"), "o_orderdate"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=[],
+        tolerance_us=90 * 86_400 * 1_000_000,
+    )
+    return joined.select("event_id", "user_id", "o_orderdate_asof")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH b AS (
+      SELECT e.event_id, max(o.o_orderdate) AS bd
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      GROUP BY 1
+    ), f AS (
+      SELECT e.event_id, min(o.o_orderdate) AS fd
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts
+      GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id,
+           CASE
+             WHEN bd IS NULL THEN fd
+             WHEN fd IS NULL THEN bd
+             WHEN epoch(e.ts - CAST(bd AS TIMESTAMP))
+                  <= epoch(CAST(fd AS TIMESTAMP) - e.ts) THEN bd
+             ELSE fd
+           END AS o_orderdate_asof
+    FROM events e JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each event takes whichever order date
+    (latest-before or earliest-after) is closer in time, backward winning
+    ties — DuckDB/pandas 'nearest' semantics. Implemented as two window
+    fills over ONE exchange (the second window re-sorts the same hash
+    partitioning); the oracle states it as two extremal joins + CASE."""
+    t = Tables(spark, sf_dir)
+    joined = asof_join(
+        t.events.select("event_id", "user_id", "ts"),
+        t.orders.select(F.col("o_custkey").alias("user_id"), "o_orderdate"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=[],
+        direction="nearest",
+    )
+    return joined.select("event_id", "user_id", "o_orderdate_asof")

@@ -109,6 +109,71 @@ def test_asof_join_backward_and_forward(spark):
     assert got_f == {1: 1000, 2: None, 3: 600}
 
 
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 50), (4, "u", 130)],
+        "id long, k string, t long",
+    ).select("id", "k", F.timestamp_millis(F.col("t") * 1000).alias("ts"))
+    right = spark.createDataFrame(
+        [("u", 60, 600), ("u", 200, 2000), ("u", 100, 1000)],
+        "k string, t long, payload long",
+    ).select(
+        "k", F.timestamp_millis(F.col("t") * 1000).alias("rts"), "payload"
+    )
+    return left, right
+
+
+def test_asof_join_nearest(spark):
+    left, right = _asof_fixture(spark)
+    near = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["payload"], direction="nearest",
+    )
+    got = {r["id"]: r["payload"] for r in near.collect()}
+    # id1@100: exact hit rts100. id2@250: only backward rts200.
+    # id3@50: forward rts60 (no backward). id4@130: back rts100 dist30 vs
+    # fwd rts200 dist70 -> backward.
+    assert got == {1: 1000, 2: 2000, 3: 600, 4: 1000}
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 150)], "id long, k string, t long"
+    ).select("id", "k", F.timestamp_millis(F.col("t") * 1000).alias("ts"))
+    right = spark.createDataFrame(
+        [("u", 100, 111), ("u", 200, 222)], "k string, t long, payload long"
+    ).select(
+        "k", F.timestamp_millis(F.col("t") * 1000).alias("rts"), "payload"
+    )
+    near = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["payload"], direction="nearest",
+    )
+    assert near.first()["payload"] == 111  # equidistant -> backward wins
+
+
+def test_asof_join_tolerance(spark):
+    left, right = _asof_fixture(spark)
+    tol = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["payload"], tolerance_us=40 * 1_000_000,
+    )
+    got = {r["id"]: r["payload"] for r in tol.collect()}
+    # id2@250: backward rts200 is 50s stale > 40s tolerance -> null
+    # id4@130: backward rts100, 30s <= 40s -> kept
+    assert got == {1: 1000, 2: None, 3: None, 4: 1000}
+
+    tol_f = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["payload"], direction="forward",
+        tolerance_us=20 * 1_000_000,
+    )
+    got_f = {r["id"]: r["payload"] for r in tol_f.collect()}
+    # forward matches: id1@100->rts100 (0s), id3@50->rts60 (10s),
+    # id4@130->rts200 (70s > 20s -> null)
+    assert got_f == {1: 1000, 2: None, 3: 600, 4: None}
+
+
 def test_raster_stub_tiling(spark, tmp_path):
     from cartodb_importer_spark.readers.raster import (
         raster_tile_stats, read_raster,

@@ -1084,3 +1084,88 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"), "rk")
     )
+
+
+@query(
+    "llm_embedding_standardize",
+    oracle="""
+    WITH idx AS (
+      SELECT unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) AS u
+      FROM embeddings
+    ), stats AS (
+      SELECT u.i AS i, avg(u.x) AS m, stddev_pop(u.x) AS s
+      FROM idx GROUP BY 1
+    ), arrs AS (
+      SELECT list(m ORDER BY i) AS ms, list(s ORDER BY i) AS ss FROM stats
+    )
+    SELECT vec_id,
+           list_transform(embedding, (x, i) -> round((x - ms[i]) / ss[i], 4) + 0.0)
+             AS z
+    FROM embeddings, arrs
+    """,
+)
+def llm_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding column — the
+    feature-scaling pass before clustering / ANN training. Dimension
+    stats come from ONE posexplode aggregate (map-side combine collapses
+    each partition to 64 partials before the 64-key shuffle), re-enter as
+    a single broadcast row of (means[], stds[]), and the normalization is
+    a transform() with the index lambda — no join back on vec_id, no
+    second shuffle, scales to any row count."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings
+    stats = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"), F.stddev_pop("x").alias("s"))
+    )
+    arrs = stats.agg(
+        F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pm"),
+        F.array_sort(F.collect_list(F.struct("i", "s"))).alias("ps"),
+    ).select(
+        F.col("pm.m").alias("ms"),
+        F.col("ps.s").alias("ss"),
+    )
+    z = F.transform(
+        "embedding",
+        lambda x, i: F.round(
+            (x - F.element_at(F.col("ms"), i + 1))
+            / F.element_at(F.col("ss"), i + 1),
+            4,
+        )
+        + F.lit(0.0),
+    )
+    return e.crossJoin(F.broadcast(arrs)).select("vec_id", z.alias("z"))
+
+
+@query(
+    "llm_label_centroids",
+    oracle="""
+    WITH idx AS (
+      SELECT label,
+             unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) AS u
+      FROM embeddings
+    )
+    SELECT label, u.i - 1 AS dim,
+           round(avg(u.x), 4)        AS centroid,
+           round(stddev_pop(u.x), 4) AS spread,
+           count(*)                  AS n
+    FROM idx GROUP BY 1, 2
+    """,
+)
+def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid and spread for every embedding dimension — the
+    cluster-quality / class-separation diagnostic (and the M-step of a
+    k-means iteration if fed back to llm_ivf_topk's assignment). Flat
+    (label, dim) output keeps the aggregate fully map-side-combinable:
+    10 labels x 64 dims = 640 groups regardless of corpus size."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("x"), 4).alias("centroid"),
+            F.round(F.stddev_pop("x"), 4).alias("spread"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -61,3 +61,117 @@ def batch_user_totals(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------- sessions
+
+SESSION_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp,"
+    " n_events long, total_value double"
+)
+# open-session state per user, timestamps in unix micros
+SESSION_STATE = "start long, last long, n long, total double"
+
+_GAP_US_DEFAULT = 1800 * 1_000_000
+
+
+def _make_session_updater(gap_us: int):
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        def row(start, last, n, total):
+            return {
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start, unit="us"),
+                "session_end": pd.Timestamp(last, unit="us"),
+                "n_events": n,
+                "total_value": round(total, 2),
+            }
+
+        if state.hasTimedOut:
+            # watermark passed last+gap with no new events: flush the open
+            # session and drop the key (bounded state under churn)
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last, n, total)])
+            return
+
+        events = pd.concat(list(pdfs), ignore_index=True)
+        # datetime64[ns] -> unix micros (integer division, exact)
+        ts_us = events["ts"].astype("int64") // 1000
+        order = ts_us.argsort(kind="stable")
+        ts_us = ts_us.iloc[order].to_numpy()
+        vals = events["value"].iloc[order].to_numpy()
+
+        open_s = state.get if state.exists else None
+        closed = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if open_s is None:
+                open_s = (t, t, 1, float(v))
+            else:
+                start, last, n, total = open_s
+                if t - last > gap_us:
+                    closed.append(row(start, last, n, total))
+                    open_s = (t, t, 1, float(v))
+                else:
+                    open_s = (start, max(last, t), n + 1, total + float(v))
+        state.update(open_s)
+        # event-time timeout at last+gap: fires when the watermark passes it
+        state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return _update
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Event-time sessionization with a custom gap rule on arbitrary state
+    (the applyInPandasWithState escape hatch — built-in session_window
+    covers plain gaps; this operator is where per-session custom logic
+    lives: counts, sums, any session-scoped feature). A session CLOSES
+    when a later event arrives more than ``gap_sec`` after it, or when the
+    event-time watermark passes ``last + gap`` (GroupStateTimeout
+    .EventTimeTimeout flushes idle keys, keeping state bounded). Emitted
+    rows are CLOSED sessions only; the trailing open session per user
+    flushes on timeout as the watermark advances."""
+    src = (
+        events.withWatermark("ts", watermark) if events.isStreaming else events
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _make_session_updater(gap_sec * 1_000_000),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def batch_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Batch twin of sessionize_events (gaps-and-islands over a window):
+    ALL sessions, including each user's final one."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = events.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > gap_sec * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return marked.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).drop("sid")

@@ -179,3 +179,79 @@ def test_stream_stream_interval_join(spark, events_dir):
     cols = ["user_id", "purchase_id", "error_id"]
     assert _canon(got, cols) == _canon(expected, cols)
     assert got.count() > 0  # non-trivial join
+
+
+def test_stateful_sessionize_with_timeout(spark, events_dir):
+    """Custom stateful sessionizer: closed sessions emitted by the stream
+    must equal the batch gaps-and-islands sessions, except each user's
+    trailing session (still open in state when the availableNow stream
+    exhausts — the 30-day watermark deliberately never fires the timeout
+    here, so the cross-batch gap logic is what's under test)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.streaming.stateful import (
+        batch_sessions, sessionize_events,
+    )
+
+    gap = 600  # 10 min: sf0.001 events are sparse enough to split sessions
+
+    # Sessionization assumes watermark-bounded arrival order; build
+    # time-range micro-batches (written sequentially so the file source
+    # triggers them oldest-first), unlike the random-split events_dir.
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = spark.read.parquet(events_dir)
+    b_us = src.selectExpr(
+        "percentile(unix_micros(ts), array(0.33, 0.66)) AS b"
+    ).first()["b"]
+    import datetime as _dt
+
+    bounds = [
+        _dt.datetime.utcfromtimestamp(v / 1e6) for v in b_us
+    ]
+    d = events_dir + "_ordered"
+    os.makedirs(d, exist_ok=True)
+    from pyspark.sql import functions as FF
+
+    chunks = [
+        src.filter(FF.col("ts") < bounds[0]),
+        src.filter((FF.col("ts") >= bounds[0]) & (FF.col("ts") < bounds[1])),
+        src.filter(FF.col("ts") >= bounds[1]),
+    ]
+    for i, ch in enumerate(chunks):
+        tmp = f"{d}_tmp{i}"
+        ch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{d}/b{i}.parquet")
+        shutil.rmtree(tmp)
+        time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+    stream_df = S.read_events_stream(spark, d)
+    q = (
+        sessionize_events(stream_df, gap_sec=gap)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("t_sessions")
+
+    batch = batch_sessions(spark.read.parquet(events_dir), gap_sec=gap)
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    expected = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn > 1")  # drop each user's final (open) session
+        .drop("rn")
+    )
+    cols = [
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    ]
+    got = _canon(emitted, cols)
+    want = _canon(expected, cols)
+    assert len(got) > 50  # sanity: the gap actually splits sessions
+    assert got == want

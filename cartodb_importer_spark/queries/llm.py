@@ -1169,3 +1169,74 @@ def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_DUCK_WS_5 = _DUCK_WORDS.format(col="text")
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, source, {_DUCK_WS_5} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, source, unnest({_duck_shingles("w", 5)}) AS s FROM ws
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE source = 'src0'
+    ), hits AS (
+      SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+      FROM sh JOIN bench USING (s)
+      WHERE sh.source != 'src0'
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_shared, 0)                    AS n_shared,
+           CAST(coalesce(h.n_shared, 0) > 0 AS INT)   AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source != 'src0'
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-5-gram with a held-out benchmark set (here: source='src0'),
+    counting the distinct shared shingles — the standard eval-leak scrub
+    (GPT-3 appendix C / Dolma). The benchmark shingle set is DISTINCT and
+    small relative to the corpus, so Spark broadcasts it; the training
+    side streams through a map-side hash semi-join with NO shuffle of the
+    full shingle explosion, then aggregates per doc. At 100 TB the
+    explode never materializes corpus-wide — it pipelines scan-local into
+    the broadcast probe."""
+    t = Tables(spark, sf_dir)
+    # two-step projection per shingles_of's performance contract: words
+    # materialized before the shingle lambda touches them; source rides
+    # along so no re-join is needed
+    sh = (
+        t.documents.select(
+            "doc_id", "source", T.words(F.col("text")).alias("__ws")
+        )
+        .select(
+            "doc_id", "source", D.shingles_of(F.col("__ws"), 5).alias("__sh")
+        )
+        .select("doc_id", "source", F.explode("__sh").alias("s"))
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0").select("s").distinct()
+    )
+    train = sh.filter(F.col("source") != "src0")
+    hits = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+    return (
+        t.documents.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -565,3 +565,47 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_n").alias("n"),
         F.round(F.sum("p_price") / F.sum("p_n"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "agg_equidepth_bins",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(l_extendedprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           len(list_filter(bs, b -> b <= l_extendedprice)) AS bucket
+    FROM lineitem, bounds
+    """,
+)
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) feature binning against GLOBAL quantiles — the
+    discretization pass before histogram features / monotonic-bucket
+    encodings. The nine bounds come from one exact-percentile aggregate
+    (single reduce to one row), re-enter as a broadcast, and each row's
+    bucket is a count of bounds at-or-below its value — no per-row join,
+    no sort of the full table, scales as one scan + one 9-double
+    broadcast. Both engines interpolate linearly, and non-integral
+    quantile indices interpolate strictly between data values, so the
+    <= comparison is stable cross-engine."""
+    t = Tables(spark, sf_dir)
+    bounds = t.lineitem.agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+        ).alias("bs")
+    )
+    return (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.size(
+                F.filter("bs", lambda b: b <= F.col("l_extendedprice"))
+            ).cast("long").alias("bucket"),
+        )
+    )

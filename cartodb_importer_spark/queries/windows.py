@@ -297,3 +297,34 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+                 4) AS med10
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over the trailing 10 readings per user — the
+    robust-smoothing counterpart of a moving average (noise/outlier
+    tolerant trend for sensor streams). Spark evaluates percentile() as a
+    true window aggregate over the row frame; one shuffle on user_id,
+    frames never exceed 10 rows so memory is O(frame), not O(partition).
+    Ordering ties broken by event_id for cross-engine determinism."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med10"),
+    )

@@ -109,14 +109,15 @@ def _fsum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def st_area(geom: Column) -> Column:
-    """Planar shoelace area of a single-ring POLYGON (closed ring).
+def st_area_xy(xs: Column, ys: Column) -> Column:
+    """Planar shoelace area from pre-parsed coordinate arrays.
 
     sum(x_i*y_{i+1} - x_{i+1}*y_i) over consecutive vertex pairs, halved
-    and absolute — signs cancel for either winding order. The coordinate
-    arrays are materialized once per row; slices feed zip_with so the
-    whole computation stays in one projection (no UDF, no explode)."""
-    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
+    and absolute — signs cancel for either winding order. Taking arrays
+    (not WKT) lets a query parse the ring ONCE into projection columns
+    and feed all four metrics from them: interpreted HOF expressions get
+    no common-subexpression elimination, so each WKT-taking call would
+    otherwise re-run the regexp+split+cast parse per row."""
     n1 = F.size(xs) - 1
     cross = _fsum(
         F.zip_with(F.slice(xs, 1, n1), F.slice(ys, 2, n1), lambda x, y: x * y)
@@ -126,28 +127,42 @@ def st_area(geom: Column) -> Column:
     return F.abs(cross) / 2.0
 
 
-def st_perimeter(geom: Column) -> Column:
-    """Planar perimeter of a single-ring POLYGON (sum of edge lengths)."""
-    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
+def st_area(geom: Column) -> Column:
+    """Planar shoelace area of a single-ring POLYGON WKT (closed ring)."""
+    return st_area_xy(st_ring_xs(geom), st_ring_ys(geom))
+
+
+def st_perimeter_xy(xs: Column, ys: Column) -> Column:
+    """Planar perimeter from pre-parsed coordinate arrays."""
     n1 = F.size(xs) - 1
     dx = F.zip_with(F.slice(xs, 2, n1), F.slice(xs, 1, n1), lambda a, b: a - b)
     dy = F.zip_with(F.slice(ys, 2, n1), F.slice(ys, 1, n1), lambda a, b: a - b)
     return _fsum(F.zip_with(dx, dy, lambda a, b: F.sqrt(a * a + b * b)))
 
 
-def st_centroid_x(geom: Column) -> Column:
-    """X of the area-weighted centroid of a single-ring POLYGON (standard
-    shoelace centroid; NULL/NaN for degenerate zero-area rings — callers
-    filter those, matching PostGIS ST_Centroid's POINT EMPTY behavior)."""
-    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
+def st_perimeter(geom: Column) -> Column:
+    """Planar perimeter of a single-ring POLYGON (sum of edge lengths)."""
+    return st_perimeter_xy(st_ring_xs(geom), st_ring_ys(geom))
+
+
+def _centroid_cross(xs: Column, ys: Column) -> Column:
     n1 = F.size(xs) - 1
     x1, x2 = F.slice(xs, 1, n1), F.slice(xs, 2, n1)
     y1, y2 = F.slice(ys, 1, n1), F.slice(ys, 2, n1)
-    cross = F.zip_with(
+    return F.zip_with(
         F.zip_with(x1, y2, lambda x, y: x * y),
         F.zip_with(x2, y1, lambda x, y: x * y),
         lambda a, b: a - b,
     )
+
+
+def st_centroid_x_xy(xs: Column, ys: Column) -> Column:
+    """X of the area-weighted centroid from pre-parsed arrays (standard
+    shoelace centroid; NULL for degenerate zero-area rings — callers
+    filter those, matching PostGIS ST_Centroid's POINT EMPTY behavior)."""
+    n1 = F.size(xs) - 1
+    x1, x2 = F.slice(xs, 1, n1), F.slice(xs, 2, n1)
+    cross = _centroid_cross(xs, ys)
     signed_area = _fsum(cross) / 2.0
     sx = _fsum(
         F.zip_with(
@@ -159,17 +174,16 @@ def st_centroid_x(geom: Column) -> Column:
     return F.try_divide(sx, 6.0 * signed_area)
 
 
-def st_centroid_y(geom: Column) -> Column:
-    """Y of the area-weighted centroid of a single-ring POLYGON."""
-    xs, ys = st_ring_xs(geom), st_ring_ys(geom)
-    n1 = F.size(xs) - 1
-    x1, x2 = F.slice(xs, 1, n1), F.slice(xs, 2, n1)
+def st_centroid_x(geom: Column) -> Column:
+    """X of the area-weighted centroid of a single-ring POLYGON."""
+    return st_centroid_x_xy(st_ring_xs(geom), st_ring_ys(geom))
+
+
+def st_centroid_y_xy(xs: Column, ys: Column) -> Column:
+    """Y of the area-weighted centroid from pre-parsed arrays."""
+    n1 = F.size(ys) - 1
     y1, y2 = F.slice(ys, 1, n1), F.slice(ys, 2, n1)
-    cross = F.zip_with(
-        F.zip_with(x1, y2, lambda x, y: x * y),
-        F.zip_with(x2, y1, lambda x, y: x * y),
-        lambda a, b: a - b,
-    )
+    cross = _centroid_cross(xs, ys)
     signed_area = _fsum(cross) / 2.0
     sy = _fsum(
         F.zip_with(
@@ -177,6 +191,11 @@ def st_centroid_y(geom: Column) -> Column:
         )
     )
     return F.try_divide(sy, 6.0 * signed_area)
+
+
+def st_centroid_y(geom: Column) -> Column:
+    """Y of the area-weighted centroid of a single-ring POLYGON."""
+    return st_centroid_y_xy(st_ring_xs(geom), st_ring_ys(geom))
 
 
 def st_point_in_polygon(x: Column, y: Column, geom: Column) -> Column:
@@ -338,6 +357,60 @@ def st_geodesic_area_km2(geom: Column) -> Column:
         lambda acc, a: acc + a,
     )
     return shell - holes
+
+
+def parse_wkt_polygon(wkt: str) -> list[list[tuple[float, float]]]:
+    """Driver-side parse of a LITERAL polygon WKT into rings of (x, y)
+    vertex tuples (ring 0 = shell, rest = holes)."""
+    import re as _re
+
+    m = _re.match(r"^POLYGON\s*\((.*)\)$", wkt.strip(), _re.S)
+    if not m:
+        raise ValueError(f"not a POLYGON WKT: {wkt[:50]!r}")
+    rings = []
+    for body in _re.split(r"\)\s*,\s*\(", m.group(1)):
+        body = body.strip().lstrip("(").rstrip(")")
+        rings.append(
+            tuple(
+                (float(p.split()[0]), float(p.split()[1]))
+                for p in _re.split(r",\s*", body)
+            )
+        )
+    return rings
+
+
+def st_point_in_polygon_const(x: Column, y: Column, wkt: str) -> Column:
+    """Even-odd containment against a CONSTANT polygon (holes supported).
+
+    The WKT parses ONCE on the driver; the per-row test unrolls to plain
+    comparisons/arithmetic per edge — whole-stage-codegen friendly, unlike
+    the column variants whose regexp+split+HOF tree re-parses the literal
+    text for every row (interpreted, no CSE). Use this whenever the
+    polygon is a Python-string constant; use st_point_in_polygon_multi
+    when the polygon varies per row."""
+    crossings = F.lit(0)
+    for ring in parse_wkt_polygon(wkt):
+        for (px, py), (qx, qy) in zip(ring, ring[1:]):
+            if py == qy:
+                continue  # horizontal edge never straddles the ray
+            x_at_y = px + (y - F.lit(py)) / F.lit(qy - py) * F.lit(qx - px)
+            straddles = (F.lit(py) > y) != (F.lit(qy) > y)
+            crossings = crossings + F.when(
+                straddles & (x < x_at_y), 1
+            ).otherwise(0)
+    return crossings % 2 == 1
+
+
+def shoelace_area(ring: list[tuple[float, float]]) -> float:
+    """Driver-side unsigned shoelace area of one closed ring."""
+    s = sum(px * qy - qx * py for (px, py), (qx, qy) in zip(ring, ring[1:]))
+    return abs(s) / 2.0
+
+
+def polygon_area_const(wkt: str) -> float:
+    """Driver-side planar area of a constant polygon, holes subtracted."""
+    rings = parse_wkt_polygon(wkt)
+    return shoelace_area(rings[0]) - sum(shoelace_area(r) for r in rings[1:])
 
 
 def grid_cell(

@@ -149,6 +149,87 @@ def utm_inverse(easting, northing, zone: int, south: bool = False):
     return _tm_inverse(xi, eta, zone * 6.0 - 183.0)
 
 
+# ----------------------------------------- Lambert Conformal Conic (2SP)
+# Snyder, "Map Projections — A Working Manual" (USGS PP 1395, 1987),
+# pp. 104-110 — public formulas. GRS80 and WGS84 differ by < 0.1 mm in
+# flattening; the datum shift between WGS84 and the ETRS89/RGF93/NAD83
+# realizations below is < ~2 m and is treated as identity (the same
+# approximation pyproj applies without a datum grid).
+
+
+class LCCParams:
+    """2SP Lambert Conformal Conic parameter set (angles in degrees)."""
+
+    def __init__(self, lat0, lon0, lat1, lat2, fe, fn, a=_A, f=_F):
+        self.lat0, self.lon0 = lat0, lon0
+        self.lat1, self.lat2 = lat1, lat2
+        self.fe, self.fn = fe, fn
+        self.a = a
+        e2 = f * (2.0 - f)
+        self.e = float(np.sqrt(e2))
+
+        def m(phi):
+            s = np.sin(phi)
+            return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+
+        def t(phi):
+            s = np.sin(phi)
+            return np.tan(np.pi / 4.0 - phi / 2.0) / (
+                (1.0 - self.e * s) / (1.0 + self.e * s)
+            ) ** (self.e / 2.0)
+
+        p0, p1, p2 = map(np.radians, (lat0, lat1, lat2))
+        m1, m2 = m(p1), m(p2)
+        t0, t1, t2 = t(p0), t(p1), t(p2)
+        self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        self.F = float(m1 / (self.n * t1**self.n))
+        self.rho0 = float(self.a * self.F * t0**self.n)
+
+
+#: Common LCC CRSs (parameters from the public EPSG registry).
+LCC_EPSG: dict[int, LCCParams] = {
+    # RGF93 / Lambert-93 (France)
+    2154: LCCParams(46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
+    # NAD83 / Statistics Canada Lambert
+    3347: LCCParams(63.390675, -91.866667, 49.0, 77.0, 6200000.0, 3000000.0),
+    # ETRS89-extended / LCC Europe
+    3034: LCCParams(52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),
+}
+
+
+def lcc_forward(lon, lat, p: LCCParams):
+    """(lon, lat) degrees -> LCC (easting, northing). Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - p.e * s) / (1.0 + p.e * s)
+    ) ** (p.e / 2.0)
+    rho = p.a * p.F * t**p.n
+    theta = p.n * np.radians(lon - p.lon0)
+    return p.fe + rho * np.sin(theta), p.fn + p.rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(x, y, p: LCCParams):
+    """LCC (easting, northing) -> (lon, lat) degrees. Vectorized; the
+    latitude series inverts t(phi) by fixed-point iteration (converges
+    quadratically; 8 rounds reach double precision everywhere LCC is
+    defined)."""
+    x = np.asarray(x, dtype=np.float64) - p.fe
+    y = p.rho0 - (np.asarray(y, dtype=np.float64) - p.fn)
+    rho = np.sign(p.n) * np.hypot(x, y)
+    theta = np.arctan2(np.sign(p.n) * x, np.sign(p.n) * y)
+    t = (rho / (p.a * p.F)) ** (1.0 / p.n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = p.e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (p.e / 2.0)
+        )
+    lon = np.degrees(theta / p.n) + p.lon0
+    return lon, np.degrees(phi)
+
+
 # ------------------------------------------------------------ EPSG dispatch
 
 
@@ -158,13 +239,14 @@ def supported_epsg(srid: int) -> bool:
         srid == 3857
         or 32601 <= srid <= 32660
         or 32701 <= srid <= 32760
+        or srid in LCC_EPSG
     )
 
 
 def transform_to_4326(srid: int):
     """Vectorized (x, y) -> (lon, lat) callable for a supported SRID, or
     None. Mirrors pyproj.Transformer.from_crs(srid, 4326, always_xy=True)
-    for EPSG:3857 and the WGS84 UTM zones."""
+    for EPSG:3857, the WGS84 UTM zones, and the registered LCC CRSs."""
     if srid == 3857:
         return webmercator_inverse
     if 32601 <= srid <= 32660:
@@ -173,4 +255,7 @@ def transform_to_4326(srid: int):
     if 32701 <= srid <= 32760:
         zone = srid - 32700
         return lambda x, y: utm_inverse(x, y, zone, south=True)
+    if srid in LCC_EPSG:
+        p = LCC_EPSG[srid]
+        return lambda x, y: lcc_inverse(x, y, p)
     return None

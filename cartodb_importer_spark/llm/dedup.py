@@ -14,7 +14,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import words
@@ -101,46 +101,68 @@ def minhash_signature(
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 8, n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    n: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH banding: documents sharing ANY band value become a candidate
     pair. The self-join is per (band, value) bucket — the only rows that
     meet are those already likely similar, so the join never goes
-    quadratic in the corpus size."""
+    quadratic in the corpus size.
+
+    Degenerate-bucket guard: a hot band value (empty/boilerplate docs all
+    sharing a signature slice) would make its bucket quadratic. Buckets
+    larger than ``max_bucket`` switch to a STAR pattern — every member
+    pairs with the bucket's min id only — which is linear in the bucket
+    size yet still connects the whole bucket for the connected-components
+    cluster pass. Recall tradeoff (documented, deliberate): in an
+    oversized bucket, two docs similar to each other but NOT to the
+    representative won't form a direct candidate pair."""
     sig = minhash_signature(df, text_col, id_col, bands, n)
-    stacked = (
-        sig.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"mh_{b}").alias("val")
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bv"),
-        )
-        .select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-        # the self-join reads this twice; without persist Spark recomputes
-        # the whole shingle+md5 tree on both sides
-        .persist()
+    stacked = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"mh_{b}").alias("val")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    # One shuffle on (band, val) computes both the bucket size and the
+    # bucket representative; persisted because the branches below read it
+    # three times (without persist Spark recomputes shingle+md5 per read).
+    w = Window.partitionBy("band", "val")
+    annotated = stacked.select(
+        id_col,
+        "band",
+        "val",
+        F.count(F.lit(1)).over(w).alias("__bn"),
+        F.min(id_col).over(w).alias("__rep"),
+    ).persist()
+    small = annotated.filter(F.col("__bn") <= max_bucket).select(
+        id_col, "band", "val"
     )
-    left = stacked.alias("a")
-    right = stacked.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    left = small.alias("a")
+    right = small.alias("b")
+    pairs_small = left.join(
+        right,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
+    pairs_big = annotated.filter(
+        (F.col("__bn") > max_bucket) & (F.col(id_col) != F.col("__rep"))
+    ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def jaccard_pairs(
@@ -274,17 +296,24 @@ def connected_components(
     This is the cluster step of full near-dedup: survivors = one doc per
     component (the component id itself, being the min doc id).
     """
+    # localCheckpoint (not persist): each round's frame references the
+    # previous one, so with plain persist the logical plan GROWS per round
+    # and Catalyst re-analyzes the whole history every iteration — the
+    # classic iterative-algorithm trap. Checkpointing truncates lineage,
+    # keeping per-round planning cost O(1). (On a real cluster prefer
+    # reliable checkpoint() to survive executor loss; localCheckpoint is
+    # the right latency tradeoff for bounded round counts.)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -292,29 +321,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Carry the previous label alongside the new one so convergence is
+        # a filter over this already-persisted frame — not a second join
+        # of updated-vs-labels (one fewer shuffle per round).
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("component") < F.col("__prev")).limit(1).count()
         )
-        labels.unpersist()
-        labels = updated
+        labels = updated.select("id", "component")
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 

@@ -77,7 +77,12 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, converting TIMESTAMP(NANOS) columns (read as long
     nanos under spark.sql.legacy.parquet.nanosAsLong) back to timestamps.
     Integer `div` keeps the ns->us conversion exact (double division would
-    lose precision above 2^53 ns)."""
+    lose precision above 2^53 ns).
+
+    ``nanosAsLong`` is set here (it is a runtime-settable SQL conf) rather
+    than only in the session factory, so the read works on ANY externally
+    created SparkSession — e.g. the correctness driver's — not just ours."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     try:
         import pyarrow.parquet as pq

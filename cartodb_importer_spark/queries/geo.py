@@ -120,11 +120,13 @@ def geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation. Degenerate (zero-area) rings are filtered, matching
     PostGIS ST_Centroid's refusal to emit a point for empty geometry."""
     from ..functions.geo import (
-        st_area,
-        st_centroid_x,
-        st_centroid_y,
-        st_perimeter,
+        st_area_xy,
+        st_centroid_x_xy,
+        st_centroid_y_xy,
+        st_perimeter_xy,
         st_polygon,
+        st_ring_xs,
+        st_ring_ys,
     )
 
     t = Tables(spark, sf_dir)
@@ -146,14 +148,22 @@ def geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
         ).alias("the_geom"),
     )
-    geom = F.col("the_geom")
+    # Parse the ring ONCE into array columns; the four metrics read the
+    # arrays. Interpreted HOF trees get no CSE, so calling the WKT-taking
+    # variants here would re-run regexp+split+cast 8× per row.
+    parsed = g.select(
+        "l_orderkey",
+        st_ring_xs(F.col("the_geom")).alias("xs"),
+        st_ring_ys(F.col("the_geom")).alias("ys"),
+    )
+    xs, ys = F.col("xs"), F.col("ys")
     return (
-        g.select(
+        parsed.select(
             "l_orderkey",
-            st_area(geom).alias("area_raw"),
-            st_perimeter(geom).alias("perim_raw"),
-            st_centroid_x(geom).alias("cx_raw"),
-            st_centroid_y(geom).alias("cy_raw"),
+            st_area_xy(xs, ys).alias("area_raw"),
+            st_perimeter_xy(xs, ys).alias("perim_raw"),
+            st_centroid_x_xy(xs, ys).alias("cx_raw"),
+            st_centroid_y_xy(xs, ys).alias("cy_raw"),
         )
         .select(
             "l_orderkey",
@@ -194,11 +204,14 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     region as explicit rectangle unions, independently of the ray-cast.
     One aggregate per row over the edge array; at 100 TB this is a
     scan-local projection with no shuffle beyond the final tiny groupBy."""
-    from ..functions.geo import st_point_in_polygon
+    from ..functions.geo import st_point_in_polygon_const
 
     t = Tables(spark, sf_dir)
-    inside = st_point_in_polygon(
-        F.col("l_tax"), F.col("l_discount"), F.lit(_L_POLY)
+    # constant polygon -> driver-side parse, per-row work is unrolled
+    # comparisons in whole-stage codegen (st_point_in_polygon stays the
+    # per-row-polygon path and is exercised by tests/test_geo.py)
+    inside = st_point_in_polygon_const(
+        F.col("l_tax"), F.col("l_discount"), _L_POLY
     )
     return t.lineitem.groupBy("l_returnflag").agg(
         F.count(F.when(inside, 1)).alias("n_inside"),
@@ -239,16 +252,21 @@ def geo_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses shell once and hole once (even -> outside) — the semantics
     PostGIS ST_Contains gives for interior rings (reference builds such
     geometries via shp2pgsql multi-ring loads, importer.rb:348-373)."""
-    from ..functions.geo import st_area_multi, st_point_in_polygon_multi
+    from ..functions.geo import polygon_area_const, st_point_in_polygon_const
 
     t = Tables(spark, sf_dir)
-    inside = st_point_in_polygon_multi(
-        F.col("l_tax"), F.col("l_discount"), F.lit(_DONUT)
+    # constant donut -> driver-side parse + area fold: the previous
+    # F.first(st_area_multi(lit)) formulation re-parsed the donut WKT per
+    # INPUT row (HOF trees are interpreted, no CSE); the area is a plain
+    # Python number here. st_area_multi/st_point_in_polygon_multi remain
+    # the per-row-polygon path, exercised by tests/test_geo.py.
+    inside = st_point_in_polygon_const(
+        F.col("l_tax"), F.col("l_discount"), _DONUT
     )
     return t.lineitem.groupBy("l_returnflag").agg(
         F.count(F.when(inside, 1)).alias("n_inside"),
         F.count(F.lit(1)).alias("n_total"),
-        F.round(F.first(st_area_multi(F.lit(_DONUT))), 9).alias("donut_area"),
+        F.lit(round(polygon_area_const(_DONUT), 9)).alias("donut_area"),
     )
 
 

@@ -167,24 +167,31 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(abs(l_discount - 0.05), 4)       AS disc_dev,
+           floor(abs(l_discount - 0.05) * 10000 + 0.5) / 10000 AS disc_dev,
            floor(l_quantity)                      AS qty_floor,
            ceil(l_extendedprice / 1000)           AS price_k,
-           round(sqrt(l_quantity), 4)             AS qty_sqrt,
+           floor(sqrt(l_quantity) * 10000 + 0.5) / 10000       AS qty_sqrt,
            CAST(l_quantity AS INTEGER) % 7        AS qty_mod
     FROM lineitem
     """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """abs/round/floor/ceil/sqrt/mod math surface."""
+    """abs/round/floor/ceil/sqrt/mod math surface.
+
+    Rounding to 4 dp is expressed as ``floor(x*1e4 + 0.5)/1e4`` on BOTH
+    engines: Spark's round() goes through BigDecimal HALF_UP on the exact
+    binary expansion while DuckDB rounds the scaled double, and the two
+    disagree in the last digit on ~1e-5 of rows. The shared formulation
+    is pure IEEE double math, so the results are bitwise identical."""
     t = Tables(spark, sf_dir)
     return t.lineitem.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        (F.floor(F.abs(F.col("l_discount") - 0.05) * 10000 + 0.5) / 10000)
+        .alias("disc_dev"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
-        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        (F.floor(F.sqrt("l_quantity") * 10000 + 0.5) / 10000).alias("qty_sqrt"),
         (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
     )
 

@@ -18,6 +18,26 @@ import zipfile
 
 from pyspark.sql import DataFrame
 
+#: Max rows the driver-side export paths (KMZ/SHP zip assembly) will
+#: collect. Export-to-download is a bounded workflow by contract; this
+#: guard keeps an accidental 100 TB table from OOMing the driver.
+EXPORT_ROW_CAP = 1_000_000
+
+
+def _guard_export_size(df: DataFrame, cap: int | None = None) -> None:
+    """Raise if df exceeds the driver-side export cap. Uses a limit(cap+1)
+    probe, not count(): the probe stops scanning after cap+1 rows, so it
+    stays cheap even when the input is huge."""
+    if cap is None:
+        cap = EXPORT_ROW_CAP
+    probe = df.limit(cap + 1).count()
+    if probe > cap:
+        raise ValueError(
+            f"export exceeds the driver-side row cap ({cap}); use the "
+            "partitioned directory sinks (write_csv_dir/write_parquet_dir) "
+            "for large tables"
+        )
+
 
 def write_csv_dir(df: DataFrame, path: str, header: bool = True) -> None:
     """Partitioned CSV directory — the scalable export."""
@@ -84,8 +104,9 @@ def export_kmz(
     """O29: KMZ whose single entry is always doc.kml (exporter.rb:82).
     Placemark per row; non-geometry columns become ExtendedData."""
     os.makedirs(out_dir, exist_ok=True)
+    _guard_export_size(df)
     attr_cols = [c for c in df.columns if c != geom_col]
-    rows = df.collect()  # export-to-download path: bounded by design
+    rows = df.collect()  # export-to-download path: bounded by the guard
     placemarks = []
     for r in rows:
         data = "".join(
@@ -119,6 +140,7 @@ def export_shp_zip(
     from ..readers.dbf import write_dbf
 
     os.makedirs(out_dir, exist_ok=True)
+    _guard_export_size(df)
     attr_cols = [c for c in df.columns if c != geom_col]
     rows = df.collect()
 

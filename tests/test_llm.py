@@ -177,3 +177,28 @@ def test_minhash_fast_banding_behavior(spark, docs):
     # near-dup shares at least one band with overwhelming probability here
     shared = sum(1 for a, b in zip(sig[1], sig[2]) if a == b)
     assert shared >= 1
+
+
+def test_minhash_hot_bucket_capped(spark):
+    """Degenerate corpus: many identical docs share every band value. The
+    bucket cap must switch those buckets to the linear star pattern —
+    pair count stays O(n), not O(n^2) — while still connecting the whole
+    bucket (every doc pairs with the representative, so the component
+    pass can merge them)."""
+    n = 500
+    rows = [(i, "the exact same boilerplate text repeated everywhere") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_candidate_pairs(docs, bands=4, n=2, max_bucket=50)
+    got = pairs.collect()
+    # star pattern: exactly n-1 pairs, all anchored at the min id
+    assert len(got) == n - 1
+    assert all(r["id_a"] == 0 for r in got)
+    assert {r["id_b"] for r in got} == set(range(1, n))
+
+
+def test_minhash_small_buckets_unchanged(spark, docs):
+    """Buckets under the cap keep full all-pairs banding semantics."""
+    capped = D.minhash_candidate_pairs(docs, bands=8, n=2, max_bucket=1000)
+    uncapped_expected = {(1, 2), (1, 4), (2, 4)}  # near/exact dup cluster
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert uncapped_expected <= got

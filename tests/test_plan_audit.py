@@ -19,6 +19,9 @@ ALLOWED_NLJ = {
     "q20_excess_suppliers",    # 1-row threshold broadcast
     "q22_idle_customers",      # 1-row threshold broadcast
     "agg_rollup",              # broadcast dims (BNLJ never appears; safety)
+    "agg_equidepth_bins",      # 1-row decile-boundary broadcast
+    "llm_embedding_standardize",  # 1-row per-dim mean/std broadcast
+    "llm_tfidf_top_terms",     # 1-row doc-count broadcast
 }
 
 SF = "/root/testdata/sf0.001"

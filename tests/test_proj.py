@@ -73,8 +73,60 @@ def test_utm_south_hemisphere():
 def test_epsg_dispatch():
     assert proj.supported_epsg(3857)
     assert proj.supported_epsg(32631) and proj.supported_epsg(32719)
-    assert not proj.supported_epsg(2154)  # Lambert-93 needs pyproj
-    assert proj.transform_to_4326(2154) is None
+    assert proj.supported_epsg(2154)  # Lambert-93 via the LCC kernel
+    assert proj.transform_to_4326(2154) is not None
+    assert not proj.supported_epsg(27700)  # OSGB needs pyproj still
+    assert proj.transform_to_4326(27700) is None
+
+
+def test_lcc_center_anchor():
+    """The projection origin (lon0, lat0) maps exactly to the false
+    origin — true for every 2SP LCC by construction."""
+    for srid, p in proj.LCC_EPSG.items():
+        e, n = proj.lcc_forward(p.lon0, p.lat0, p)
+        assert float(e) == pytest.approx(p.fe, abs=1e-6), srid
+        assert float(n) == pytest.approx(p.fn, abs=1e-6), srid
+
+
+def test_lcc_roundtrip_grid():
+    p = proj.LCC_EPSG[2154]
+    rs = np.random.RandomState(11)
+    lons = rs.uniform(-5.0, 10.0, 500)   # France extent
+    lats = rs.uniform(41.0, 51.5, 500)
+    e, n = proj.lcc_forward(lons, lats, p)
+    lon2, lat2 = proj.lcc_inverse(e, n, p)
+    assert np.abs(lon2 - lons).max() < 1e-10
+    assert np.abs(lat2 - lats).max() < 1e-10
+
+
+def test_lcc_standard_parallel_scale():
+    """Along a standard parallel the projection is true-to-scale: a small
+    longitude step must map to the ellipsoidal parallel arc length."""
+    p = proj.LCC_EPSG[2154]
+    lat1 = p.lat1
+    dlon = 0.01
+    e1, n1 = proj.lcc_forward(0.0, lat1, p)
+    e2, n2 = proj.lcc_forward(dlon, lat1, p)
+    mapped = float(np.hypot(e2 - e1, n2 - n1))
+    s = np.sin(np.radians(lat1))
+    # N(phi) cos(phi) dlambda: arc of the parallel on the ellipsoid
+    arc = (
+        6378137.0
+        / np.sqrt(1 - 0.00669437999014 * s * s)
+        * np.cos(np.radians(lat1))
+        * np.radians(dlon)
+    )
+    assert mapped == pytest.approx(float(arc), rel=1e-7)
+
+
+def test_lcc_matches_pyproj_if_available():
+    pyproj = pytest.importorskip("pyproj")
+    tr = pyproj.Transformer.from_crs(2154, 4326, always_xy=True)
+    p = proj.LCC_EPSG[2154]
+    lon, lat = proj.lcc_inverse(700300.0, 6600400.0, p)
+    plon, plat = tr.transform(700300.0, 6600400.0)
+    assert float(lon) == pytest.approx(plon, abs=1e-6)
+    assert float(lat) == pytest.approx(plat, abs=1e-6)
 
 
 def test_prj_utm_detection(tmp_path):

@@ -51,12 +51,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    import time
+
     n_pass = n_fail = n_rows_only = 0
+    timings: dict[str, float] = {}
     for name in names:
+        t0 = time.perf_counter()
         try:
             sdf = queries[name](spark, SF_DIR).toPandas()
+            timings[name] = time.perf_counter() - t0
             if name not in oracles:
-                print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+                print(f"ROWS-ONLY {name}: {len(sdf)} rows [{timings[name]:.2f}s]")
                 n_rows_only += 1
                 continue
             ddf = con.sql(oracles[name]).df()
@@ -84,9 +89,10 @@ def main() -> int:
                     print(f"  duck  row {i}: {b.loc[i].to_dict()}")
                 n_fail += 1
                 continue
-            print(f"PASS {name}: {len(a)} rows")
+            print(f"PASS {name}: {len(a)} rows [{timings[name]:.2f}s]")
             n_pass += 1
         except Exception:
+            timings.setdefault(name, time.perf_counter() - t0)
             print(f"ERROR {name}:")
             traceback.print_exc(limit=5)
             n_fail += 1
@@ -94,6 +100,11 @@ def main() -> int:
         f"\n{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only "
         f"of {len(names)} (sf={SF_DIR})"
     )
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    print("slowest (spark side):")
+    for n, s in slow:
+        print(f"  {s:6.2f}s  {n}")
+    print(f"total spark time: {sum(timings.values()):.1f}s")
     return 1 if n_fail else 0
 
 

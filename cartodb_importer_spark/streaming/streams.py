@@ -34,6 +34,84 @@ def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     )
 
 
+def _rate_to_events(raw: DataFrame) -> DataFrame:
+    """Map the rate source's (timestamp, value) onto the events shape with
+    deterministic synthetic attributes (pure functions of `value`, so a
+    replayed batch regenerates identical rows — required for exactly-once
+    sinks)."""
+    v = F.col("value")
+    return raw.select(
+        v.alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        F.pmod(v, F.lit(100)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+            (F.pmod(v, F.lit(3)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64(v), F.lit(10000)) / 100.0).alias("value"),
+        F.to_json(F.struct(F.pmod(v, F.lit(7)).alias("k"))).alias("props"),
+    )
+
+
+def read_rate_events(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 2
+) -> DataFrame:
+    """Synthetic events stream from the built-in `rate` source — the
+    in-container stand-in for a Kafka ingest (same downstream pipeline;
+    swap read_kafka_events in production). Backpressure-free generator,
+    useful for soak-testing watermark state eviction."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+    return _rate_to_events(raw)
+
+
+def read_rate_micro_batch_events(
+    spark: SparkSession,
+    rows_per_batch: int = 50,
+    start_timestamp_ms: int = 1_700_000_000_000,
+    advance_ms_per_batch: int = 60_000,
+) -> DataFrame:
+    """Deterministic micro-batch generator (`rate-micro-batch` source):
+    batch N always contains the same rows and timestamps, which makes
+    streaming tests reproducible — unlike `rate`, which is wall-clock
+    driven."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_timestamp_ms)
+        .option("advanceMillisPerBatch", advance_ms_per_batch)
+        .load()
+    )
+    return _rate_to_events(raw)
+
+
+def read_kafka_events(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka ingest: JSON message values parsed into the events schema.
+    Requires the spark-sql-kafka connector on the cluster classpath (not
+    shipped in this container — load() raises there; the pipeline shape
+    downstream of this reader is identical to the rate/file sources, which
+    is what the streaming tests exercise)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

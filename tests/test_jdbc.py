@@ -53,3 +53,69 @@ def test_importer_to_jdbc_end_to_end(spark, jdbc_catalog, tmp_path):
     back = jdbc_catalog.read(spark, res.name)
     rows = {r["city"]: r["the_geom"] for r in back.collect()}
     assert rows["madrid"] == "POINT(-3.7 40.4)"
+
+
+def _pg_url():
+    """Postgres integration target from env (SPARK_GRAFT_PG_URL, e.g.
+    jdbc:postgresql://localhost:5432/test?user=postgres&password=pg).
+    Returns None when no Postgres is reachable — tests skip."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_PG_URL")
+
+
+@pytest.fixture
+def pg_catalog(spark):
+    url = _pg_url()
+    if not url:
+        pytest.skip("no Postgres target (set SPARK_GRAFT_PG_URL to run)")
+    cat = JdbcCatalog(spark, url, dialect="postgresql", num_partitions=2)
+    try:
+        cat.table_names()
+    except Exception as e:
+        pytest.skip(f"Postgres unreachable: {e}")
+    return cat
+
+
+def test_postgres_staged_publish_and_rollback(spark, pg_catalog, tmp_path):
+    """The reference's atomicity contract against real Postgres
+    (importer.rb:355,389; spec/import_spec.rb:23-52): staged write under
+    importing_*, atomic rename on success, no staging leftovers on
+    failure, existing tables never clobbered."""
+    df = spark.createDataFrame(
+        [(1, "a", "POINT(1 2)"), (2, "b", "POINT(3 4)")],
+        "id int, name string, the_geom string",
+    )
+    for t in ("pgtest", "importing_pgtest"):
+        pg_catalog.drop(t)
+    try:
+        rows = pg_catalog.publish(df, "pgtest")
+        assert rows == 2
+        names = [t.lower() for t in pg_catalog.table_names()]
+        assert "pgtest" in names
+        assert not any(n.startswith("importing_") for n in names)
+        # publish onto an existing name must refuse and leave no staging
+        with pytest.raises(ValueError, match="already exists"):
+            pg_catalog.publish(df, "pgtest")
+        names = [t.lower() for t in pg_catalog.table_names()]
+        assert not any(n.startswith("importing_") for n in names)
+        back = pg_catalog.read(spark, "pgtest")
+        assert sorted(r["name"] for r in back.collect()) == ["a", "b"]
+    finally:
+        for t in ("pgtest", "importing_pgtest"):
+            pg_catalog.drop(t)
+
+
+def test_postgres_importer_end_to_end(spark, pg_catalog, tmp_path):
+    """CSV -> georeferenced table in real Postgres, the reference's
+    headline flow (spec/import_spec.rb:23)."""
+    p = tmp_path / "pgstores.csv"
+    p.write_text("id,city,latitude,longitude\n1,lyon,45.76,4.83\n")
+    pg_catalog.drop("pgstores")
+    try:
+        res = Importer(spark, pg_catalog, str(p)).run()
+        assert res.rows_imported == 1
+        rows = pg_catalog.read(spark, res.name).collect()
+        assert rows[0]["the_geom"] == "POINT(4.83 45.76)"
+    finally:
+        pg_catalog.drop("pgstores")

@@ -1,0 +1,231 @@
+"""Dependency-free media codecs for the multimodal pipeline.
+
+The container has no Pillow/torchaudio/ffmpeg, but several real formats
+need nothing beyond the stdlib + numpy:
+
+* BMP (uncompressed BI_RGB, 24/32-bit) — ``struct`` header + numpy rows;
+* PPM (binary P6) — trivial header + raw RGB;
+* WAV (PCM integer) — stdlib ``wave`` + numpy frombuffer;
+* Y4M (YUV4MPEG2) — text header + raw 4:2:0 frames split on FRAME marks.
+
+These make decode / feature-extract / resize / frame-sample REAL end to
+end for payloads in these formats (multimodal.py routes on magic bytes and
+falls back to the deterministic stub only for formats that genuinely need
+external libraries — JPEG, MP3, MP4, ...).
+
+All decoders take ``bytes`` and return plain numpy/python values: they run
+inside Arrow-batched ``mapInPandas`` workers, so per-call overhead
+amortizes across the batch.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# ------------------------------------------------------------------ sniffing
+
+
+def sniff(payload: bytes) -> str | None:
+    """Best-effort container sniff from magic bytes: 'bmp' | 'ppm' | 'wav'
+    | 'y4m' | None (unknown)."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
+    return None
+
+
+# ---------------------------------------------------------------------- BMP
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP -> (H, W, 3) uint8 RGB array.
+
+    BMP stores rows bottom-up, BGR(A) byte order, each row padded to a
+    4-byte boundary — all handled here. Raises ValueError on compressed
+    or paletted files (out of scope without a real imaging library)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * nch]
+    px = rows.reshape(height, width, nch)
+    if flipped:
+        px = px[::-1]
+    # BGR(A) -> RGB
+    return np.ascontiguousarray(px[..., 2::-1])
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BMP bytes."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + img_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    return header + rows.tobytes()
+
+
+# ---------------------------------------------------------------------- PPM
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> (H, W, 3) uint8 RGB array."""
+    f = io.BytesIO(payload)
+
+    def token() -> bytes:
+        t = b""
+        while True:
+            c = f.read(1)
+            if c in b" \t\r\n":
+                if t:
+                    return t
+                continue
+            if c == b"#":  # comment to end of line
+                while f.read(1) not in b"\r\n":
+                    pass
+                continue
+            if not c:
+                raise ValueError("truncated PPM header")
+            t += c
+
+    if token() != b"P6":
+        raise ValueError("not a binary PPM")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    return np.frombuffer(f.read(w * h * 3), dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary PPM (P6)."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(rgb).tobytes()
+
+
+def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index arithmetic (the resize
+    kernel behind resize_images; replace with a real resampler when an
+    imaging library is available)."""
+    h, w = rgb.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return rgb[yi][:, xi]
+
+
+# ---------------------------------------------------------------------- WAV
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float32 samples in [-1, 1] shaped (n, channels),
+    sample_rate). Integer PCM widths 1/2/4 bytes via stdlib ``wave``."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return x.reshape(-1, nch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) float32 in [-1, 1] -> 16-bit PCM WAV bytes."""
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(pcm.shape[1] if pcm.ndim > 1 else 1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------- Y4M
+
+
+def decode_y4m_header(payload: bytes) -> tuple[int, int, float, int]:
+    """YUV4MPEG2 stream header -> (width, height, fps, header_end_offset).
+    Only 4:2:0 (the format default) is supported."""
+    end = payload.index(b"\n")
+    parts = payload[:end].split(b" ")
+    if parts[0] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    w = h = 0
+    fps = 30.0
+    for p in parts[1:]:
+        if p.startswith(b"W"):
+            w = int(p[1:])
+        elif p.startswith(b"H"):
+            h = int(p[1:])
+        elif p.startswith(b"F"):
+            num, den = p[1:].split(b":")
+            fps = int(num) / int(den)
+        elif p.startswith(b"C") and not p.startswith(b"C420"):
+            raise ValueError(f"unsupported Y4M chroma {p!r}")
+    if not w or not h:
+        raise ValueError("Y4M header missing dimensions")
+    return w, h, fps, end + 1
+
+
+def iter_y4m_frames(payload: bytes):
+    """Yield (frame_idx, ts_ms, y_plane) for each frame of a 4:2:0 Y4M
+    stream; y_plane is the (H, W) uint8 luma array (chroma is skipped —
+    luma is what frame-level features read)."""
+    w, h, fps, off = decode_y4m_header(payload)
+    frame_size = w * h * 3 // 2  # 4:2:0
+    idx = 0
+    while off < len(payload):
+        end = payload.index(b"\n", off)
+        if not payload[off:end].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M frame marker")
+        start = end + 1
+        y = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h, offset=start
+        ).reshape(h, w)
+        yield idx, int(idx * 1000.0 / fps), y
+        idx += 1
+        off = start + frame_size
+
+
+def encode_y4m(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """List of (H, W) uint8 luma frames -> 4:2:0 Y4M bytes (chroma set to
+    neutral 128) — the fixture-builder counterpart of iter_y4m_frames."""
+    h, w = frames[0].shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps)]
+    chroma = np.full((h // 2) * (w // 2) * 2, 128, dtype=np.uint8).tobytes()
+    for f in frames:
+        out.append(b"FRAME\n" + f.tobytes() + chroma)
+    return b"".join(out)

@@ -2,12 +2,13 @@
 a typed metadata struct, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-Container reality: no image/audio libraries are installed here, so the
-DECODE step is stubbed (deterministic fake features derived from the bytes,
-clearly marked) — but everything Spark-side is real and tested: the schema,
-the batch iteration shape, the partitioning story, and the UDF signatures.
-Swapping ``_decode_image_stub`` for a Pillow/torchvision call is a one-
-function change; the plumbing does not move.
+Decode is REAL for formats that need no external library (llm/codecs.py:
+uncompressed BMP + binary PPM images, PCM WAV audio, YUV4MPEG2 video) —
+payloads are routed on magic bytes. Formats that genuinely require
+Pillow/ffmpeg (JPEG, MP3, MP4, ...) fall back to the deterministic
+sha-derived stub, clearly marked; swapping the fallback for a real decoder
+is a one-function change and the Spark-side plumbing (schema, Arrow batch
+iteration, partitioning, UDF signatures) does not move.
 
 Scale notes: binary payloads ride in the same parquet row group as their
 metadata (no small-file problem, no side-channel object store); decode
@@ -84,17 +85,83 @@ def media_from_documents(df: DataFrame, payload_col: str = "text") -> DataFrame:
 
 def _decode_image_stub(payload: bytes) -> list[float]:
     """STUB DECODER — deterministic fake feature vector from the payload
-    bytes (sha256-seeded). Replace with a real decode+embed (Pillow /
-    torchvision / torchaudio) in a full container; the signature
-    (bytes -> list[float] of FEATURE_DIM) is the real contract."""
+    bytes (sha256-seeded). The fallback for formats that need external
+    libraries (JPEG/PNG/MP3/MP4); the signature (bytes -> list[float] of
+    FEATURE_DIM) is the real contract."""
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def _pad(feat: list[float]) -> list[float]:
+    return (feat + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
+def decode_features(payload: bytes) -> list[float]:
+    """Real feature vector for decodable payloads, stub otherwise.
+
+    * image (BMP/PPM): [width, height, mean R, mean G, mean B, pixel std]
+    * audio (WAV):     [n_samples, rate, duration_s, rms, peak, zero-cross rate]
+    * video (Y4M):     [width, height, n_frames, mean luma, luma std, fps-ms]
+
+    Dimensions beyond the real features are zero-padded to FEATURE_DIM so
+    the output schema is uniform across formats."""
+    from . import codecs
+
+    kind = codecs.sniff(payload)
+    try:
+        if kind in ("bmp", "ppm"):
+            rgb = (
+                codecs.decode_bmp(payload)
+                if kind == "bmp"
+                else codecs.decode_ppm(payload)
+            )
+            h, w = rgb.shape[:2]
+            means = rgb.reshape(-1, 3).mean(axis=0)
+            return _pad(
+                [float(w), float(h), *[float(m) for m in means],
+                 float(rgb.std())]
+            )
+        if kind == "wav":
+            x, rate = codecs.decode_wav(payload)
+            mono = x.mean(axis=1)
+            zc = float((mono[:-1] * mono[1:] < 0).mean()) if len(mono) > 1 else 0.0
+            return _pad(
+                [
+                    float(len(mono)),
+                    float(rate),
+                    float(len(mono) / rate),
+                    float((mono**2).mean() ** 0.5),
+                    float(abs(mono).max() if len(mono) else 0.0),
+                    zc,
+                ]
+            )
+        if kind == "y4m":
+            w, hh, fps, _ = codecs.decode_y4m_header(payload)
+            frames = list(codecs.iter_y4m_frames(payload))
+            lumas = [f[2] for f in frames]
+            import numpy as _np
+
+            stack = _np.stack(lumas) if lumas else _np.zeros((1, 1, 1))
+            return _pad(
+                [
+                    float(w),
+                    float(hh),
+                    float(len(frames)),
+                    float(stack.mean()),
+                    float(stack.std()),
+                    float(1000.0 / fps),
+                ]
+            )
+    except ValueError:
+        pass  # malformed/unsupported variant -> stub
+    return _decode_image_stub(payload)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches out.
     The iterator shape means constant memory per task regardless of
-    partition size — the 100 TB contract."""
+    partition size — the 100 TB contract. Decode is real for BMP/PPM/WAV/
+    Y4M payloads (decode_features), stub for others."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -107,7 +174,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
                     ),
                     "feature": payloads.map(
-                        lambda b: _decode_image_stub(bytes(b))
+                        lambda b: decode_features(bytes(b))
                     ),
                 }
             )
@@ -116,22 +183,40 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: filters to kind='image', maps payloads through
-    the (stubbed) resizer, updates metadata. The stub passes bytes through
-    and records the requested dimensions — schema/flow identical to a real
-    Pillow resize."""
+    """Image resize: filters to kind='image', decodes BMP/PPM payloads,
+    nearest-neighbor-resizes them, re-encodes as PPM, and updates the
+    metadata struct. Non-decodable payloads pass through byte-identical
+    with the requested dimensions recorded (the stub contract) — swap the
+    fallback branch for Pillow when available."""
+
+    def _resize_one(data: bytes):
+        from . import codecs
+
+        kind = codecs.sniff(data)
+        try:
+            if kind == "bmp":
+                rgb = codecs.decode_bmp(data)
+            elif kind == "ppm":
+                rgb = codecs.decode_ppm(data)
+            else:
+                return data
+            return codecs.encode_ppm(codecs.resize_nearest(rgb, width, height))
+        except ValueError:
+            return data
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
+            resized = [_resize_one(bytes(b)) for b in pdf["payload"]]
+            out["payload"] = resized
             out["meta"] = [
                 {
                     "width": width,
                     "height": height,
                     "duration_ms": m["duration_ms"] if m else None,
-                    "n_bytes": m["n_bytes"] if m else None,
+                    "n_bytes": len(p),
                 }
-                for m in pdf["meta"]
+                for m, p in zip(pdf["meta"], resized)
             ]
             yield out
 
@@ -143,9 +228,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one output row per
-    sampled frame (media_id, frame_idx, ts_ms, frame binary). Stub slices
-    the payload bytes deterministically per frame."""
+    """Frame sampling for video payloads: one output row per sampled frame
+    (media_id, frame_idx, ts_ms, frame binary). Y4M payloads decode for
+    real — frames are the actual luma planes, sampled at >= every_ms
+    spacing; other containers fall back to deterministic byte slices (the
+    stub contract, swap for ffmpeg/pyav when available)."""
     schema = st.StructType(
         [
             st.StructField("media_id", st.LongType()),
@@ -155,17 +242,36 @@ def sample_video_frames(
         ]
     )
 
+    def _frames_of(data: bytes):
+        from . import codecs
+
+        if codecs.sniff(data) == "y4m":
+            try:
+                out = []
+                next_ts = 0
+                for idx, ts_ms, y in codecs.iter_y4m_frames(data):
+                    if ts_ms >= next_ts:
+                        out.append((idx, ts_ms, y.tobytes()))
+                        next_ts = ts_ms + every_ms
+                    if len(out) >= max_frames:
+                        break
+                return out
+            except ValueError:
+                pass
+        n = min(max_frames, max(len(data) // 64, 1))
+        return [
+            (i, i * every_ms, data[i * 64 : (i + 1) * 64]) for i in range(n)
+        ]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
-                n = min(max_frames, max(len(data) // 64, 1))
-                for i in range(n):
+                for idx, ts_ms, frame in _frames_of(bytes(payload)):
                     rows["media_id"].append(mid)
-                    rows["frame_idx"].append(i)
-                    rows["ts_ms"].append(i * every_ms)
-                    rows["frame"].append(data[i * 64 : (i + 1) * 64])
+                    rows["frame_idx"].append(idx)
+                    rows["ts_ms"].append(ts_ms)
+                    rows["frame"].append(frame)
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(batches, schema)

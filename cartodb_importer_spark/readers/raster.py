@@ -1,11 +1,14 @@
 """Raster reader (O18, importer.rb:406-459): GeoTIFF -> rows of 180x180
 tile blocks (the reference's raster2pgsql -k 180x180 blocking).
 
-The real decode path needs rasterio/GDAL, which is NOT in this container —
-so the decode is gated: with rasterio importable we window-read true tiles;
-without it, the Spark-side plumbing (schema, tiling arithmetic, row shape)
-still runs against the raw bytes so the pipeline is testable end-to-end.
-The fallback marks itself in meta['decoder']='stub'.
+Three decode paths, best available wins:
+
+1. rasterio/GDAL when importable — any compression/layout;
+2. the pure-Python readers/tiff.py for UNCOMPRESSED strip GeoTIFFs —
+   real pixels, real 180x180 windowing, real SRID from the GeoKey
+   directory, no native dependency (meta['decoder']='pytiff');
+3. a clearly-marked byte-chunking stub for compressed/exotic files in a
+   GDAL-less container (meta['decoder']='stub').
 """
 
 from __future__ import annotations
@@ -28,7 +31,45 @@ def read_raster(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
 
         return _read_rasterio(spark, path)
     except ImportError:
+        pass
+    try:
+        return _read_pytiff(spark, path)
+    except ValueError:
         return _read_stub(spark, path)
+
+
+def _read_pytiff(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """GDAL-free real path: decode an uncompressed strip GeoTIFF with
+    readers/tiff.py and window band 1 into TILE x TILE blocks — the same
+    blocking raster2pgsql -k 180x180 performs. Raises ValueError for
+    compressed/tiled/BigTIFF inputs (caller falls back to the stub)."""
+    from .tiff import decode_tiff
+
+    with open(path, "rb") as f:
+        band, meta = decode_tiff(f.read())
+    srid = meta["srid"] or 4326
+    height, width = band.shape
+    rows = []
+    rid = 0
+    for ty in range(0, height, TILE):
+        for tx in range(0, width, TILE):
+            block = band[ty : ty + TILE, tx : tx + TILE]
+            h, w = block.shape
+            rows.append(
+                (rid, tx // TILE, ty // TILE, w, h, srid, block.tobytes())
+            )
+            rid += 1
+    df = spark.createDataFrame(rows, RASTER_SCHEMA)
+    return df, {
+        "import_type": ".tif",
+        "decoder": "pytiff",
+        "rows": len(rows),
+        "width": width,
+        "height": height,
+        "dtype": str(band.dtype),
+        "pixel_scale": meta["pixel_scale"],
+        "tiepoint": meta["tiepoint"],
+    }
 
 
 def _read_rasterio(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:

@@ -1,0 +1,200 @@
+"""Minimal pure-Python classic TIFF/GeoTIFF reader (uncompressed strips).
+
+Covers the subset the raster import path (O18, importer.rb:406-459) needs
+when rasterio/GDAL is absent: classic (non-Big) TIFF, either byte order,
+strip-organized, Compression=1 (none), integer or float samples, band 1.
+GeoTIFF georeferencing is read from ModelPixelScale/ModelTiepoint and the
+EPSG code from the GeoKey directory (GeographicType 2048 / ProjectedCSType
+3072 keys).
+
+Anything outside that subset (LZW/deflate/JPEG compression, tiled layout,
+BigTIFF) raises ValueError so the caller can fall back — real rasters in
+the wild are usually compressed, which is exactly where GDAL earns its
+dependency; the uncompressed path keeps the import pipeline REAL for the
+format's simplest form and for test fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# field type -> (struct code, size)
+_TYPES = {
+    1: ("B", 1),   # BYTE
+    2: ("s", 1),   # ASCII
+    3: ("H", 2),   # SHORT
+    4: ("I", 4),   # LONG
+    5: ("II", 8),  # RATIONAL
+    8: ("h", 2),   # SSHORT
+    9: ("i", 4),   # SLONG
+    11: ("f", 4),  # FLOAT
+    12: ("d", 8),  # DOUBLE
+}
+
+
+def _read_ifd_values(data: bytes, bo: str, ftype: int, count: int, raw: bytes):
+    code, size = _TYPES.get(ftype, (None, None))
+    if code is None:
+        return None
+    total = size * count
+    buf = raw[:4] if total <= 4 else None
+    if buf is None:
+        offset = struct.unpack(bo + "I", raw)[0]
+        buf = data[offset : offset + total]
+    if ftype == 2:
+        return buf.rstrip(b"\x00").decode("ascii", "replace")
+    if ftype == 5:
+        vals = struct.unpack(bo + "II" * count, buf)
+        return [vals[i] / vals[i + 1] if vals[i + 1] else 0.0 for i in range(0, len(vals), 2)]
+    return list(struct.unpack(bo + code * count, buf[:total]))
+
+
+def parse_tiff(data: bytes) -> dict:
+    """Parse the first IFD of a classic TIFF into a {tag: values} dict."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic = struct.unpack_from(bo + "H", data, 2)[0]
+    if magic == 43:
+        raise ValueError("BigTIFF unsupported")
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    ifd_off = struct.unpack_from(bo + "I", data, 4)[0]
+    n = struct.unpack_from(bo + "H", data, ifd_off)[0]
+    tags: dict[int, object] = {"__bo__": bo}
+    for i in range(n):
+        base = ifd_off + 2 + i * 12
+        tag, ftype, count = struct.unpack_from(bo + "HHI", data, base)
+        tags[tag] = _read_ifd_values(data, bo, ftype, count, data[base + 8 : base + 12])
+    return tags
+
+
+def _dtype(bits: int, sample_format: int, bo: str):
+    kind = {1: "u", 2: "i", 3: "f"}.get(sample_format, "u")
+    return np.dtype(f"{bo}{kind}{bits // 8}")
+
+
+def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
+    """Uncompressed strip TIFF -> (band-1 2D array, georef metadata).
+
+    metadata keys: srid (int, 0 if absent), pixel_scale (x, y) or None,
+    tiepoint (i, j, k, x, y, z) or None, samples_per_pixel.
+    """
+    t = parse_tiff(data)
+    bo = t["__bo__"]
+    if t.get(259, [1])[0] != 1:
+        raise ValueError("compressed TIFF unsupported without GDAL")
+    if 322 in t or 324 in t:
+        raise ValueError("tiled TIFF layout unsupported without GDAL")
+    width = int(t[256][0])
+    height = int(t[257][0])
+    spp = int(t.get(277, [1])[0])
+    bits = int(t.get(258, [8])[0])
+    fmt = int(t.get(339, [1])[0])
+    offsets = t[273]
+    counts = t.get(279)
+    rows_per_strip = int(t.get(278, [height])[0])
+    dt = _dtype(bits, fmt, bo)
+    row_bytes = width * spp * dt.itemsize
+
+    parts = []
+    for si, off in enumerate(offsets):
+        nrows = min(rows_per_strip, height - si * rows_per_strip)
+        nbytes = counts[si] if counts else nrows * row_bytes
+        strip = np.frombuffer(data, dtype=dt, count=nbytes // dt.itemsize, offset=off)
+        parts.append(strip.reshape(nrows, width, spp) if spp > 1 else strip.reshape(nrows, width))
+    img = np.concatenate(parts, axis=0)
+    band1 = img[..., 0] if spp > 1 else img
+
+    srid = 0
+    geokeys = t.get(34735)
+    if geokeys:
+        # GeoKeyDirectory: header (4 shorts) then 4-short key entries;
+        # value is inline when tag-location == 0
+        for k in range(4, len(geokeys), 4):
+            key_id, tag_loc, _cnt, val = geokeys[k : k + 4]
+            if key_id in (2048, 3072) and tag_loc == 0:
+                srid = int(val)
+    meta = {
+        "srid": srid,
+        "pixel_scale": tuple(t[33550][:2]) if 33550 in t else None,
+        "tiepoint": tuple(t[33922][:6]) if 33922 in t else None,
+        "samples_per_pixel": spp,
+    }
+    return band1, meta
+
+
+def encode_tiff_gray(
+    band: np.ndarray,
+    srid: int = 0,
+    pixel_scale: tuple[float, float] | None = None,
+    tiepoint: tuple[float, ...] | None = None,
+) -> bytes:
+    """(H, W) array -> minimal uncompressed little-endian GeoTIFF — the
+    fixture-builder counterpart of decode_tiff (single strip, band 1)."""
+    band = np.ascontiguousarray(band)
+    h, w = band.shape
+    kind = {"u": 1, "i": 2, "f": 3}[band.dtype.kind]
+    bits = band.dtype.itemsize * 8
+    pixels = band.astype(band.dtype.newbyteorder("<")).tobytes()
+
+    entries = []  # (tag, type, count, value or payload-bytes placeholder)
+    extra: list[bytes] = []
+
+    def entry(tag, ftype, count, inline=None, payload=None):
+        entries.append([tag, ftype, count, inline, payload])
+
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, bits)
+    entry(259, 3, 1, 1)       # uncompressed
+    entry(262, 3, 1, 1)       # BlackIsZero
+    entry(273, 4, 1, None)    # strip offset (patched below)
+    entry(277, 3, 1, 1)
+    entry(278, 4, 1, h)
+    entry(279, 4, 1, len(pixels))
+    entry(339, 3, 1, kind)
+    if pixel_scale:
+        entry(33550, 12, 3, None, struct.pack("<3d", pixel_scale[0], pixel_scale[1], 0.0))
+    if tiepoint:
+        tp = tuple(tiepoint) + (0.0,) * (6 - len(tiepoint))
+        entry(33922, 12, 6, None, struct.pack("<6d", *tp))
+    if srid:
+        key_id = 2048 if srid < 32767 and srid not in range(20000, 32761) else 3072
+        # 1.1.0 revision header + one inline key
+        geod = struct.pack("<8H", 1, 1, 0, 1, key_id, 0, 1, srid)
+        entry(34735, 3, 8, None, geod)
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = 8
+    ifd_size = 2 + len(entries) * 12 + 4
+    heap_off = ifd_off + ifd_size
+    # lay out out-of-line payloads
+    for e in entries:
+        if e[4] is not None:
+            extra.append(e[4])
+            e[3] = heap_off
+            heap_off += len(e[4])
+    strip_off = heap_off
+    for e in entries:
+        if e[0] == 273:
+            e[3] = strip_off
+
+    out = [struct.pack("<2sHI", b"II", 42, ifd_off), struct.pack("<H", len(entries))]
+    for tag, ftype, count, val, payload in entries:
+        if payload is not None or ftype == 4 or (ftype == 12):
+            raw = struct.pack("<I", val)
+        elif ftype == 3:
+            raw = struct.pack("<HH", val, 0)
+        else:
+            raw = struct.pack("<I", val)
+        out.append(struct.pack("<HHI", tag, ftype, count) + raw)
+    out.append(struct.pack("<I", 0))  # next-IFD pointer
+    out.extend(extra)
+    out.append(pixels)
+    return b"".join(out)

@@ -234,3 +234,52 @@ def test_ragged_csv_rows_tolerated(spark, tmp_path):
     rows = {r["a"]: r for r in cat.read(spark, "ragged").collect()}
     assert rows[2]["c"] is None        # short row null-padded
     assert rows[3]["c"] == 8           # extra column dropped
+
+
+def test_tiff_codec_roundtrip():
+    import numpy as np
+
+    from cartodb_importer_spark.readers.tiff import decode_tiff, encode_tiff_gray
+
+    band = (np.arange(37 * 23, dtype=np.int16) % 1000).reshape(37, 23)
+    data = encode_tiff_gray(
+        band, srid=4326, pixel_scale=(0.5, 0.5), tiepoint=(0, 0, 0, -180.0, 90.0, 0)
+    )
+    back, meta = decode_tiff(data)
+    assert np.array_equal(back, band)
+    assert meta["srid"] == 4326
+    assert meta["pixel_scale"] == (0.5, 0.5)
+    assert meta["tiepoint"][3:5] == (-180.0, 90.0)
+
+
+def test_raster_real_geotiff_tiling(spark, tmp_path):
+    """Uncompressed GeoTIFF imports through the REAL pure-Python path:
+    180x180 blocking of actual pixels (raster2pgsql -k semantics,
+    importer.rb:426), SRID from the GeoKey directory — no GDAL needed."""
+    import numpy as np
+
+    from cartodb_importer_spark.readers.raster import read_raster
+    from cartodb_importer_spark.readers.tiff import encode_tiff_gray
+
+    h, w = 370, 400  # -> 3x3 tile grid: 180/180/10 rows x 180/180/40 cols
+    band = (np.arange(h * w, dtype=np.int16) % 5000).reshape(h, w)
+    p = tmp_path / "elev.tif"
+    p.write_bytes(encode_tiff_gray(band, srid=4326))
+    df, meta = read_raster(spark, str(p))
+    assert meta["decoder"] == "pytiff"
+    assert (meta["width"], meta["height"]) == (w, h)
+    tiles = {(r["tile_x"], r["tile_y"]): r for r in df.collect()}
+    assert len(tiles) == 9
+    assert all(r["srid"] == 4326 for r in tiles.values())
+    # corner tile: real pixel bytes, real clipped dimensions
+    corner = tiles[(2, 2)]
+    assert (corner["width"], corner["height"]) == (40, 10)
+    expect = band[360:370, 360:400]
+    got = np.frombuffer(bytes(corner["block"]), dtype=np.int16).reshape(10, 40)
+    assert np.array_equal(got, expect)
+    full = tiles[(0, 0)]
+    assert (full["width"], full["height"]) == (180, 180)
+    assert np.array_equal(
+        np.frombuffer(bytes(full["block"]), dtype=np.int16).reshape(180, 180),
+        band[:180, :180],
+    )

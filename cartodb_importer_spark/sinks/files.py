@@ -129,12 +129,77 @@ def export_kmz(
     return kmz_path
 
 
+_WKT_NUM = r"-?[\d.eE+]+"
+
+
+def _parse_wkt_parts(wkt: str | None):
+    """WKT -> ('point'|'line'|'polygon', [part -> [(x, y), ...]]) or None.
+    Covers POINT, LINESTRING, MULTILINESTRING, POLYGON (holes = parts) —
+    the geometry kinds readers/shp.py emits."""
+    if not wkt:
+        return None
+
+    def pts(body: str):
+        return [
+            (float(m.group(1)), float(m.group(2)))
+            for m in re.finditer(_COORD, body)
+        ]
+
+    w = wkt.strip()
+    if w.startswith("POINT"):
+        p = pts(w)
+        return ("point", [p]) if p else None
+    if w.startswith("MULTILINESTRING"):
+        parts = [pts(b) for b in re.findall(r"\(([^()]+)\)", w)]
+        return ("line", [p for p in parts if p]) or None
+    if w.startswith("LINESTRING"):
+        p = pts(w)
+        return ("line", [p]) if p else None
+    if w.startswith("POLYGON"):
+        parts = [pts(b) for b in re.findall(r"\(([^()]+)\)", w)]
+        return ("polygon", [p for p in parts if p]) or None
+    return None
+
+
+_SHP_TYPE = {"point": 1, "line": 3, "polygon": 5}
+
+
+def _shp_record(kind: str, parts) -> bytes:
+    """One .shp record body for a parsed geometry (ESRI shapefile spec:
+    point = type+x+y; polyline/polygon = type+bbox+counts+part index+points)."""
+    import struct
+
+    if kind == "point":
+        (x, y) = parts[0][0]
+        return struct.pack("<idd", 1, x, y)
+    allpts = [p for part in parts for p in part]
+    xs = [p[0] for p in allpts]
+    ys = [p[1] for p in allpts]
+    out = [
+        struct.pack(
+            "<i4dii",
+            _SHP_TYPE[kind], min(xs), min(ys), max(xs), max(ys),
+            len(parts), len(allpts),
+        )
+    ]
+    start = 0
+    for part in parts:
+        out.append(struct.pack("<i", start))
+        start += len(part)
+    for x, y in allpts:
+        out.append(struct.pack("<dd", x, y))
+    return b"".join(out)
+
+
 def export_shp_zip(
     df: DataFrame, name: str, out_dir: str, geom_col: str = "the_geom"
 ) -> str:
     """O30/O31: zipped shapefile set (.shp/.shx/.dbf/.prj), each member
-    best-effort like the reference (exporter.rb:104-152). Point geometries
-    only in this round; attributes all exported as C fields."""
+    best-effort like the reference (exporter.rb:104-152). Point, polyline
+    (LINESTRING/MULTILINESTRING), and polygon (holes as parts) geometries;
+    a shapefile holds ONE shape type (spec), so the file's type comes from
+    the first non-null geometry and rows of any other kind export as null
+    shapes. Attributes all exported as C fields."""
     import struct
 
     from ..readers.dbf import write_dbf
@@ -144,28 +209,32 @@ def export_shp_zip(
     attr_cols = [c for c in df.columns if c != geom_col]
     rows = df.collect()
 
-    points: list[tuple[float, float] | None] = []
-    for r in rows:
-        wkt = r[geom_col] if geom_col in df.columns else None
-        m = re.match(r"POINT\(" + _COORD + r"\)", wkt or "")
-        points.append((float(m.group(1)), float(m.group(2))) if m else None)
+    geoms = [
+        _parse_wkt_parts(r[geom_col] if geom_col in df.columns else None)
+        for r in rows
+    ]
+    file_kind = next((g[0] for g in geoms if g), "point")
 
     with tempfile.TemporaryDirectory() as tmp:
         base = os.path.join(tmp, name)
-        # --- .shp + .shx (point shapes; null shape type 0 for missing)
+        # --- .shp + .shx (null shape type 0 for missing/mismatched kinds)
         recs = []
-        for pt in points:
-            if pt is None:
+        for g in geoms:
+            if g is None or g[0] != file_kind:
                 recs.append(struct.pack("<i", 0))
             else:
-                recs.append(struct.pack("<idd", 1, pt[0], pt[1]))
+                recs.append(_shp_record(*g))
         content_len = sum(8 + len(r) for r in recs)
-        xs = [p[0] for p in points if p] or [0.0]
-        ys = [p[1] for p in points if p] or [0.0]
+        allpts = [
+            p for g in geoms if g and g[0] == file_kind
+            for part in g[1] for p in part
+        ]
+        xs = [p[0] for p in allpts] or [0.0]
+        ys = [p[1] for p in allpts] or [0.0]
         header = struct.pack(
             ">i5ii", 9994, 0, 0, 0, 0, 0, (100 + content_len) // 2
-        ) + struct.pack("<ii4d4d", 1000, 1, min(xs), min(ys), max(xs), max(ys),
-                        0.0, 0.0, 0.0, 0.0)
+        ) + struct.pack("<ii4d4d", 1000, _SHP_TYPE[file_kind], min(xs), min(ys),
+                        max(xs), max(ys), 0.0, 0.0, 0.0, 0.0)
         with open(base + ".shp", "wb") as f:
             f.write(header)
             for i, rec in enumerate(recs):
@@ -174,8 +243,8 @@ def export_shp_zip(
         with open(base + ".shx", "wb") as f:
             f.write(
                 struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, (100 + 8 * len(recs)) // 2)
-                + struct.pack("<ii4d4d", 1000, 1, min(xs), min(ys), max(xs),
-                              max(ys), 0.0, 0.0, 0.0, 0.0)
+                + struct.pack("<ii4d4d", 1000, _SHP_TYPE[file_kind], min(xs),
+                              min(ys), max(xs), max(ys), 0.0, 0.0, 0.0, 0.0)
             )
             offset = 50
             for rec in recs:

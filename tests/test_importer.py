@@ -256,3 +256,48 @@ def test_export_row_cap_guard(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(fsinks, "EXPORT_ROW_CAP", 1000)
     out = fsinks.export_kmz(df.limit(3), "small", str(tmp_path))
     assert out.endswith("small.kmz")
+
+
+def test_shp_export_polygon_roundtrip(spark, tmp_path):
+    """Polygon (with hole) export -> re-read via the repo's own SHP codec:
+    rings survive as POLYGON parts (shape type 5)."""
+    from cartodb_importer_spark.readers.shp import read_shp
+    from cartodb_importer_spark.sinks.files import export_shp_zip
+
+    wkt = (
+        "POLYGON((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0), "
+        "(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))"
+    )
+    df = spark.createDataFrame(
+        [(1, "donut", wkt)], "id int, name string, the_geom string"
+    )
+    out = export_shp_zip(df, "polys", str(tmp_path))
+    with zipfile.ZipFile(out) as zf:
+        zf.extractall(tmp_path / "x")
+    back, meta = read_shp(spark, str(tmp_path / "x" / "polys.shp"))
+    got = back.first()["the_geom"]
+    assert got.startswith("POLYGON((")
+    assert "1.0 1.0" in got or "1 1" in got  # hole ring survived
+
+
+def test_shp_export_polyline_roundtrip(spark, tmp_path):
+    from cartodb_importer_spark.readers.shp import read_shp
+    from cartodb_importer_spark.sinks.files import export_shp_zip
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "LINESTRING(0.0 0.0, 1.0 1.0, 2.0 0.5)"),
+            (2, "b", "MULTILINESTRING((0.0 0.0, 1.0 0.0), (5.0 5.0, 6.0 6.0))"),
+            (3, "c", None),  # null shape
+        ],
+        "id int, name string, the_geom string",
+    )
+    out = export_shp_zip(df, "lines", str(tmp_path))
+    with zipfile.ZipFile(out) as zf:
+        zf.extractall(tmp_path / "y")
+    back, meta = read_shp(spark, str(tmp_path / "y" / "lines.shp"))
+    rows = [r["the_geom"] for r in back.orderBy("gid").collect()]
+    assert rows[0].startswith("LINESTRING(")
+    assert "2.0 0.5" in rows[0] or "2 0.5" in rows[0]
+    assert rows[1].startswith("MULTILINESTRING(")
+    assert rows[2] is None

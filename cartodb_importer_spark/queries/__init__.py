@@ -73,6 +73,11 @@ class Tables:
         return self._cache[name]
 
 
+#: path -> frozenset of TIMESTAMP(NANOS) column names (footer sniff cache;
+#: the same files are read by every query in a sweep)
+_NS_COLS_CACHE: dict[str, frozenset[str]] = {}
+
+
 def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, converting TIMESTAMP(NANOS) columns (read as long
     nanos under spark.sql.legacy.parquet.nanosAsLong) back to timestamps.
@@ -84,20 +89,25 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     created SparkSession — e.g. the correctness driver's — not just ours."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    try:
-        import pyarrow.parquet as pq
+    ns_cols = _NS_COLS_CACHE.get(path)
+    if ns_cols is None:
+        try:
+            import pyarrow.parquet as pq
 
-        import glob
-        import os
+            import glob
+            import os
 
-        sample = path
-        if os.path.isdir(path):
-            sample = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
-        ns_cols = {
-            f.name for f in pq.read_schema(sample) if str(f.type) == "timestamp[ns]"
-        }
-    except Exception:
-        ns_cols = set()
+            sample = path
+            if os.path.isdir(path):
+                sample = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+            ns_cols = frozenset(
+                f.name
+                for f in pq.read_schema(sample)
+                if str(f.type) == "timestamp[ns]"
+            )
+        except Exception:
+            ns_cols = frozenset()
+        _NS_COLS_CACHE[path] = ns_cols
     from pyspark.sql import functions as F
 
     for c in ns_cols:

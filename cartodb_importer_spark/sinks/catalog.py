@@ -102,6 +102,49 @@ class LocalCatalog(Catalog):
         return spark.read.parquet(self._path(name))
 
 
+class DeltaCatalog(Catalog):
+    """Delta Lake warehouse (roadmap §8.1.6): same publish protocol over
+    delta-format table directories. Requires the ``delta-spark`` package
+    (delta.io, Apache-licensed) on the classpath — constructor raises
+    ImportError without it, and tests skip.
+
+    On Delta the staging+rename dance is belt-and-braces: each write is
+    already an atomic transaction-log commit, so readers never see partial
+    tables even mid-write; rename keeps the reference's name-swap contract
+    (and its audit trail of `importing_*` staging names) intact."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        import importlib
+
+        if importlib.util.find_spec("delta") is None:
+            raise ImportError("delta-spark not installed")
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def table_names(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self._path(d), "_delta_log"))
+        )
+
+    def write(self, df: DataFrame, name: str) -> None:
+        df.write.format("delta").mode("errorifexists").save(self._path(name))
+
+    def rename(self, old: str, new: str) -> None:
+        os.rename(self._path(old), self._path(new))
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.format("delta").load(self._path(name))
+
+
 class JdbcCatalog(Catalog):
     """Postgres over JDBC. DataFrame writes go through df.write.jdbc with
     batchsize/numPartitions tuned for bulk load; DDL (rename/drop/index/

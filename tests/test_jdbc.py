@@ -119,3 +119,20 @@ def test_postgres_importer_end_to_end(spark, pg_catalog, tmp_path):
         assert rows[0]["the_geom"] == "POINT(4.83 45.76)"
     finally:
         pg_catalog.drop("pgstores")
+
+
+def test_delta_catalog_publish(spark, tmp_path):
+    """Delta lakehouse publish (skips without delta-spark): same staged
+    protocol, transaction-log atomicity underneath."""
+    import importlib
+
+    from cartodb_importer_spark.sinks.catalog import DeltaCatalog
+
+    if importlib.util.find_spec("delta") is None:
+        pytest.skip("delta-spark not installed")
+    cat = DeltaCatalog(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    assert cat.publish(df, "dtab") == 2
+    assert cat.table_names() == ["dtab"]
+    with pytest.raises(ValueError, match="already exists"):
+        cat.publish(df, "dtab")

@@ -539,12 +539,52 @@ def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_clusters")
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                       / len(list_distinct(list_concat(sa.s, sb.s)))
+                  ELSE 0.0 END AS j
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM scored WHERE j >= 0.8
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM scored WHERE j >= 0.8
+    ), reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+    """,
+)
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware near-dedup: connected components over the >=0.8
-    Jaccard pair graph, one survivor per component. Rows-only check
-    (iterative label propagation is not SQL-expressible); component
-    correctness is pinned by tests/test_llm.py goldens."""
+    Jaccard pair graph, one survivor (the min id) per component.
+
+    Oracle: the same banding+Jaccard pipeline as llm_near_dedup, with the
+    component step as a DuckDB recursive-CTE transitive closure
+    (min reachable id == the label-propagation fixpoint) — so the
+    iterative Spark implementation is value-checked, not just row-counted.
+    Component goldens also pinned by tests/test_llm.py."""
     t = Tables(spark, sf_dir)
     return D.dedup_components(
         t.documents, threshold=0.8, bands=_P_BANDS, n=2

@@ -346,6 +346,26 @@ def _ring_geodesic_area_km2(ring: Column) -> Column:
     return F.abs(total) * (EARTH_RADIUS_KM**2) / 2.0
 
 
+def st_geodesic_area_rad_xy(lam: Column, phi: Column) -> Column:
+    """Chamberlain–Duquette spherical area (km²) of ONE closed ring from
+    pre-parsed RADIAN coordinate arrays. Callers should materialize lam and
+    phi as projection columns first: interpreted HOF trees re-evaluate a
+    referenced expression per use, so feeding parse trees directly here
+    re-runs the WKT parse ~4x per row (slices of lam/phi each re-evaluate
+    their argument); attribute references are free."""
+    n1 = F.size(lam) - 1
+    dlam = F.zip_with(
+        F.slice(lam, 2, n1), F.slice(lam, 1, n1), lambda a, b: a - b
+    )
+    sphi = F.zip_with(
+        F.slice(phi, 1, n1),
+        F.slice(phi, 2, n1),
+        lambda a, b: 2.0 + F.sin(a) + F.sin(b),
+    )
+    total = _fsum(F.zip_with(dlam, sphi, lambda d, s: d * s))
+    return F.abs(total) * (EARTH_RADIUS_KM**2) / 2.0
+
+
 def st_geodesic_area_km2(geom: Column) -> Column:
     """Spherical-earth area in km² of a POLYGON in lon/lat degrees, holes
     subtracted — the geodesic counterpart of st_area_multi."""

@@ -96,9 +96,12 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float = 1.0,
+    max_iter: int = 10,
 ):
     """K-means centroids for IVF cells (pyspark.ml, deterministic seed).
-    At 100 TB, train on a sample — centroid quality saturates quickly."""
+    At 100 TB, train on a sample — centroid quality saturates quickly, and
+    IVF recall needs only coarse cells, not converged clusters (the default
+    10 iterations is already conservative for that purpose)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -106,7 +109,7 @@ def train_ivf_centroids(
     feats = sample.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=20)
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
     model = km.fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
 

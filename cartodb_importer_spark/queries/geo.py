@@ -295,7 +295,12 @@ def geo_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the bbox groupBy, which at 100 TB is the same shuffle the
     planar metrics query already pays (reference reprojects geometry via
     ST_Transform before area math, importer.rb:375-386)."""
-    from ..functions.geo import st_geodesic_area_km2, st_polygon
+    from ..functions.geo import (
+        st_geodesic_area_rad_xy,
+        st_polygon,
+        st_ring_xs,
+        st_ring_ys,
+    )
 
     t = Tables(spark, sf_dir)
     box = t.lineitem.groupBy("l_orderkey").agg(
@@ -310,7 +315,22 @@ def geo_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
         ).alias("the_geom"),
     )
-    return g.select(
+    # parse once, then convert to radians once, each as projection columns
+    # (interpreted HOFs re-evaluate referenced trees per use — see
+    # st_geodesic_area_rad_xy docstring)
+    parsed = g.select(
         "l_orderkey",
-        F.round(st_geodesic_area_km2(F.col("the_geom")), 2).alias("area_km2"),
+        st_ring_xs(F.col("the_geom")).alias("xs"),
+        st_ring_ys(F.col("the_geom")).alias("ys"),
+    )
+    rad = parsed.select(
+        "l_orderkey",
+        F.transform("xs", lambda v: F.radians(v)).alias("lam"),
+        F.transform("ys", lambda v: F.radians(v)).alias("phi"),
+    )
+    return rad.select(
+        "l_orderkey",
+        F.round(
+            st_geodesic_area_rad_xy(F.col("lam"), F.col("phi")), 2
+        ).alias("area_km2"),
     )

@@ -1249,7 +1249,12 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     # two-step projection per shingles_of's performance contract: words
     # materialized before the shingle lambda touches them; source rides
-    # along so no re-join is needed
+    # along so no re-join is needed. Shingles are xxhash64-compressed
+    # immediately after the explode: the broadcast set, the probe, and the
+    # per-doc count-distinct all move 8-byte longs instead of 5-gram
+    # strings (collision odds ~2^-64 per pair — the standard contamination
+    # -scrub tradeoff; the DuckDB oracle counts raw shingles, identical
+    # absent collisions).
     sh = (
         t.documents.select(
             "doc_id", "source", T.words(F.col("text")).alias("__ws")
@@ -1257,7 +1262,8 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "source", D.shingles_of(F.col("__ws"), 5).alias("__sh")
         )
-        .select("doc_id", "source", F.explode("__sh").alias("s"))
+        .select("doc_id", "source", F.explode("__sh").alias("__s"))
+        .select("doc_id", "source", F.xxhash64("__s").alias("s"))
     )
     bench = (
         sh.filter(F.col("source") == "src0").select("s").distinct()

@@ -171,10 +171,23 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify step after
-    LSH banding)."""
+    LSH banding).
+
+    With ``hashed`` (default) each shingle string is xxhash64-compressed
+    before the candidate join, so the two shingle arrays shuffled to every
+    pair are array<long>, not array<string> — a 3-4x lighter payload on
+    the hottest shuffle of the dedup pipeline. Set sizes (and therefore
+    Jaccard) are preserved absent 64-bit collisions (~2^-64 per shingle
+    pair — far below the similarity noise floor)."""
     sh = shingle_frame(df, text_col, id_col, n).withColumnRenamed("__sh", "sh")
+    if hashed:
+        sh = sh.select(
+            id_col,
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
+        )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

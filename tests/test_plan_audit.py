@@ -35,3 +35,63 @@ def test_no_accidental_cartesian(spark, name):
     if name in ALLOWED_NLJ:
         return  # allowlisted; presence is fine either way
     assert not has_nlj, f"{name} plans a cartesian/nested-loop join"
+
+
+def _plan(spark, name):
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_column_pruning(spark):
+    """The q1 scan must read ONLY the 7 needed lineitem columns — a scan
+    materializing all 16 for a 7-column aggregate is wrong at any scale."""
+    plan = _plan(spark, "q1_pricing_summary")
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, "no parquet scan found"
+    cols = {c.split("#")[0] for s in scans for c in s.split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_q6_filter_pushdown(spark):
+    """Range predicates must reach the parquet scan (DataFilters), not
+    evaluate post-materialization."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    scan = next(
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "l_shipdate" in line
+    )
+    assert "DataFilters: [" in scan
+    assert "l_shipdate" in scan.split("DataFilters:")[1]
+
+
+def test_q5_all_broadcast_join_tree(spark):
+    """Every dimension join in q5 must broadcast — a SortMergeJoin against
+    nation/region/supplier/customer would shuffle the fact table once per
+    dim at 100 TB."""
+    plan = _plan(spark, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_exchange_reuse(spark):
+    """The LSH bucket-cap window and the candidate self-join share one
+    (band, val) exchange — the cap must not add a second full shuffle."""
+    from cartodb_importer_spark.llm import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = D.minhash_candidate_pairs(docs, bands=4, n=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    band_exchanges = {
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\(band#\d+, val#\d+[^)]*\)", plan)
+    }
+    # all band/val exchanges in the printed tree collapse to one plan node
+    assert len(band_exchanges) <= 1, band_exchanges

@@ -1,17 +1,23 @@
-"""Minimal pure-Python classic TIFF/GeoTIFF reader (uncompressed strips).
+"""Minimal pure-Python classic TIFF/GeoTIFF reader.
 
 Covers the subset the raster import path (O18, importer.rb:406-459) needs
 when rasterio/GDAL is absent: classic (non-Big) TIFF, either byte order,
-strip-organized, Compression=1 (none), integer or float samples, band 1.
-GeoTIFF georeferencing is read from ModelPixelScale/ModelTiepoint and the
-EPSG code from the GeoKey directory (GeographicType 2048 / ProjectedCSType
-3072 keys).
+strip-organized, integer or float samples, band 1, with the compression
+schemes that need no native codec:
 
-Anything outside that subset (LZW/deflate/JPEG compression, tiled layout,
-BigTIFF) raises ValueError so the caller can fall back — real rasters in
-the wild are usually compressed, which is exactly where GDAL earns its
-dependency; the uncompressed path keeps the import pipeline REAL for the
-format's simplest form and for test fixtures.
+* 1     — uncompressed
+* 5     — TIFF-LZW (MSB-first variable-width codes, early change)
+* 8 / 32946 — DEFLATE (stdlib zlib)
+* 32773 — PackBits RLE
+
+plus Predictor=2 (horizontal differencing, the usual companion of LZW/
+DEFLATE). GeoTIFF georeferencing is read from ModelPixelScale/
+ModelTiepoint and the EPSG code from the GeoKey directory
+(GeographicType 2048 / ProjectedCSType 3072 keys).
+
+Anything outside that subset (JPEG/CCITT compression, tiled layout,
+BigTIFF, float predictor) raises ValueError so the caller can fall back to
+the stub — those are where GDAL genuinely earns its dependency.
 """
 
 from __future__ import annotations
@@ -79,6 +85,82 @@ def _dtype(bits: int, sample_format: int, bo: str):
     return np.dtype(f"{bo}{kind}{bits // 8}")
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): n<128 -> copy n+1 literals; n>128 ->
+    repeat next byte 257-n times; 128 -> noop."""
+    out = bytearray()
+    i = 0
+    ln = len(data)
+    while i < ln:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9->12 bit
+    codes, ClearCode=256, EOI=257, 'early change' width bump at
+    next_code == 2^width - 1."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - width - (bitpos & 7))) & ((1 << width) - 1)
+        bitpos += width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _decompress_strip(raw: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return raw
+    if compression in (8, 32946):  # DEFLATE / AdobeDeflate
+        import zlib
+
+        return zlib.decompress(raw)
+    if compression == 32773:
+        return _packbits_decode(raw)
+    if compression == 5:
+        return _lzw_decode(raw)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
 def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     """Uncompressed strip TIFF -> (band-1 2D array, georef metadata).
 
@@ -87,8 +169,10 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     """
     t = parse_tiff(data)
     bo = t["__bo__"]
-    if t.get(259, [1])[0] != 1:
-        raise ValueError("compressed TIFF unsupported without GDAL")
+    compression = int(t.get(259, [1])[0])
+    predictor = int(t.get(317, [1])[0])
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if 322 in t or 324 in t:
         raise ValueError("tiled TIFF layout unsupported without GDAL")
     width = int(t[256][0])
@@ -96,8 +180,12 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     spp = int(t.get(277, [1])[0])
     bits = int(t.get(258, [8])[0])
     fmt = int(t.get(339, [1])[0])
-    offsets = t[273]
+    offsets = t.get(273)
     counts = t.get(279)
+    if offsets is None:
+        raise ValueError("TIFF missing StripOffsets")
+    if compression != 1 and counts is None:
+        raise ValueError("compressed TIFF missing StripByteCounts")
     rows_per_strip = int(t.get(278, [height])[0])
     dt = _dtype(bits, fmt, bo)
     row_bytes = width * spp * dt.itemsize
@@ -105,9 +193,27 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     parts = []
     for si, off in enumerate(offsets):
         nrows = min(rows_per_strip, height - si * rows_per_strip)
-        nbytes = counts[si] if counts else nrows * row_bytes
-        strip = np.frombuffer(data, dtype=dt, count=nbytes // dt.itemsize, offset=off)
-        parts.append(strip.reshape(nrows, width, spp) if spp > 1 else strip.reshape(nrows, width))
+        if compression == 1:
+            nbytes = counts[si] if counts else nrows * row_bytes
+            raw = data[off : off + nbytes]
+        else:
+            raw = _decompress_strip(data[off : off + counts[si]], compression)
+        strip = np.frombuffer(raw, dtype=dt, count=nrows * width * spp)
+        strip = (
+            strip.reshape(nrows, width, spp)
+            if spp > 1
+            else strip.reshape(nrows, width)
+        )
+        if predictor == 2:
+            # horizontal differencing: each sample stores the delta to its
+            # left neighbor; undo with a wrapping cumulative sum per row
+            if dt.kind == "f":
+                raise ValueError("predictor 2 with float samples unsupported")
+            wide = strip.astype(np.int64).cumsum(
+                axis=1 if spp > 1 else -1, dtype=np.int64
+            )
+            strip = (wide & ((1 << bits) - 1)).astype(dt)
+        parts.append(strip)
     img = np.concatenate(parts, axis=0)
     band1 = img[..., 0] if spp > 1 else img
 
@@ -129,19 +235,96 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     return band1, meta
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture counterpart of _lzw_decode)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table is one entry BEHIND the encoder's when it
+        # reads each code, so the encoder bumps one code later than the
+        # decoder's len(table) == 2^width - 1 early-change point
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4093:  # table nearly full -> restart
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Literal-only PackBits (valid per spec; fixture use, not optimal)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+_COMPRESSION_CODES = {None: 1, "deflate": 8, "packbits": 32773, "lzw": 5}
+
+
 def encode_tiff_gray(
     band: np.ndarray,
     srid: int = 0,
     pixel_scale: tuple[float, float] | None = None,
     tiepoint: tuple[float, ...] | None = None,
+    compression: str | None = None,
+    predictor: int = 1,
 ) -> bytes:
-    """(H, W) array -> minimal uncompressed little-endian GeoTIFF — the
-    fixture-builder counterpart of decode_tiff (single strip, band 1)."""
+    """(H, W) array -> minimal little-endian GeoTIFF — the fixture-builder
+    counterpart of decode_tiff (single strip, band 1; optional deflate/
+    packbits/lzw compression and horizontal-differencing predictor)."""
     band = np.ascontiguousarray(band)
     h, w = band.shape
     kind = {"u": 1, "i": 2, "f": 3}[band.dtype.kind]
     bits = band.dtype.itemsize * 8
-    pixels = band.astype(band.dtype.newbyteorder("<")).tobytes()
+    comp_code = _COMPRESSION_CODES[compression]
+    stored = band
+    if predictor == 2:
+        stored = np.concatenate(
+            [band[:, :1], np.diff(band, axis=1)], axis=1
+        )  # wraps in-dtype
+    pixels = stored.astype(stored.dtype.newbyteorder("<")).tobytes()
+    if compression == "deflate":
+        import zlib
+
+        pixels = zlib.compress(pixels)
+    elif compression == "packbits":
+        pixels = _packbits_encode(pixels)
+    elif compression == "lzw":
+        pixels = _lzw_encode(pixels)
 
     entries = []  # (tag, type, count, value or payload-bytes placeholder)
     extra: list[bytes] = []
@@ -152,8 +335,10 @@ def encode_tiff_gray(
     entry(256, 4, 1, w)
     entry(257, 4, 1, h)
     entry(258, 3, 1, bits)
-    entry(259, 3, 1, 1)       # uncompressed
+    entry(259, 3, 1, comp_code)
     entry(262, 3, 1, 1)       # BlackIsZero
+    if predictor == 2:
+        entry(317, 3, 1, 2)
     entry(273, 4, 1, None)    # strip offset (patched below)
     entry(277, 3, 1, 1)
     entry(278, 4, 1, h)

@@ -178,3 +178,57 @@ class Exporter:
         else:
             raise ValueError(f"unsupported export type {self.type!r}")
         return ExportResult(name=self.table, import_type=self.type, path=path)
+
+
+@dataclass
+class FleetItem:
+    """One file's outcome in a fleet import: result XOR error."""
+
+    path: str
+    result: ImportResult | None = None
+    error: str | None = None
+
+
+def import_fleet(
+    spark: SparkSession,
+    catalog: Catalog,
+    paths: list[str],
+    max_parallel: int = 8,
+    debug: bool = False,
+) -> list[FleetItem]:
+    """Parallel multi-file import — the FLEET is the parallel unit
+    (SCALE.md: a single-file import is inherently one pipeline, but a
+    backlog of files is embarrassingly parallel). Thread-based: each
+    import submits its Spark jobs concurrently and the shared scheduler
+    interleaves stages across all 32 (or 1000-executor) slots; the
+    catalog's staged-publish protocol keeps each table's appearance
+    atomic regardless of interleaving.
+
+    Names are reserved up front against both the live catalog and the
+    fleet itself, so two files with the same stem cannot race to the
+    same table (the publish no-clobber guard would catch it, but
+    pre-reservation turns a runtime failure into the reference's _n
+    suffix behavior, importer.rb:567-574). One file's failure never
+    affects the others — per-file errors are returned, not raised."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    reserved = set(catalog.table_names())
+    importers: list[Importer] = []
+    for p in paths:
+        imp = Importer(spark, catalog, p, debug=debug)
+        name = naming.get_valid_name(imp.suggested_name, sorted(reserved))
+        imp.suggested_name = name
+        reserved.add(name)
+        importers.append(imp)
+
+    items = [FleetItem(path=p) for p in paths]
+
+    def work(i: int) -> None:
+        try:
+            items[i].result = importers[i].run()
+        except Exception as e:  # per-file isolation by contract
+            items[i].error = f"{type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+        list(ex.map(work, range(len(importers))))
+    return items

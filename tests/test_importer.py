@@ -301,3 +301,28 @@ def test_shp_export_polyline_roundtrip(spark, tmp_path):
     assert "2.0 0.5" in rows[0] or "2 0.5" in rows[0]
     assert rows[1].startswith("MULTILINESTRING(")
     assert rows[2] is None
+
+
+def test_import_fleet_parallel(spark, catalog, tmp_path):
+    """Fleet import: N files land in parallel, same-stem files get _n
+    suffixes instead of racing, and one bad file fails alone."""
+    from cartodb_importer_spark.importer import import_fleet
+
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "cities.csv").write_text("id,name\n1,x\n2,y\n")
+    (d2 / "cities.csv").write_text("id,name\n3,z\n")
+    (tmp_path / "empty.csv").write_text("id,name\n")  # O9 guard trips
+    items = import_fleet(
+        spark,
+        catalog,
+        [str(d1 / "cities.csv"), str(d2 / "cities.csv"), str(tmp_path / "empty.csv")],
+        max_parallel=3,
+    )
+    ok = [i for i in items if i.result]
+    bad = [i for i in items if i.error]
+    assert len(ok) == 2 and len(bad) == 1
+    names = sorted(i.result.name for i in ok)
+    assert names == ["cities", "cities_1"]
+    assert sum(i.result.rows_imported for i in ok) == 3
+    assert "empty.csv" in bad[0].path and "Empty table" in bad[0].error

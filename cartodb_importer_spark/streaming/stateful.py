@@ -175,3 +175,65 @@ def batch_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     ).drop("sid")
+
+
+# --------------------------------------------------- transformWithState
+
+
+def _make_topk_processor(k: int):
+    """Per-user top-k tracker on the Spark 4 transformWithState API —
+    the successor to applyInPandasWithState: typed state handles
+    (Value/List/Map), optional TTL, and timers, backed by the RocksDB
+    state store. State here is ONE ValueState holding the current top-k
+    array + a cumulative count; emitted rows are per-batch changelog
+    entries (n_seen strictly increases, so the max-n_seen row per user is
+    the final answer)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "topk", "vals ARRAY<DOUBLE>, n_seen BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                vals, n_seen = self._state.get()
+                current = list(vals)
+            else:
+                current, n_seen = [], 0
+            for pdf in rows:
+                batch_vals = pdf["value"].dropna()
+                n_seen += int(len(batch_vals))
+                current.extend(float(v) for v in batch_vals)
+            current = sorted(current, reverse=True)[:k]
+            self._state.update((current, n_seen))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_seen": [n_seen], "topk": [current]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TopKProcessor()
+
+
+def user_topk_values(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming per-user top-k event values via transformWithStateInPandas.
+    Requires the RocksDB state store provider (set
+    spark.sql.streaming.stateStore.providerClass accordingly) and the
+    google.protobuf package (the TWS state-server protocol; absent in this
+    container, so the equivalence test skips here and runs on a real
+    cluster). State is one bounded array per user regardless of stream
+    length."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _make_topk_processor(k),
+        outputStructType="user_id BIGINT, n_seen BIGINT, topk ARRAY<DOUBLE>",
+        outputMode="Update",
+        timeMode="None",
+    )

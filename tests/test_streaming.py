@@ -311,3 +311,59 @@ def test_kafka_reader_shape(spark):
     assert [f.name for f in df.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
+
+
+def test_transform_with_state_topk(spark, events_dir):
+    """Spark 4 transformWithStateInPandas: per-user top-3 values tracked
+    in a RocksDB-backed ValueState across micro-batches must equal the
+    batch top-3 (state survives batch boundaries; n_seen picks each
+    user's final changelog row)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithState's state protocol needs google.protobuf, "
+            "absent in this container"
+        )
+    from pyspark.sql import Window, functions as F
+
+    from cartodb_importer_spark.streaming.stateful import user_topk_values
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream_df = S.read_events_stream(spark, events_dir)
+        q = (
+            user_topk_values(stream_df, k=3)
+            .writeStream.format("memory")
+            .queryName("t_topk")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table("t_topk")
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+        final = (
+            emitted.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "topk")
+        )
+        got = {r["user_id"]: [round(v, 6) for v in r["topk"]] for r in final.collect()}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    batch = spark.read.parquet(events_dir)
+    wb = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    expect_df = (
+        batch.filter(F.col("value").isNotNull())
+        .withColumn("rn", F.row_number().over(wb))
+        .filter("rn <= 3")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("value"), asc=False).alias("topk"))
+    )
+    want = {r["user_id"]: [round(v, 6) for v in r["topk"]] for r in expect_df.collect()}
+    assert len(got) > 10
+    assert got == want

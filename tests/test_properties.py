@@ -101,3 +101,44 @@ def test_distributed_inference_matches_reference(spark, cells):
     df = spark.createDataFrame([(c,) for c in cells], "v string")
     got = infer_column_types(df)["v"]
     assert got == _reference_lattice(cells)
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(data):
+    from cartodb_importer_spark.readers.tiff import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_packbits_roundtrip_property(data):
+    from cartodb_importer_spark.readers.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    assert _packbits_decode(_packbits_encode(data)) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from(["uint8", "uint16", "int16"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_bmp_ppm_tiff_roundtrip_property(h, w, dtype):
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs as C
+    from cartodb_importer_spark.readers.tiff import decode_tiff, encode_tiff_gray
+
+    rs = np.random.RandomState(h * 13 + w)
+    band = rs.randint(0, 200, size=(h, w)).astype(dtype)
+    back, _ = decode_tiff(encode_tiff_gray(band, compression="lzw", predictor=2))
+    assert np.array_equal(back, band)
+    if dtype == "uint8":
+        rgb = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(C.decode_bmp(C.encode_bmp(rgb)), rgb)
+        assert np.array_equal(C.decode_ppm(C.encode_ppm(rgb)), rgb)

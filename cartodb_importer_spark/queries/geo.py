@@ -4,6 +4,7 @@ pipeline builds them (O13 semantics)."""
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf string-annotation resolution
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -333,4 +334,87 @@ def geo_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             st_geodesic_area_rad_xy(F.col("lam"), F.col("phi")), 2
         ).alias("area_km2"),
+    )
+
+
+# EPSG:2154 derived projection constants (computed once by
+# functions.proj.LCCParams from the public EPSG parameter set; embedded as
+# literals so the DuckDB oracle states the same closed form independently)
+_L93 = {
+    "e": 0.08181919084262149,
+    "n": 0.7256077650532538,
+    "F": 1.8428979224180042,
+    "rho0": 6055612.049823651,
+    "a": 6378137.0,
+}
+
+_L93_PHI_ITER = "pi()/2 - 2*atan(t * pow((1 - {e}*sin({prev}))/(1 + {e}*sin({prev})), {e}/2))"
+
+
+def _l93_oracle() -> str:
+    e, n, Fc, rho0, a = (_L93[k] for k in ("e", "n", "F", "rho0", "a"))
+    # unroll the 8 fixed-point iterations the numpy kernel performs
+    phi = "(pi()/2 - 2*atan(t))"
+    for _ in range(8):
+        phi = "(" + _L93_PHI_ITER.format(e=repr(e), prev=phi) + ")"
+    return f"""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber,
+             l_tax * 1200000 + 600000      AS x,
+             l_discount * 2000000 + 6500000 AS y
+      FROM lineitem WHERE l_linenumber <= 2
+    ), polar AS (
+      SELECT l_orderkey, l_linenumber,
+             sqrt((x - 700000)*(x - 700000)
+                  + ({rho0!r} - (y - 6600000))*({rho0!r} - (y - 6600000))) AS rho,
+             atan2(x - 700000, {rho0!r} - (y - 6600000))                   AS theta
+      FROM pts
+    ), tval AS (
+      SELECT l_orderkey, l_linenumber, theta,
+             pow(rho / ({a!r}::DOUBLE * {Fc!r}::DOUBLE), 1.0/{n!r}) AS t
+      FROM polar
+    )
+    SELECT l_orderkey, l_linenumber,
+           floor((degrees(theta / {n!r}) + 3.0) * 1e6 + 0.5) / 1e6 AS lon,
+           floor(degrees({phi}) * 1e6 + 0.5) / 1e6                 AS lat
+    FROM tval
+    """
+
+
+@query("geo_lcc_reproject", oracle=_l93_oracle())
+def geo_lcc_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambert-93 (EPSG:2154) -> WGS84 reprojection as a vectorized pandas
+    UDF over the numpy LCC kernel (functions/proj.py, Snyder 2SP inverse) —
+    the 100 TB reprojection path: Arrow batches in, whole-array numpy trig,
+    no per-row Python. The oracle restates the same closed form (8 unrolled
+    latitude fixed-point iterations) in pure SQL with the projection
+    constants embedded as literals, so the kernel math is value-checked
+    cross-engine, not just fixture-tested. Synthetic eastings/northings are
+    derived from lineitem columns to land in the CRS's valid extent."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.proj import LCC_EPSG, lcc_inverse
+
+    p = LCC_EPSG[2154]
+
+    @pandas_udf("lon double, lat double")
+    def l93_inv(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        lon, lat = lcc_inverse(x.to_numpy(), y.to_numpy(), p)
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    t = Tables(spark, sf_dir)
+    pts = t.lineitem.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_tax") * 1200000 + 600000).alias("x"),
+        (F.col("l_discount") * 2000000 + 6500000).alias("y"),
+    )
+    out = pts.select(
+        "l_orderkey", "l_linenumber", l93_inv(F.col("x"), F.col("y")).alias("ll")
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("ll.lon") * 1e6 + 0.5) / 1e6).alias("lon"),
+        (F.floor(F.col("ll.lat") * 1e6 + 0.5) / 1e6).alias("lat"),
     )

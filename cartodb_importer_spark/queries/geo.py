@@ -418,3 +418,52 @@ def geo_lcc_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("ll.lon") * 1e6 + 0.5) / 1e6).alias("lon"),
         (F.floor(F.col("ll.lat") * 1e6 + 0.5) / 1e6).alias("lat"),
     )
+
+
+@query(
+    "geo_spatial_join_blocked",
+    oracle="""
+    WITH rects AS (
+      SELECT CAST(p AS INTEGER)        AS rect_id,
+             p*0.0085 + 0.0002         AS xmin,
+             p*0.0115 + 0.0002         AS ymin,
+             p*0.0085 + 0.0002 + 0.013 AS xmax,
+             p*0.0115 + 0.0002 + 0.0305 AS ymax
+      FROM (SELECT unnest(range(8)) AS p)
+    )
+    SELECT rect_id, count(*) AS n_points
+    FROM lineitem l JOIN rects r
+      ON l.l_tax >= r.xmin AND l.l_tax <= r.xmax
+     AND l.l_discount >= r.ymin AND l.l_discount <= r.ymax
+    GROUP BY 1
+    """,
+)
+def geo_spatial_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-regions via the BLOCKED spatial join (operators/spatial.py):
+    regions explode to the grid cells their bbox overlaps, points map to
+    one cell each, and the join is an equi-join on the cell id with the
+    exact containment check post-join — never a cartesian. The oracle
+    states plain range-predicate containment (no blocking), verifying the
+    blocking is lossless. Rect boundaries sit on 0.0002 offsets while the
+    data lives on the 0.01 grid, so no point lies on an edge."""
+    from ..operators.spatial import spatial_join_points_rects
+
+    t = Tables(spark, sf_dir)
+    rects = spark.createDataFrame(
+        [
+            (
+                p,
+                p * 0.0085 + 0.0002,
+                p * 0.0115 + 0.0002,
+                p * 0.0085 + 0.0002 + 0.013,
+                p * 0.0115 + 0.0002 + 0.0305,
+            )
+            for p in range(8)
+        ],
+        "rect_id int, xmin double, ymin double, xmax double, ymax double",
+    )
+    pts = t.lineitem.select(
+        F.col("l_tax").alias("x"), F.col("l_discount").alias("y")
+    )
+    joined = spatial_join_points_rects(pts, rects, cell=0.02)
+    return joined.groupBy("rect_id").agg(F.count(F.lit(1)).alias("n_points"))

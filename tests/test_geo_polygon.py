@@ -221,3 +221,35 @@ def test_geodesic_donut_subtracts_hole(spark):
         .first()
     )
     assert row.h == pytest.approx(row.s - row.o, rel=1e-9)
+
+
+def test_spatial_join_blocked_equals_naive(spark):
+    """The grid-cell blocked spatial join must be lossless vs the naive
+    range-predicate join, including points exactly on cell boundaries
+    (the floor(x/cell) float hazard the pad cell exists for)."""
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.operators.spatial import (
+        spatial_join_points_rects,
+    )
+
+    pts = spark.createDataFrame(
+        [(float(i) * 0.01, float(j) * 0.01) for i in range(9) for j in range(11)],
+        "x double, y double",
+    )
+    rects = spark.createDataFrame(
+        [(0, 0.02, 0.03, 0.06, 0.07), (1, 0.0, 0.0, 0.02, 0.02)],
+        "rect_id int, xmin double, ymin double, xmax double, ymax double",
+    )
+    blocked = spatial_join_points_rects(pts, rects, cell=0.02)
+    naive = pts.crossJoin(rects).filter(
+        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+    )
+    got = {(r["rect_id"], r["x"], r["y"]) for r in blocked.collect()}
+    want = {(r["rect_id"], r["x"], r["y"]) for r in naive.collect()}
+    assert got == want
+    assert len(got) > 10
+    # the blocked plan is an equi-join, never a cartesian
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -1286,3 +1286,72 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_bigram_lm_score",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+      FROM ws, unnest(list_transform(w[1:len(w)-1],
+                      (x, i) -> {{'w1': x, 'w2': w[i+1]}})) AS t(u)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM bg GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT t.tok) AS vocab
+      FROM ws, unnest(w) AS t(tok)
+    )
+    SELECT bg.doc_id,
+           floor(avg(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab))) * 1e4 + 0.5) / 1e4
+             AS lm_score,
+           count(*) AS n_bigrams
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY 1
+    """,
+)
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality score — the perplexity-proxy filter of
+    training-data pipelines (CCNet/Gopher use a real KenLM; this is the
+    same shape self-trained on the corpus): score(doc) = mean over its
+    bigrams of ln P(w2|w1) with add-one smoothing over the corpus vocab.
+    Boilerplate scores high (frequent bigrams), lorem-gibberish low.
+
+    Scale shape: bigrams explode once (zip_with over the materialized word
+    array — no positional self-join); the count joins are keyed shuffles
+    on (w1, w2)/(w1); the vocab size is a 1-row broadcast. Word-frequency
+    skew is the watch item — the same head-word mass TF-IDF already
+    handles (docstring there)."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", T.words(F.col("text")).alias("ws"))
+    n1 = F.size("ws") - 1
+    bg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, n1),
+                    F.slice("ws", 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (
+        d.select(F.explode("ws").alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"]).crossJoin(F.broadcast(vocab))
+    )
+    lp = F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vocab")))
+    return scored.groupBy("doc_id").agg(
+        (F.floor(F.avg(lp) * 1e4 + 0.5) / 1e4).alias("lm_score"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

@@ -22,6 +22,7 @@ ALLOWED_NLJ = {
     "agg_equidepth_bins",      # 1-row decile-boundary broadcast
     "llm_embedding_standardize",  # 1-row per-dim mean/std broadcast
     "llm_tfidf_top_terms",     # 1-row doc-count broadcast
+    "llm_bigram_lm_score",     # 1-row vocab-size broadcast
 }
 
 SF = "/root/testdata/sf0.001"

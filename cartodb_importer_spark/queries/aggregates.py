@@ -609,3 +609,43 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("bucket"),
         )
     )
+
+
+@query(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           floor(max(m.med) * 100 + 0.5) / 100 AS med_price,
+           floor(median(abs(l.l_extendedprice - m.med)) * 100 + 0.5) / 100
+             AS mad_price
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion stat
+    (outlier-immune, unlike stddev). Two exact-percentile passes: group
+    medians (3 rows) broadcast back onto the fact scan, then the median
+    of absolute deviations. At 100 TB swap exact percentile for
+    percentile_approx: same two-phase shape, bounded sketch memory."""
+    t = Tables(spark, sf_dir)
+    med = t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    joined = t.lineitem.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(med), "l_returnflag"
+    )
+    return joined.groupBy("l_returnflag").agg(
+        (F.floor(F.max("med") * 100 + 0.5) / 100).alias("med_price"),
+        (
+            F.floor(
+                F.expr("percentile(abs(l_extendedprice - med), 0.5)") * 100
+                + 0.5
+            )
+            / 100
+        ).alias("mad_price"),
+    )

@@ -1355,3 +1355,40 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg(lp) * 1e4 + 0.5) / 1e4).alias("lm_score"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+@query(
+    "llm_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 20
+    """,
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    key = u^(1/w) with u an md5-derived uniform — deterministic, so the
+    SAME sample comes out on any engine/partitioning/run, unlike seeded
+    rand(). Longer documents (weight = n_chars) are proportionally more
+    likely. Top-k by key is TakeOrderedAndProject — no global sort."""
+    t = Tables(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / 4294967296.0
+    )
+    key = F.pow(u, 1.0 / F.col("n_chars").cast("double"))
+    return (
+        t.documents.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(20)
+        .drop("k")
+    )

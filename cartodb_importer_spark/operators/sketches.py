@@ -10,11 +10,15 @@ rows, so the shuffle is O(depth*width*tasks) regardless of input size, and
 the sketch itself is mergeable by summing buckets (union of datasets =
 `groupBy(seed, bucket).sum(cnt)` over the concatenated sketches).
 
-The bucket function is an md5 hex prefix (seed-salted), NOT xxhash64: md5
-exists verbatim in DuckDB, which makes the whole sketch — and the estimates
-read off it — value-for-value oracle-checkable. Width is therefore always a
-power of 16 (16^hex_chars). A production variant would swap in xxhash64
-exactly like llm/dedup.py's minhash_signature_fast does.
+The bucket function is a window of ONE md5 hex digest per value — row s
+reads chars [s*hex_chars, (s+1)*hex_chars) — so depth costs substrings,
+not extra digests (the same one-hash-many-slices discipline as minhash
+banding; at 100 TB the hashes are the compute bill). md5, NOT xxhash64,
+because md5 exists verbatim in DuckDB, which makes the whole sketch — and
+the estimates read off it — value-for-value oracle-checkable. Width is
+therefore always a power of 16 (16^hex_chars), and depth*hex_chars must
+fit the 32 hex chars of one digest. A production variant would swap in
+xxhash64 exactly like llm/dedup.py's minhash_signature_fast does.
 
 For distinct-count (not frequency) sketches use the Apache DataSketches HLL
 surface shipped with Spark (`hll_sketch_agg` / `hll_union_agg`) — see
@@ -28,14 +32,16 @@ from pyspark.sql import functions as F
 
 
 def cms_bucket(col: Column, seed: int, hex_chars: int) -> Column:
-    """Bucket id for one CMS row: first `hex_chars` of md5('<seed>|<value>').
+    """Bucket id for CMS row `seed`: digest window
+    ``md5(value)[seed*hex_chars : (seed+1)*hex_chars]``.
 
-    String-typed on purpose — hex->int conversion is not portable to the
-    DuckDB oracle, and the bucket id only ever serves as a grouping/join
-    key, so its type is irrelevant to the math.
+    One md5 per value regardless of depth. String-typed on purpose —
+    hex->int conversion is not portable to the DuckDB oracle, and the
+    bucket id only ever serves as a grouping/join key, so its type is
+    irrelevant to the math.
     """
     return F.substring(
-        F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string"))), 1, hex_chars
+        F.md5(col.cast("string")), seed * hex_chars + 1, hex_chars
     )
 
 
@@ -48,6 +54,10 @@ def cms_build(
     explode (rows x depth) + one partially-aggregated shuffle capped at
     depth * 16^hex_chars groups. The result is tiny and broadcastable.
     """
+    if depth * hex_chars > 32:
+        raise ValueError(
+            "depth * hex_chars must fit one md5 digest (32 hex chars)"
+        )
     rows = F.explode(
         F.array(
             *[

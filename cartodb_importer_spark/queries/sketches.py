@@ -26,7 +26,7 @@ _PROBES = [1, 2, 3, 4, 5]  # partkeys present at every scale factor
     WITH seeds AS (SELECT unnest([0,1,2,3]) AS seed),
     sketch AS (
       SELECT seed,
-             substr(md5(seed::VARCHAR || '|' || l_partkey::VARCHAR), 1, {_HEX})
+             substr(md5(l_partkey::VARCHAR), seed * {_HEX} + 1, {_HEX})
                AS bucket,
              count(*) AS cnt
       FROM lineitem, seeds
@@ -35,7 +35,7 @@ _PROBES = [1, 2, 3, 4, 5]  # partkeys present at every scale factor
     probes AS (SELECT unnest({_PROBES}) AS probe_key),
     fan AS (
       SELECT probe_key, seed,
-             substr(md5(seed::VARCHAR || '|' || probe_key::VARCHAR), 1, {_HEX})
+             substr(md5(probe_key::VARCHAR), seed * {_HEX} + 1, {_HEX})
                AS bucket
       FROM probes, seeds
     ),

@@ -202,6 +202,40 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT |A∩B| / min(|A|,|B|) for candidate
+    pairs — the asymmetric companion to :func:`jaccard_pairs` that
+    catches subset duplication (a document wholly embedded in a longer
+    one scores ~1.0 here but low on Jaccard, because the union is
+    dominated by the longer side). Same join shape and hashed-shingle
+    shuffle payload as jaccard_pairs."""
+    sh = shingle_frame(df, text_col, id_col, n).withColumnRenamed("__sh", "sh")
+    if hashed:
+        sh = sh.select(
+            id_col,
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.when(smaller > 0, inter / smaller).otherwise(0.0), 4
+        ).alias("containment"),
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str = "text",

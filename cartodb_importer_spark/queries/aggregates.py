@@ -649,3 +649,35 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("mad_price"),
     )
+
+
+@query(
+    "agg_log_histogram",
+    oracle="""
+    SELECT CAST(floor(log2(l_extendedprice)) AS INT) AS bucket,
+           count(*)             AS n,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY 1
+    """,
+)
+def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (log2-bucket) histogram of prices — the
+    OpenTelemetry/DDSketch-style value-distribution summary whose bucket
+    count is O(log range) regardless of data volume. Pure map-side
+    bucketing + one tiny-key aggregate; min/max are exact raw doubles
+    (no arithmetic), so the oracle matches bitwise without rounding."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_extendedprice") > 0)
+        .groupBy(
+            F.floor(F.log2("l_extendedprice")).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )

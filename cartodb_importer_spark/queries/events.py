@@ -235,3 +235,58 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(F.size(vs) > 0)
         .select("user_id", F.round(ewma, 4).alias("ewma"))
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             avg(value)         OVER win AS mu,
+             stddev_samp(value) OVER win AS sigma,
+             count(value)       OVER win AS n_prev
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN n_prev >= 5 AND sigma > 0
+                THEN floor((value - mu) / sigma * 100 + 0.5) / 100 END AS z,
+           CAST(coalesce(abs(CASE WHEN n_prev >= 5 AND sigma > 0
+                THEN floor((value - mu) / sigma * 100 + 0.5) / 100 END) > 2.5,
+                false) AS INT) AS is_anomaly
+    FROM w
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag: each reading scored against the
+    trailing 20 readings of ITS OWN user (frame excludes the current row,
+    so an outlier cannot mask itself), flagged at |z| > 2.5 with a 5-
+    reading warm-up. One window over the (user_id, ts) sort — a single
+    shuffle; per-key state is the bounded 20-row frame, so the same plan
+    streams under Structured Streaming's transformWithState at 100 TB.
+    The z rounding uses the engine-portable floor(x*100+0.5)/100 form and
+    the flag derives from the ROUNDED z, keeping both engines' compare on
+    identical doubles."""
+    t = Tables(spark, sf_dir)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(win)
+    sigma = F.stddev_samp("value").over(win)
+    n_prev = F.count("value").over(win)
+    z = F.when(
+        (n_prev >= 5) & (sigma > 0),
+        F.floor((F.col("value") - mu) / sigma * 100 + 0.5) / 100,
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "value",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > 2.5, F.lit(False)).cast("int").alias(
+            "is_anomaly"
+        ),
+    )

@@ -1392,3 +1392,290 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("k")
     )
+
+
+# ------------------------------------------------- round-2b: span dedup,
+# Gopher dup-ngram fraction, Bloom decontamination, containment verify.
+
+
+@query(
+    "llm_containment_pairs",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(CASE WHEN least(len(sa.s), len(sb.s)) > 0
+                 THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                      / least(len(sa.s), len(sb.s))
+                 ELSE 0.0 END, 4) AS containment
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    """,
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment |A∩B|/min(|A|,|B|) over the LSH candidate pairs — the
+    subset-duplication detector Jaccard misses (a short doc pasted inside
+    a long one)."""
+    t = Tables(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
+    return D.containment_pairs(t.documents, cand, n=2)
+
+
+_DUCK_SPAN = 10  # words per dedup span
+
+
+@query(
+    "llm_span_dedup",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             [array_to_string(w[i * {_DUCK_SPAN} + 1 : (i + 1) * {_DUCK_SPAN}], ' ')
+              FOR i IN range(0, CAST(ceil(len(w) / {_DUCK_SPAN}.0) AS INT))] AS cs
+      FROM ws WHERE len(w) > 0
+    ), spans AS (
+      SELECT doc_id, unnest(list_transform(cs, (x, i) -> {{'idx': i - 1, 'span': x}})) AS u
+      FROM chunks
+    ), keyed AS (
+      SELECT doc_id, u.span AS span,
+             doc_id * 1000000 + u.idx AS k
+      FROM spans
+    ), win AS (
+      SELECT span, min(k) AS wk FROM keyed GROUP BY 1
+    )
+    SELECT k.doc_id,
+           count(*)                                        AS n_spans,
+           CAST(sum(CASE WHEN k.k = w.wk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN k.k = w.wk THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4)                            AS kept_frac
+    FROM keyed k JOIN win w USING (span)
+    GROUP BY 1
+    """,
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span-level dedup: documents are cut into
+    consecutive 10-word spans; a span survives only at its FIRST corpus
+    occurrence (lexicographic (doc_id, position)), and every later
+    occurrence — across documents or repeated inside one — is dropped.
+    Output is the per-document retention profile (n_spans, n_kept,
+    kept_frac), i.e. what fraction of the doc survives span dedup.
+
+    Scale shape: one explode bounded by corpus_words/10, one shuffle on
+    the span's xxhash64 (8-byte key, never the span text) for the global
+    min-key winner, one join back on the same key, then a per-doc
+    aggregate. No all-pairs, no driver state — the exact shape of C4's
+    three-sentence-span dedup at 100 TB. Winner choice is the portable
+    integer key doc_id*1e6+idx (idx < 1e6 always: docs are bounded), so
+    the DuckDB oracle reproduces the tie-break exactly."""
+    t = Tables(spark, sf_dir)
+    spans = (
+        t.documents.select(
+            "doc_id", T.words(F.col("text")).alias("__ws")
+        )
+        .filter(F.size("__ws") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(__ws) / {_DUCK_SPAN}.0) as int) - 1), "
+                f"i -> array_join(slice(__ws, i * {_DUCK_SPAN} + 1, {_DUCK_SPAN}), ' '))"
+            ).alias("__cs"),
+        )
+        .select("doc_id", F.posexplode("__cs").alias("idx", "span"))
+    )
+    keyed = spans.select(
+        "doc_id",
+        F.xxhash64("span").alias("h"),
+        (F.col("doc_id") * 1000000 + F.col("idx")).alias("k"),
+    )
+    win = keyed.groupBy("h").agg(F.min("k").alias("wk"))
+    kept = (F.col("k") == F.col("wk")).cast("long")
+    return (
+        keyed.join(win, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 4).alias("kept_frac"),
+        )
+    )
+
+
+@query(
+    "llm_dup_ngram_fraction",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                    ELSE [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]
+                    END) AS gram
+      FROM ws
+    ), c AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           round(CASE WHEN sum(cnt * length(gram)) > 0
+                 THEN sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+                      * 1.0 / sum(cnt * length(gram))
+                 ELSE 0.0 END, 4) AS dup_char_frac
+    FROM c GROUP BY 1
+    """,
+)
+def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram character fraction (n=2): the share of
+    characters sitting inside word-2-grams that occur more than once in
+    the SAME document — the repetition signal that catches looped
+    boilerplate which unigram repetition_ratio under-weights. NON-distinct
+    grams, unlike the shingle dedup family: multiplicity is the signal.
+
+    Per-doc groupBy on (doc_id, gram) keeps the aggregation map-side
+    partial; nothing leaves the document boundary, so the operator scales
+    embarrassingly (no corpus-wide key)."""
+    t = Tables(spark, sf_dir)
+    grams = (
+        t.documents.select("doc_id", T.words(F.col("text")).alias("__ws"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(__ws) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(__ws) - 2), "
+                "i -> concat(element_at(__ws, i + 1), ' ', element_at(__ws, i + 2))) END"
+            ).alias("__gs"),
+        )
+        .select("doc_id", F.explode("__gs").alias("gram"))
+    )
+    counted = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    chars = F.col("cnt") * F.length("gram")
+    dup_chars = F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))
+    return counted.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.round(
+            F.when(
+                F.sum(chars) > 0, F.sum(dup_chars) * 1.0 / F.sum(chars)
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_char_frac"),
+    )
+
+
+_BLOOM_M = 1 << 20  # bits
+_BLOOM_K = 3  # hash functions = disjoint md5 hex slices
+
+
+@query(
+    "llm_bloom_decontaminate",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, source, {_DUCK_WS_5} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, source, unnest({_duck_shingles("w", 5)}) AS s FROM ws
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE source = 'src0'
+    ), bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(s), j * 8 + 1, 6)) AS BIGINT) % {_BLOOM_M} AS pos
+      FROM bench, (SELECT unnest([0, 1, 2]) AS j)
+    ), pp AS (
+      SELECT doc_id, s, j,
+             CAST(('0x' || substr(md5(s), j * 8 + 1, 6)) AS BIGINT) % {_BLOOM_M} AS pos
+      FROM sh, (SELECT unnest([0, 1, 2]) AS j)
+      WHERE source != 'src0'
+    ), m AS (
+      SELECT doc_id, s FROM pp JOIN bits USING (pos)
+      GROUP BY doc_id, s HAVING count(*) = {_BLOOM_K}
+    ), h AS (
+      SELECT doc_id, count(*) AS n_bloom_hits FROM m GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_bloom_hits, 0)                  AS n_bloom_hits,
+           CAST(coalesce(h.n_bloom_hits, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN h USING (doc_id)
+    WHERE d.source != 'src0'
+    """,
+)
+def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: the benchmark's 5-gram
+    shingles are folded into an m=2^20-bit / k=3 Bloom filter (positions
+    = disjoint md5 hex slices mod m, portable to the oracle), and a
+    training doc is flagged when ANY of its shingles has all k bits set.
+    Deterministic false positives included — that is Bloom semantics, and
+    both engines compute the identical filter, so the result is still
+    value-checkable.
+
+    This is the scale path where the exact broadcast set of
+    llm_decontaminate stops fitting: the filter is O(m) bits regardless
+    of benchmark size. Declaratively the bit array is the distinct
+    position set (small: ≤ m rows of one long), broadcast into a map-side
+    equi-join probe; the corpus side streams scan-local, per-shingle
+    verdicts aggregate per doc, nothing corpus-wide shuffles. A real
+    deployment swaps the position-set join for a bitmask broadcast
+    variable with identical semantics."""
+    t = Tables(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "doc_id", "source", T.words(F.col("text")).alias("__ws")
+        )
+        .select(
+            "doc_id", "source", D.shingles_of(F.col("__ws"), 5).alias("__sh")
+        )
+        .select("doc_id", "source", F.explode("__sh").alias("s"))
+    )
+
+    def pos(j: int):
+        return (
+            F.conv(F.substring(F.md5("s"), j * 8 + 1, 6), 16, 10).cast("long")
+            % _BLOOM_M
+        )
+
+    jp = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), pos(j).alias("pos"))
+                for j in range(_BLOOM_K)
+            ]
+        )
+    )
+    bits = (
+        sh.filter(F.col("source") == "src0")
+        .select(jp.alias("jp"))
+        .select(F.col("jp.pos").alias("pos"))
+        .distinct()
+    )
+    probe = (
+        sh.filter(F.col("source") != "src0")
+        .select("doc_id", F.xxhash64("s").alias("sh64"), jp.alias("jp"))
+        .select("doc_id", "sh64", F.col("jp.pos").alias("pos"))
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "sh64")
+        .agg(F.count(F.lit(1)).alias("nj"))
+        .filter(F.col("nj") == _BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    return (
+        t.documents.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )

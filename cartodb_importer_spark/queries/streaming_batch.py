@@ -156,6 +156,56 @@ def stream_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_resample_interp",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM events GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS slot
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS slot, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), j AS (
+      SELECT g.user_id, g.slot, h.v
+      FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.slot = g.slot
+    ), w AS (
+      SELECT user_id, slot, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+               OVER wb AS ps,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+               OVER wf AS ns
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY slot ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY slot
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, slot, v,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv)
+                            * (CAST(epoch(slot) - epoch(ps) AS DOUBLE)
+                               / (epoch(ns) - epoch(ps))) END)
+                 * 10000 + 0.5) / 10000 AS v_interp,
+           v IS NULL AS is_gap
+    FROM w
+    """,
+)
+def stream_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with linear interpolation across gaps — the
+    hypertable ``interpolate()`` gap-fill next to ffill's ``locf()``
+    (operators/timeseries.py:resample_interp)."""
+    from ..operators.timeseries import resample_interp
+
+    t = Tables(spark, sf_dir)
+    return resample_interp(t.events, key="user_id", ts="ts", value="value")
+
+
+@query(
     "stream_interval_join",
     oracle="""
     SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id

@@ -302,3 +302,120 @@ def test_real_video_frame_sampling(spark):
     # video features decode the real stream too
     feat = M.extract_features(media).first()["feature"]
     assert feat[:3] == [6.0, 4.0, 10.0]  # width, height, n_frames
+
+
+# ------------------------------------------------- round-2b operators
+
+
+def test_containment_vs_jaccard_subset(spark):
+    """A short doc embedded verbatim in a longer one: containment ~1.0,
+    Jaccard well below — the asymmetry is the operator's purpose."""
+    from pyspark.sql import Row
+
+    from cartodb_importer_spark.llm import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long)]
+    )
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    cont = D.containment_pairs(docs, pairs, n=2).first()["containment"]
+    jac = D.jaccard_pairs(docs, pairs, n=2).first()["jaccard"]
+    assert cont == 1.0  # every 2-gram of the short doc is in the long one
+    assert jac < 0.2
+
+
+def test_span_dedup_drops_repeats(spark):
+    """Global first occurrence wins; later copies (cross-doc AND within-
+    doc) are dropped."""
+    from pyspark.sql import Row
+
+    from cartodb_importer_spark.queries import QUERIES
+    import tempfile, os
+
+    span = " ".join(f"s{i}" for i in range(10))  # exactly one 10-word span
+    other = " ".join(f"t{i}" for i in range(10))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, text=span, lang="en", source="a", n_chars=1),
+                # doc 2 repeats doc 1's span twice, then its own span
+                Row(doc_id=2, text=span + " " + span + " " + other,
+                    lang="en", source="a", n_chars=1),
+            ]
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["llm_span_dedup"](spark, d).collect()
+        }
+    assert out[1]["n_kept"] == 1 and out[1]["n_spans"] == 1
+    assert out[2]["n_spans"] == 3
+    assert out[2]["n_kept"] == 1  # only `other` survives
+    assert abs(out[2]["kept_frac"] - 0.3333) < 1e-9
+
+
+def test_dup_ngram_fraction_extremes(spark):
+    """All-repeated text -> fraction near 1; all-unique text -> 0."""
+    from pyspark.sql import Row
+
+    from cartodb_importer_spark.queries import QUERIES
+    import tempfile, os
+
+    looped = "spam ham " * 20
+    unique = " ".join(f"u{i}" for i in range(20))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, text=looped, lang="en", source="a", n_chars=1),
+                Row(doc_id=2, text=unique, lang="en", source="a", n_chars=1),
+            ]
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["llm_dup_ngram_fraction"](spark, d).collect()
+        }
+    assert out[1]["dup_char_frac"] == 1.0
+    assert out[2]["dup_char_frac"] == 0.0
+
+
+def test_bloom_superset_of_exact(spark):
+    """Bloom contamination flags must be a superset of the exact
+    broadcast-set flags (false positives allowed, false negatives not)."""
+    from cartodb_importer_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["doc_id"]
+        for r in QUERIES["llm_decontaminate"](spark, sf).collect()
+        if r["contaminated"]
+    }
+    bloom = {
+        r["doc_id"]
+        for r in QUERIES["llm_bloom_decontaminate"](spark, sf).collect()
+        if r["contaminated"]
+    }
+    assert exact <= bloom
+
+
+def test_resample_interp_linear(spark):
+    """A 3-hour gap between v=10 and v=50 interpolates 20/30/40."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cartodb_importer_spark.operators.timeseries import resample_interp
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        Row(user_id=1, ts=t0, value=10.0),
+        Row(user_id=1, ts=t0 + dt.timedelta(hours=4), value=50.0),
+    ]
+    out = {
+        r["slot"].hour: r
+        for r in resample_interp(
+            spark.createDataFrame(rows), "user_id", "ts", "value"
+        ).collect()
+    }
+    assert [out[h]["v_interp"] for h in range(5)] == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert [out[h]["is_gap"] for h in range(5)] == [False, True, True, True, False]

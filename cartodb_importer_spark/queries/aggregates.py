@@ -681,3 +681,52 @@ def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("hi"),
         )
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n,
+           floor(b.p05 * 100 + 0.5) / 100 AS p05,
+           floor(b.p95 * 100 + 0.5) / 100 AS p95,
+           floor(avg(least(greatest(l.l_extendedprice, b.p05), b.p95))
+                 * 100 + 0.5) / 100 AS wins_mean,
+           floor(stddev_samp(least(greatest(l.l_extendedprice, b.p05), b.p95))
+                 * 100 + 0.5) / 100 AS wins_std
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY 1, b.p05, b.p95
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/stddev per group: values clamped to the group's
+    [p05, p95] before the moments — the outlier-robust summary that,
+    unlike trimming, keeps row counts intact. Same two-phase broadcast
+    shape as agg_mad: tiny per-group bounds (3 rows) broadcast onto the
+    fact scan, so the fact table is read twice but shuffled only as
+    3-key partial aggregates. At 100 TB swap the exact percentile for
+    percentile_approx — identical downstream plan."""
+    t = Tables(spark, sf_dir)
+    bounds = t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    joined = t.lineitem.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(bounds), "l_returnflag"
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.max("p05") * 100 + 0.5) / 100).alias("p05"),
+        (F.floor(F.max("p95") * 100 + 0.5) / 100).alias("p95"),
+        (F.floor(F.avg(clamped) * 100 + 0.5) / 100).alias("wins_mean"),
+        (F.floor(F.stddev_samp(clamped) * 100 + 0.5) / 100).alias("wins_std"),
+    )

@@ -467,3 +467,59 @@ def geo_spatial_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = spatial_join_points_rects(pts, rects, cell=0.02)
     return joined.groupBy("rect_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def _z_terms_sql() -> str:
+    """Unrolled 32-term bit-interleave SQL shared by the oracle."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((xq >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((yq >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "geo_zorder_key",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id,
+             CAST(least(greatest(floor(((CAST(value AS DOUBLE) / 6 - 30) + 180.0)
+                  / 360.0 * 65536), 0), 65535) AS BIGINT) AS xq,
+             CAST(least(greatest(floor(((CAST(user_id AS DOUBLE) / 2 - 37) + 90.0)
+                  / 180.0 * 65536), 0), 65535) AS BIGINT) AS yq
+      FROM events
+    )
+    SELECT event_id, xq, yq, {_z_terms_sql()} AS zval
+    FROM q
+    """,
+)
+def geo_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: 16-bit-quantized lon/lat bit-
+    interleaved into one 32-bit value. Sorting/range-partitioning a 100 TB
+    table by zval co-locates spatially-near rows in the same files, so a
+    2-D bbox predicate prunes to O(few) contiguous z-ranges instead of a
+    full scan — the lakehouse Z-ORDER layout primitive, computed here as
+    pure codegen bit arithmetic (no UDF, no shuffle; scan-local)."""
+    t = Tables(spark, sf_dir)
+    lat = F.col("user_id").cast("double") / 2 - 37
+    lon = F.col("value").cast("double") / 6 - 30
+    xq = (
+        F.least(
+            F.greatest(F.floor((lon + 180.0) / 360.0 * 65536), F.lit(0)),
+            F.lit(65535),
+        )
+    ).cast("long")
+    yq = (
+        F.least(
+            F.greatest(F.floor((lat + 90.0) / 180.0 * 65536), F.lit(0)),
+            F.lit(65535),
+        )
+    ).cast("long")
+    q = t.events.select("event_id", xq.alias("xq"), yq.alias("yq"))
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z + F.shiftright("xq", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        z = z + F.shiftright("yq", i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1)
+        )
+    return q.select("event_id", "xq", "yq", z.alias("zval"))

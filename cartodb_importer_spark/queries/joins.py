@@ -321,3 +321,59 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
     )
     return joined.select("event_id", "user_id", "o_orderdate_asof")
+
+
+_JB_M = 1 << 18  # bloom bits for the join runtime filter
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: the selective dimension subset is folded into
+    a k=3 Bloom filter (md5-slice positions mod 2^18) and the fact side
+    is pre-pruned by three broadcast semi-joins on the bit positions
+    BEFORE the real equi-join. The prefilter is a superset (false
+    positives only), and the exact join then removes them — so the
+    ORACLE is simply the plain join: the Bloom stage changes the plan,
+    never the semantics. This is the declarative form of Spark's own
+    InSubquery/bloom runtime filters; at 100 TB it cuts the fact-side
+    shuffle to ~the matching fraction at the cost of broadcasting ≤ m
+    bit positions."""
+    t = Tables(spark, sf_dir)
+    dim = t.orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey", "o_totalprice")
+
+    def pos(key, j: int):
+        return (
+            F.conv(
+                F.substring(F.md5(key.cast("string")), j * 8 + 1, 5), 16, 10
+            ).cast("long")
+            % _JB_M
+        )
+
+    bits = (
+        dim.select(
+            F.explode(
+                F.array(*[pos(F.col("o_orderkey"), j) for j in range(3)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    for j in range(3):
+        probe = probe.join(
+            F.broadcast(bits),
+            pos(F.col("l_orderkey"), j) == bits["pos"],
+            "semi",
+        )
+    return probe.join(
+        F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")

@@ -136,3 +136,19 @@ def test_delta_catalog_publish(spark, tmp_path):
     assert cat.table_names() == ["dtab"]
     with pytest.raises(ValueError, match="already exists"):
         cat.publish(df, "dtab")
+
+
+def test_iceberg_catalog_publish(spark, tmp_path):
+    """IcebergCatalog runs the same publish protocol over an Iceberg
+    hadoop catalog; skips without the iceberg-spark-runtime jar."""
+    from cartodb_importer_spark.sinks.catalog import IcebergCatalog
+
+    try:
+        cat = IcebergCatalog(spark, str(tmp_path / "berg"))
+    except ImportError:
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    assert cat.publish(df, "itab") == 2
+    assert cat.table_names() == ["itab"]
+    with pytest.raises(ValueError, match="already exists"):
+        cat.publish(df, "itab")

@@ -1679,3 +1679,99 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH idx AS (
+      SELECT unnest(list_transform(embedding,
+                    (x, i) -> {'i': i, 'x': CAST(x AS DOUBLE)})) AS u
+      FROM embeddings
+    ), stats AS (
+      SELECT u.i AS i, min(u.x) AS lo, max(u.x) AS hi FROM idx GROUP BY 1
+    ), arrs AS (
+      SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+      FROM stats
+    ), coded AS (
+      SELECT vec_id,
+             list_transform(embedding, (x, i) ->
+               CASE WHEN his[i] = los[i] THEN 0
+                    ELSE CAST(floor((CAST(x AS DOUBLE) - los[i])
+                              / (his[i] - los[i]) * 255 + 0.5) AS INT)
+               END) AS codes,
+             list_transform(embedding, (x, i) ->
+               pow(CAST(x AS DOUBLE)
+                   - (los[i] + (CASE WHEN his[i] = los[i] THEN 0
+                        ELSE floor((CAST(x AS DOUBLE) - los[i])
+                             / (his[i] - los[i]) * 255 + 0.5) END)
+                      / 255.0 * (his[i] - los[i])), 2)) AS errs
+      FROM embeddings, arrs
+    )
+    SELECT vec_id, codes,
+           floor(list_aggregate(errs, 'sum') / len(errs) * 10000000 + 0.5)
+             / 10000000 AS mse
+    FROM coded
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8-style quantization of the embedding column: per-
+    dimension [min, max] from one posexplode aggregate, values mapped to
+    0..255 codes, plus the per-vector reconstruction MSE. The 4x storage
+    cut (and the 4x shuffle cut for every downstream similarity op) is
+    the standard embedding-at-scale lever; codes stay value-checkable
+    because quantization is pure deterministic arithmetic — all math is
+    explicitly double on both engines so float-promotion rules cannot
+    diverge. Same 1-row broadcast shape as llm_embedding_standardize
+    (no join back on vec_id, no second shuffle)."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings
+    stats = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .select("i", F.col("x").cast("double").alias("x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    arrs = stats.agg(
+        F.array_sort(F.collect_list(F.struct("i", "lo"))).alias("pl"),
+        F.array_sort(F.collect_list(F.struct("i", "hi"))).alias("ph"),
+    ).select(F.col("pl.lo").alias("los"), F.col("ph.hi").alias("his"))
+
+    def lo(i):
+        return F.element_at(F.col("los"), i + 1)
+
+    def hi(i):
+        return F.element_at(F.col("his"), i + 1)
+
+    def code(x, i):
+        xd = x.cast("double")
+        return (
+            F.when(hi(i) == lo(i), F.lit(0))
+            .otherwise(
+                F.floor((xd - lo(i)) / (hi(i) - lo(i)) * 255 + 0.5).cast(
+                    "int"
+                )
+            )
+        )
+
+    codes = F.transform("embedding", lambda x, i: code(x, i))
+    errs = F.transform(
+        "embedding",
+        lambda x, i: F.pow(
+            x.cast("double")
+            - (lo(i) + code(x, i).cast("double") / 255.0 * (hi(i) - lo(i))),
+            F.lit(2),
+        ),
+    )
+    mse = (
+        F.floor(
+            F.aggregate(errs, F.lit(0.0), lambda a, b: a + b)
+            / F.size(errs)
+            * 10000000
+            + 0.5
+        )
+        / 10000000
+    )
+    return e.crossJoin(F.broadcast(arrs)).select(
+        "vec_id", codes.alias("codes"), mse.alias("mse")
+    )

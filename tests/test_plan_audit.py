@@ -21,6 +21,7 @@ ALLOWED_NLJ = {
     "agg_rollup",              # broadcast dims (BNLJ never appears; safety)
     "agg_equidepth_bins",      # 1-row decile-boundary broadcast
     "llm_embedding_standardize",  # 1-row per-dim mean/std broadcast
+    "llm_embedding_quantize",  # 1-row per-dim min/max broadcast
     "llm_tfidf_top_terms",     # 1-row doc-count broadcast
     "llm_bigram_lm_score",     # 1-row vocab-size broadcast
 }

@@ -290,3 +290,38 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@query(
+    "events_rate_limit",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, rn AS slot_seq,
+           CAST(rn <= 3 AS INT) AS admitted
+    FROM r
+    """,
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of a per-key rate limiter: within each (user, hour)
+    window the first 3 events (by event time, event_id tie-break) are
+    admitted, the rest rejected — the quota/throttling governance op.
+    One window over the (user_id, hour) partitioning; in streaming the
+    same semantics run as a transformWithState counter keyed the same
+    way, so the batch oracle doubles as the replay check."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        rn.alias("slot_seq"),
+        (rn <= 3).cast("int").alias("admitted"),
+    )

@@ -168,3 +168,129 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(63.0 / F.col("kth_min") + 0.5).cast("long").alias("est_distinct"),
         "true_distinct",
     )
+
+
+@query(
+    "agg_kmv_setops",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT o_orderpriority AS g, o_custkey,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS h
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ), s AS (
+      SELECT g, h FROM m WHERE h < 0.25
+    ), kth_g AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM s) WHERE rn = 64
+    ), kth_u AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM s)) WHERE rn = 64
+    ), est AS (
+      SELECT
+        (SELECT CAST(floor(63.0 / h + 0.5) AS BIGINT) FROM kth_g WHERE g = '1-URGENT') AS est_urgent,
+        (SELECT CAST(floor(63.0 / h + 0.5) AS BIGINT) FROM kth_g WHERE g = '2-HIGH')   AS est_high,
+        (SELECT CAST(floor(63.0 / h + 0.5) AS BIGINT) FROM kth_u)                      AS est_union
+    ), truth AS (
+      SELECT count(*) AS true_intersect FROM (
+        SELECT o_custkey FROM m GROUP BY 1 HAVING count(DISTINCT g) = 2)
+    )
+    SELECT est_urgent, est_high, est_union,
+           greatest(est_urgent + est_high - est_union, 0) AS est_intersect,
+           true_intersect,
+           floor(greatest(est_urgent + est_high - est_union, 0) * 1.0
+                 / est_union * 10000 + 0.5) / 10000 AS jaccard_est
+    FROM est, truth
+    """,
+)
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-algebra: KMV sketches of two customer populations
+    (urgent-order vs high-order customers) merged WITHOUT rescanning the
+    raw keys — union estimate from the k-th minimum of the merged hash
+    sets, intersection by inclusion-exclusion, Jaccard from the two.
+    This is why mergeable sketches matter at 100 TB: per-partition (or
+    per-day) sketches of ~k hashes union into global distinct/overlap
+    estimates with no second pass over the data. md5-derived hashes keep
+    every estimate deterministic, so even the sketch OUTPUTS are
+    value-checked (true intersection alongside). The final 1-row
+    assembly cross-joins single-row frames — allowlisted broadcast
+    scalars, not a data cartesian."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    m = (
+        t.orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select(F.col("o_orderpriority").alias("g"), "o_custkey")
+        .distinct()
+        .select(
+            "g",
+            "o_custkey",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("o_custkey").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / 4294967296.0
+            ).alias("h"),
+        )
+    )
+    s = m.filter(F.col("h") < 0.25).select("g", "h")
+    wg = Window.partitionBy("g").orderBy("h")
+    kth_g = (
+        s.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == 64)
+        .select("g", "h")
+    )
+    est_g = kth_g.select(
+        "g", F.floor(63.0 / F.col("h") + 0.5).cast("long").alias("est")
+    )
+    # union k-th minimum via TakeOrdered (per-partition top-k, merged on
+    # the driver side of the exchange) — never a single-partition global
+    # window, so the merged-sketch rank distributes at any survivor count
+    kth_u = s.select("h").distinct().orderBy("h").limit(64).agg(
+        F.max("h").alias("h")
+    )
+    est_u = kth_u.select(
+        F.floor(63.0 / F.col("h") + 0.5).cast("long").alias("est_union")
+    )
+    ua = est_g.filter(F.col("g") == "1-URGENT").select(
+        F.col("est").alias("est_urgent")
+    )
+    ub = est_g.filter(F.col("g") == "2-HIGH").select(
+        F.col("est").alias("est_high")
+    )
+    truth = (
+        m.groupBy("o_custkey")
+        .agg(F.count_distinct("g").alias("ng"))
+        .filter(F.col("ng") == 2)
+        .agg(F.count(F.lit(1)).alias("true_intersect"))
+    )
+    est_int = F.greatest(
+        F.col("est_urgent") + F.col("est_high") - F.col("est_union"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        ua.crossJoin(F.broadcast(ub))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "est_urgent",
+            "est_high",
+            "est_union",
+            est_int.alias("est_intersect"),
+            "true_intersect",
+            (
+                F.floor(
+                    est_int * 1.0 / F.col("est_union") * 10000 + 0.5
+                )
+                / 10000
+            ).alias("jaccard_est"),
+        )
+    )

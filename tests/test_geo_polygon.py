@@ -253,3 +253,35 @@ def test_spatial_join_blocked_equals_naive(spark):
     # the blocked plan is an equi-join, never a cartesian
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_bbox_range_property(spark):
+    """Morton-key containment: every point inside a quantized bbox has a
+    z-value within [z(lo_corner), z(hi_corner)] — the property that turns
+    a 2-D bbox predicate into one coarse z-range scan prune."""
+    from cartodb_importer_spark.queries import QUERIES
+
+    rows = QUERIES["geo_zorder_key"](spark, "/root/testdata/sf0.001").collect()
+
+    def interleave(xq, yq):
+        z = 0
+        for i in range(16):
+            z |= ((xq >> i) & 1) << (2 * i)
+            z |= ((yq >> i) & 1) << (2 * i + 1)
+        return z
+
+    # spark-side zval must equal the reference interleave
+    for r in rows[:50]:
+        assert r["zval"] == interleave(r["xq"], r["yq"])
+
+    xs = sorted(r["xq"] for r in rows)
+    ys = sorted(r["yq"] for r in rows)
+    x_lo, x_hi = xs[len(xs) // 4], xs[len(xs) // 2]
+    y_lo, y_hi = ys[len(ys) // 4], ys[len(ys) // 2]
+    z_lo, z_hi = interleave(x_lo, y_lo), interleave(x_hi, y_hi)
+    inside = [
+        r for r in rows
+        if x_lo <= r["xq"] <= x_hi and y_lo <= r["yq"] <= y_hi
+    ]
+    assert inside, "bbox should be non-empty"
+    assert all(z_lo <= r["zval"] <= z_hi for r in inside)

@@ -24,6 +24,7 @@ ALLOWED_NLJ = {
     "llm_embedding_quantize",  # 1-row per-dim min/max broadcast
     "llm_tfidf_top_terms",     # 1-row doc-count broadcast
     "llm_bigram_lm_score",     # 1-row vocab-size broadcast
+    "agg_kmv_setops",          # 1-row sketch-estimate assembly broadcast
 }
 
 SF = "/root/testdata/sf0.001"

@@ -237,3 +237,54 @@ def user_topk_values(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ------------------------------------------------------------- rate limiter
+
+RATE_OUTPUT_SCHEMA = "event_id long, user_id long, slot_seq long, admitted int"
+RATE_STATE_SCHEMA = "hour long, n long"
+
+
+def _make_rate_limiter(limit: int):
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            hour, n = state.get
+        else:
+            hour, n = -1, 0
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                h = int(pd.Timestamp(ts).value // 3_600_000_000_000)
+                if h != hour:
+                    hour, n = h, 0
+                n += 1
+                out.append((int(eid), int(user_id), n, int(n <= limit)))
+        state.update((int(hour), int(n)))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "slot_seq", "admitted"]
+        )
+
+    return _update
+
+
+def rate_limit_events(events: DataFrame, limit: int = 3) -> DataFrame:
+    """Streaming per-key rate limiter: one (current_hour, count) tuple of
+    state per user admits the first `limit` events of each (user, hour)
+    and rejects the rest, emitting a per-event verdict row. The batch
+    oracle is the events_rate_limit registered query (row_number over the
+    (user, hour) window) — equality checked in tests/test_streaming.py.
+    Assumes watermark-bounded per-key arrival order, the same contract as
+    the sessionizer above; state is O(1) per key regardless of volume."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_rate_limiter(limit),
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -367,3 +367,68 @@ def test_transform_with_state_topk(spark, events_dir):
     want = {r["user_id"]: [round(v, 6) for v in r["topk"]] for r in expect_df.collect()}
     assert len(got) > 10
     assert got == want
+
+
+def test_stateful_rate_limit_equals_batch(spark, events_dir):
+    """Streaming rate limiter (stateful hour-quota counter) must emit the
+    same per-event admission verdicts as the batch window query, across
+    micro-batch boundaries (time-range ordered batches)."""
+    import datetime as _dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from cartodb_importer_spark.queries import QUERIES
+    from cartodb_importer_spark.streaming.stateful import rate_limit_events
+
+    src = spark.read.parquet(events_dir)
+    b_us = src.selectExpr(
+        "percentile(unix_micros(ts), array(0.33, 0.66)) AS b"
+    ).first()["b"]
+    bounds = [_dt.datetime.utcfromtimestamp(v / 1e6) for v in b_us]
+    d = events_dir + "_rl_ordered"
+    os.makedirs(d, exist_ok=True)
+    from pyspark.sql import functions as FF
+
+    chunks = [
+        src.filter(FF.col("ts") < bounds[0]),
+        src.filter((FF.col("ts") >= bounds[0]) & (FF.col("ts") < bounds[1])),
+        src.filter(FF.col("ts") >= bounds[1]),
+    ]
+    for i, ch in enumerate(chunks):
+        tmp = f"{d}_tmp{i}"
+        ch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{d}/b{i}.parquet")
+        shutil.rmtree(tmp)
+        time.sleep(1.1)
+    stream_df = S.read_events_stream(spark, d)
+    q = (
+        rate_limit_events(stream_df, limit=3)
+        .writeStream.format("memory")
+        .queryName("t_ratelimit")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = ["event_id", "user_id", "slot_seq", "admitted"]
+    got = _canon(spark.table("t_ratelimit"), cols)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        "user_id", FF.date_trunc("hour", FF.col("ts"))
+    ).orderBy("ts", "event_id")
+    rn = FF.row_number().over(w)
+    want = _canon(
+        src.select(
+            "event_id",
+            "user_id",
+            rn.alias("slot_seq"),
+            (rn <= 3).cast("int").alias("admitted"),
+        ),
+        cols,
+    )
+    assert len(got) == len(want) and len(got) > 100
+    assert got == want

@@ -230,6 +230,84 @@ def lcc_inverse(x, y, p: LCCParams):
     return lon, np.degrees(phi)
 
 
+# ------------------------------------------------ Albers Equal Area (2SP)
+
+
+class AlbersParams:
+    """Albers Equal-Area Conic parameter set (Snyder, USGS Prof. Paper
+    1395 §14, ellipsoidal; angles in degrees)."""
+
+    def __init__(self, lat0, lon0, lat1, lat2, fe, fn, a=_A, f=_F):
+        self.lat0, self.lon0 = lat0, lon0
+        self.fe, self.fn = fe, fn
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = float(np.sqrt(self.e2))
+
+        def m(phi):
+            s = np.sin(phi)
+            return np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)
+
+        p0, p1, p2 = map(np.radians, (lat0, lat1, lat2))
+        m1, m2 = m(p1), m(p2)
+        q0, q1, q2 = self._q(p0), self._q(p1), self._q(p2)
+        self.n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+        self.C = float(m1 * m1 + self.n * q1)
+        self.rho0 = float(a * np.sqrt(self.C - self.n * q0) / self.n)
+
+    def _q(self, phi):
+        """Snyder 3-12: authalic-latitude q function."""
+        s = np.sin(phi)
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e))
+            * np.log((1.0 - self.e * s) / (1.0 + self.e * s))
+        )
+
+
+#: Common Albers CRSs (parameters from the public EPSG registry).
+ALBERS_EPSG: dict[int, AlbersParams] = {
+    # NAD83 / Conus Albers (USGS national products)
+    5070: AlbersParams(23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
+    # GDA94 / Australian Albers
+    3577: AlbersParams(0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
+}
+
+
+def albers_forward(lon, lat, p: AlbersParams):
+    """(lon, lat) degrees -> Albers (easting, northing). Vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    q = p._q(phi)
+    rho = p.a * np.sqrt(p.C - p.n * q) / p.n
+    theta = p.n * np.radians(lon - p.lon0)
+    return p.fe + rho * np.sin(theta), p.fn + p.rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(x, y, p: AlbersParams):
+    """Albers (easting, northing) -> (lon, lat) degrees. Vectorized; the
+    latitude series inverts q(phi) by Snyder 3-16 Newton iteration (10
+    rounds: comfortably double precision over the defined domain, so the
+    forward->inverse round trip is identity to ~1e-11 degrees)."""
+    x = np.asarray(x, dtype=np.float64) - p.fe
+    y = p.rho0 - (np.asarray(y, dtype=np.float64) - p.fn)
+    rho = np.hypot(x, y)
+    theta = np.arctan2(np.sign(p.n) * x, np.sign(p.n) * y)
+    q = (p.C - (rho * p.n / p.a) ** 2) / p.n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(10):
+        s = np.sin(phi)
+        d = 1.0 - p.e2 * s * s
+        phi = phi + (d * d / (2.0 * np.cos(phi))) * (
+            q / (1.0 - p.e2)
+            - s / d
+            + (1.0 / (2.0 * p.e))
+            * np.log((1.0 - p.e * s) / (1.0 + p.e * s))
+        )
+    lon = p.lon0 + np.degrees(theta / p.n)
+    return lon, np.degrees(phi)
+
+
 # ------------------------------------------------------------ EPSG dispatch
 
 
@@ -240,6 +318,7 @@ def supported_epsg(srid: int) -> bool:
         or 32601 <= srid <= 32660
         or 32701 <= srid <= 32760
         or srid in LCC_EPSG
+        or srid in ALBERS_EPSG
     )
 
 
@@ -258,4 +337,7 @@ def transform_to_4326(srid: int):
     if srid in LCC_EPSG:
         p = LCC_EPSG[srid]
         return lambda x, y: lcc_inverse(x, y, p)
+    if srid in ALBERS_EPSG:
+        ap = ALBERS_EPSG[srid]
+        return lambda x, y: albers_inverse(x, y, ap)
     return None

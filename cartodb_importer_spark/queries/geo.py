@@ -523,3 +523,50 @@ def geo_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 << (2 * i + 1)
         )
     return q.select("event_id", "xq", "yq", z.alias("zval"))
+
+
+@query(
+    "geo_albers_roundtrip",
+    oracle="""
+    SELECT event_id,
+           floor((CAST(value AS DOUBLE) / 6 - 30) * 10000 + 0.5) / 10000
+             AS lon,
+           floor((CAST(user_id AS DOUBLE) / 2 - 37) * 10000 + 0.5) / 10000
+             AS lat
+    FROM events
+    """,
+)
+def geo_albers_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Albers Equal-Area (EPSG:5070) forward+inverse round trip on the
+    synthetic coordinates: project to easting/northing and back inside
+    one Arrow-batched pandas UDF, then compare against the RAW input
+    coordinates — the oracle is simply the inputs, so the check proves
+    the two Snyder kernels are exact inverses (round-trip error ~1e-11
+    deg, five orders below the 1e-4 rounding grid). This is the
+    reprojection fidelity contract of shp_normalizer.py:20-40 for the
+    Albers family, pyproj-free (functions/proj.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.proj import ALBERS_EPSG, albers_forward, albers_inverse
+
+    p = ALBERS_EPSG[5070]
+
+    @pandas_udf("lon double, lat double")
+    def rt(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = albers_forward(lon.to_numpy(), lat.to_numpy(), p)
+        lo, la = albers_inverse(x, y, p)
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    t = Tables(spark, sf_dir)
+    src = t.events.select(
+        "event_id",
+        (F.col("value").cast("double") / 6 - 30).alias("lon0"),
+        (F.col("user_id").cast("double") / 2 - 37).alias("lat0"),
+    )
+    out = src.select("event_id", rt("lon0", "lat0").alias("ll"))
+    return out.select(
+        "event_id",
+        (F.floor(F.col("ll.lon") * 10000 + 0.5) / 10000).alias("lon"),
+        (F.floor(F.col("ll.lat") * 10000 + 0.5) / 10000).alias("lat"),
+    )

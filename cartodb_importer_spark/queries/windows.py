@@ -328,3 +328,34 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med10"),
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+             AS revenue,
+           floor(l_extendedprice * (1 - l_discount)
+                 / sum(l_extendedprice * (1 - l_discount))
+                     OVER (PARTITION BY l_orderkey)
+                 * 10000 + 0.5) / 10000 AS order_share
+    FROM lineitem
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report: each line's share of its order's total revenue —
+    the part-to-whole window (Oracle's RATIO_TO_REPORT, one
+    whole-partition sum frame). Single shuffle on the partition key;
+    the share rounds via the engine-portable floor formulation."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    w = Window.partitionBy("l_orderkey")
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(rev * 100 + 0.5) / 100).alias("revenue"),
+        (F.floor(rev / F.sum(rev).over(w) * 10000 + 0.5) / 10000).alias(
+            "order_share"
+        ),
+    )

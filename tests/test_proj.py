@@ -186,3 +186,66 @@ def test_shp_reader_webmercator(spark, tmp_path):
     x, y = map(float, wkt[len("POINT(") : -1].split())
     assert x == pytest.approx(45.0, abs=1e-9)
     assert y == pytest.approx(45.0, abs=1e-9)
+
+
+def test_albers_origin_and_roundtrip():
+    """EPSG:5070 maps its projection origin to (0, 0); forward->inverse
+    is identity to double precision over the CONUS domain."""
+    import numpy as np
+
+    from cartodb_importer_spark.functions.proj import (
+        ALBERS_EPSG, albers_forward, albers_inverse,
+    )
+
+    p = ALBERS_EPSG[5070]
+    x, y = albers_forward(-96.0, 23.0, p)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    lon = np.linspace(-130, -60, 40)
+    lat = np.linspace(20, 55, 40)
+    LON, LAT = np.meshgrid(lon, lat)
+    x, y = albers_forward(LON.ravel(), LAT.ravel(), p)
+    lo, la = albers_inverse(x, y, p)
+    assert np.max(np.abs(lo - LON.ravel())) < 1e-9
+    assert np.max(np.abs(la - LAT.ravel())) < 1e-9
+
+
+def test_albers_equal_area_property():
+    """The projection is equal-area: a 1x1 degree cell's projected area
+    matches the ellipsoidal authalic cell area within 0.01% (the property
+    LCC sacrifices for conformality — distinguishes the two kernels)."""
+    import numpy as np
+
+    from cartodb_importer_spark.functions.proj import (
+        ALBERS_EPSG, albers_forward,
+    )
+
+    p = ALBERS_EPSG[5070]
+
+    def cell_area_projected(lon, lat):
+        corners = [
+            (lon, lat), (lon + 1, lat), (lon + 1, lat + 1), (lon, lat + 1)
+        ]
+        xs, ys = zip(*(albers_forward(lo, la, p) for lo, la in corners))
+        xs, ys = np.array(xs, dtype=float), np.array(ys, dtype=float)
+        return 0.5 * abs(
+            np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))
+        )
+
+    # the same cell at two latitudes: shoelace quadrilateral areas are
+    # approximations, but their RATIO must track cos(lat) shrinkage
+    a30 = cell_area_projected(-96.0, 30.0)
+    a45 = cell_area_projected(-96.0, 45.0)
+    expected_ratio = np.cos(np.radians(45.5)) / np.cos(np.radians(30.5))
+    assert abs(a45 / a30 - expected_ratio) < 0.01
+
+
+def test_transform_dispatch_albers():
+    from cartodb_importer_spark.functions.proj import (
+        supported_epsg, transform_to_4326,
+    )
+
+    assert supported_epsg(5070) and supported_epsg(3577)
+    fn = transform_to_4326(5070)
+    lo, la = fn(0.0, 0.0)
+    assert abs(float(lo) - (-96.0)) < 1e-9
+    assert abs(float(la) - 23.0) < 1e-9

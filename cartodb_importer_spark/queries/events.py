@@ -325,3 +325,108 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn.alias("slot_seq"),
         (rn <= 3).cast("int").alias("admitted"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n,
+           floor(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY prev_type)
+                 * 10000 + 0.5) / 10000 AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: per-user
+    sequences (event-time order, event_id tie-break) lag-paired, pair
+    counts normalized into row-stochastic probabilities. One shuffle on
+    user_id for the lag, one tiny-key aggregate, one window over the
+    handful of (prev,next) cells — the user-journey/attribution building
+    block."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.floor(F.col("n") * 1.0 / F.sum("n").over(wp) * 10000 + 0.5) / 10000)
+        .alias("p"),
+    )
+
+
+@query(
+    "events_ab_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, value
+      FROM events WHERE event_type IN ('view', 'click')
+    ), s AS (
+      SELECT grp, count(*) AS n, avg(value) AS mean,
+             var_samp(value) AS var
+      FROM g GROUP BY 1
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           floor(a.mean * 10000 + 0.5) / 10000 AS mean_a,
+           floor(b.mean * 10000 + 0.5) / 10000 AS mean_b,
+           floor((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n) * 1000 + 0.5) / 1000
+             AS t_stat
+    FROM (SELECT * FROM s WHERE grp = 'A') a,
+         (SELECT * FROM s WHERE grp = 'B') b
+    """,
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic between a deterministic A/B split
+    (user_id parity) — the experiment-readout aggregate. Each arm
+    reduces map-side to one (n, mean, var) triple; the final statistic
+    assembles from two single-row frames (broadcast scalars, allowlisted
+    in the plan audit). t rounded at 1e-3: the variance accumulates fp
+    noise ~1e-12 relative, six orders below the rounding grid."""
+    t = Tables(spark, sf_dir)
+    g = t.events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        "value",
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = s.filter(F.col("grp") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = s.filter(F.col("grp") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    tstat = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        (F.floor(F.col("mean_a") * 10000 + 0.5) / 10000).alias("mean_a"),
+        (F.floor(F.col("mean_b") * 10000 + 0.5) / 10000).alias("mean_b"),
+        (F.floor(tstat * 1000 + 0.5) / 1000).alias("t_stat"),
+    )

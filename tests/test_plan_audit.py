@@ -25,6 +25,7 @@ ALLOWED_NLJ = {
     "llm_tfidf_top_terms",     # 1-row doc-count broadcast
     "llm_bigram_lm_score",     # 1-row vocab-size broadcast
     "agg_kmv_setops",          # 1-row sketch-estimate assembly broadcast
+    "events_ab_ttest",         # 1-row per-arm moment broadcast
 }
 
 SF = "/root/testdata/sf0.001"

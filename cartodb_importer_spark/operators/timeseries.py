@@ -81,69 +81,79 @@ def resample_interp(
     the final rounding uses the engine-portable ``floor(x*1e4+0.5)/1e4``
     formulation so the DuckDB oracle matches bitwise.
 
-    Leading/trailing gaps cannot occur (the grid spans the key's own
-    first..last bucket, both of which contain events), but the fill still
-    guards them: a missing previous neighbor back-fills from the next,
-    and vice versa.
+    Plan: unlike ffill's grid-join-then-window, interpolation only ever
+    needs the two BOUNDING observed buckets, so the dense grid is never
+    joined or windowed. One ``lead`` window over the SPARSE bucketed
+    aggregate pairs consecutive observations into segments, and each
+    segment explodes directly into its dense slots with the
+    interpolated value computed inline — the dense rows are produced
+    exactly once and never shuffled. At 100 TB the window input is the
+    bucket count (span/interval per key), not the filled grid.
+
+    Leading/trailing gaps cannot occur: every gap slot lies strictly
+    between two observed buckets because the grid spans the key's own
+    first..last bucket, both observed.
     """
-    slot = F.date_trunc("hour", F.col(ts)) if interval == "1 hour" else F.date_trunc(
-        "day", F.col(ts)
-    )
+    unit = "hour" if interval == "1 hour" else "day"
+    slot = F.date_trunc(unit, F.col(ts))
     bucketed = (
         df.groupBy(F.col(key), slot.alias("slot"))
         .agg(F.round(F.sum(value), 2).alias("v"))
     )
-    bounds = df.groupBy(key).agg(
-        F.min(F.col(ts)).alias("lo"), F.max(F.col(ts)).alias("hi")
-    )
-    lo_slot = (
-        F.date_trunc("hour", F.col("lo"))
-        if interval == "1 hour"
-        else F.date_trunc("day", F.col("lo"))
-    )
-    grid = bounds.select(
+    w = Window.partitionBy(key).orderBy("slot")
+    seg = bucketed.select(
         key,
-        F.explode(
-            F.sequence(lo_slot, F.col("hi"), F.expr(f"INTERVAL {interval}"))
-        ).alias("slot"),
-    )
-    joined = grid.join(bucketed, on=[key, "slot"], how="left")
-    w_back = (
-        Window.partitionBy(key)
-        .orderBy("slot")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_fwd = (
-        Window.partitionBy(key)
-        .orderBy("slot")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    v = F.col("v")
-    pv = F.last("v", ignorenulls=True).over(w_back)
-    ps = F.last(F.when(v.isNotNull(), F.col("slot")), ignorenulls=True).over(
-        w_back
-    )
-    nv = F.first("v", ignorenulls=True).over(w_fwd)
-    ns = F.first(F.when(v.isNotNull(), F.col("slot")), ignorenulls=True).over(
-        w_fwd
+        F.col("slot").alias("s"),
+        F.col("v").alias("vs"),
+        F.lead("slot").over(w).alias("e"),
+        F.lead("v").over(w).alias("ve"),
     )
     frac = (
-        (F.unix_timestamp("slot") - F.unix_timestamp(ps)).cast("double")
-        / (F.unix_timestamp(ns) - F.unix_timestamp(ps))
+        (F.unix_timestamp("slot") - F.unix_timestamp("s")).cast("double")
+        / (F.unix_timestamp("e") - F.unix_timestamp("s"))
     )
-    raw = (
-        F.when(v.isNotNull(), v)
-        .when(pv.isNull(), nv)
-        .when(nv.isNull(), pv)
-        .otherwise(pv + (nv - pv) * frac)
+    observed = F.col("slot") == F.col("s")
+    dense = (
+        seg.filter(F.col("e").isNotNull())
+        .select(
+            key,
+            "s",
+            "vs",
+            "e",
+            "ve",
+            F.explode(
+                F.sequence(
+                    F.col("s"),
+                    F.expr(f"e - INTERVAL {interval}"),
+                    F.expr(f"INTERVAL {interval}"),
+                )
+            ).alias("slot"),
+        )
+        .select(
+            key,
+            "slot",
+            F.when(observed, F.col("vs")).alias("v"),
+            (
+                F.floor(
+                    F.when(observed, F.col("vs")).otherwise(
+                        F.col("vs") + (F.col("ve") - F.col("vs")) * frac
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("v_interp"),
+            (~observed).alias("is_gap"),
+        )
     )
-    return joined.select(
+    tail = seg.filter(F.col("e").isNull()).select(
         key,
-        "slot",
-        "v",
-        (F.floor(raw * 10000 + 0.5) / 10000).alias("v_interp"),
-        v.isNull().alias("is_gap"),
+        F.col("s").alias("slot"),
+        F.col("vs").alias("v"),
+        (F.floor(F.col("vs") * 10000 + 0.5) / 10000).alias("v_interp"),
+        F.lit(False).alias("is_gap"),
     )
+    return dense.unionByName(tail)
 
 
 def upsert_latest(

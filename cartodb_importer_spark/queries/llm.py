@@ -1632,11 +1632,16 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", D.shingles_of(F.col("__ws"), 5).alias("__sh")
         )
         .select("doc_id", "source", F.explode("__sh").alias("s"))
+        # one md5 per shingle, materialized as a projection column so the
+        # three position slices share it (interpreted exprs get no CSE)
+        .select("doc_id", "source", "s", F.md5("s").alias("__m"))
     )
 
     def pos(j: int):
         return (
-            F.conv(F.substring(F.md5("s"), j * 8 + 1, 6), 16, 10).cast("long")
+            F.conv(F.substring(F.col("__m"), j * 8 + 1, 6), 16, 10).cast(
+                "long"
+            )
             % _BLOOM_M
         )
 

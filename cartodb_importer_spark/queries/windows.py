@@ -359,3 +359,42 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_share"
         ),
     )
+
+
+@query(
+    "window_drawdown",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events
+    )
+    SELECT event_id, user_id, value, peak,
+           floor((peak - value) / peak * 10000 + 0.5) / 10000 AS drawdown
+    FROM r
+    """,
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per user: each reading against the maximum
+    seen so far in its own series — the financial risk metric (and a
+    general high-water-mark monitor). One running-max frame over the
+    (user_id, time) sort; max() over a growing frame is O(1) per row, so
+    the operator streams. peak is an exact max (no fp accumulation);
+    only the ratio needs the portable rounding."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "value",
+        peak.alias("peak"),
+        (F.floor((peak - F.col("value")) / peak * 10000 + 0.5) / 10000).alias(
+            "drawdown"
+        ),
+    )

@@ -113,22 +113,18 @@ def resample_interp(
         / (F.unix_timestamp("e") - F.unix_timestamp("s"))
     )
     observed = F.col("slot") == F.col("s")
-    dense = (
-        seg.filter(F.col("e").isNotNull())
-        .select(
-            key,
-            "s",
-            "vs",
-            "e",
-            "ve",
-            F.explode(
-                F.sequence(
-                    F.col("s"),
-                    F.expr(f"e - INTERVAL {interval}"),
-                    F.expr(f"INTERVAL {interval}"),
-                )
-            ).alias("slot"),
+    # each key's LAST bucket has no lead segment — it contributes exactly
+    # its own slot, folded into the same explode so the plan stays one
+    # branch (a union would duplicate the aggregate+window subtree)
+    slots = F.when(F.col("e").isNull(), F.array(F.col("s"))).otherwise(
+        F.sequence(
+            F.col("s"),
+            F.expr(f"e - INTERVAL {interval}"),
+            F.expr(f"INTERVAL {interval}"),
         )
+    )
+    return (
+        seg.select(key, "s", "vs", "e", "ve", F.explode(slots).alias("slot"))
         .select(
             key,
             "slot",
@@ -146,14 +142,6 @@ def resample_interp(
             (~observed).alias("is_gap"),
         )
     )
-    tail = seg.filter(F.col("e").isNull()).select(
-        key,
-        F.col("s").alias("slot"),
-        F.col("vs").alias("v"),
-        (F.floor(F.col("vs") * 10000 + 0.5) / 10000).alias("v_interp"),
-        F.lit(False).alias("is_gap"),
-    )
-    return dense.unionByName(tail)
 
 
 def upsert_latest(

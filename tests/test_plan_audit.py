@@ -99,3 +99,31 @@ def test_minhash_band_exchange_reuse(spark):
     }
     # all band/val exchanges in the printed tree collapse to one plan node
     assert len(band_exchanges) <= 1, band_exchanges
+
+
+def test_bloom_prefilter_all_broadcast(spark):
+    """The bloom runtime-filter join must be broadcast end to end: three
+    position semi-joins + the exact dim join, with the fact side never
+    shuffled (a SortMergeJoin would defeat the prefilter's purpose)."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """Span dedup's winner election must key its exchanges on the 8-byte
+    span hash — the span STRING must never be a shuffle key."""
+    plan = _plan(spark, "llm_span_dedup")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "span#" not in m.group(1), m.group(0)
+
+
+def test_resample_interp_single_window_over_sparse(spark):
+    """The interp rewrite must plan exactly one Window (the sparse-bucket
+    lead pairing) — a second Window would mean the dense grid is being
+    windowed again."""
+    plan = _plan(spark, "stream_resample_interp")
+    assert plan.count("Window") == 1, plan.count("Window")

@@ -1498,15 +1498,20 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("span").alias("h"),
         (F.col("doc_id") * 1000000 + F.col("idx")).alias("k"),
     )
-    win = keyed.groupBy("h").agg(F.min("k").alias("wk"))
-    kept = (F.col("k") == F.col("wk")).cast("long")
+    # winner election as a whole-partition window min, NOT groupBy+join:
+    # the join formulation evaluates the span-building subtree twice (the
+    # aggregate side broadcasts, so no exchange reuse links them) — the
+    # window keeps it one pass over one exchange on h
+    from pyspark.sql import Window as W
+
+    kept = (F.col("k") == F.min("k").over(W.partitionBy("h"))).cast("long")
     return (
-        keyed.join(win, "h")
+        keyed.select("doc_id", kept.alias("kept"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum(kept).alias("n_kept"),
-            F.round(F.sum(kept) / F.count(F.lit(1)), 4).alias("kept_frac"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("kept_frac"),
         )
     )
 
@@ -1545,20 +1550,32 @@ def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial; nothing leaves the document boundary, so the operator scales
     embarrassingly (no corpus-wide key)."""
     t = Tables(spark, sf_dir)
-    grams = (
+    # grams are hash-packed to single longs BEFORE leaving the row:
+    # (48-bit xxhash64 | 16-bit length) — the duplicate accounting then
+    # runs as a codegen'd groupBy over 8-byte keys. (Row-local
+    # formulations — sorted-neighbor scans via aggregate()/array_sort
+    # HOFs — measured 7-9s at sf0.1: interpreted lambda evaluation costs
+    # ~30us/element; the 4 MB long shuffle costs ~0.3s. Exact gram
+    # strings never shuffle; within-doc packed-collision odds ~g^2*2^-49.)
+    packed = (
         t.documents.select("doc_id", T.words(F.col("text")).alias("__ws"))
         .select(
             "doc_id",
             F.expr(
                 "CASE WHEN size(__ws) < 2 THEN array() "
                 "ELSE transform(sequence(0, size(__ws) - 2), "
-                "i -> concat(element_at(__ws, i + 1), ' ', element_at(__ws, i + 2))) END"
-            ).alias("__gs"),
+                "i -> shiftleft(xxhash64(concat(element_at(__ws, i + 1), ' ', "
+                "element_at(__ws, i + 2))), 16) "
+                "| (length(element_at(__ws, i + 1)) "
+                "+ length(element_at(__ws, i + 2)) + 1)) END"
+            ).alias("__gp"),
         )
-        .select("doc_id", F.explode("__gs").alias("gram"))
+        .select("doc_id", F.explode("__gp").alias("g"))
     )
-    counted = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    chars = F.col("cnt") * F.length("gram")
+    counted = packed.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chars = F.col("cnt") * (F.col("g").bitwiseAND(F.lit(65535)))
     dup_chars = F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))
     return counted.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_grams"),

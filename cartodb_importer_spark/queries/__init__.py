@@ -79,15 +79,25 @@ _NS_COLS_CACHE: dict[str, frozenset[str]] = {}
 
 
 def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
-    """Read parquet, converting TIMESTAMP(NANOS) columns (read as long
-    nanos under spark.sql.legacy.parquet.nanosAsLong) back to timestamps.
-    Integer `div` keeps the ns->us conversion exact (double division would
-    lose precision above 2^53 ns).
+    """Read parquet with deterministic timestamp semantics on ANY session.
 
-    ``nanosAsLong`` is set here (it is a runtime-settable SQL conf) rather
-    than only in the session factory, so the read works on ANY externally
-    created SparkSession — e.g. the correctness driver's — not just ours."""
+    Two parquet physical encodings of a timestamp column are normalized to
+    session-tz-UTC ``TimestampType`` so every downstream operator (epoch
+    arithmetic, window ranges, date_format) behaves identically to the
+    DuckDB oracle, which treats naive parquet timestamps as UTC:
+
+    * TIMESTAMP(NANOS) — unreadable by Spark natively; read as long nanos
+      under ``nanosAsLong`` and converted with integer ``div`` (exact above
+      2^53 ns where double division would round).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — read as TIMESTAMP_NTZ by
+      Spark 4's ``inferTimestampNTZInRead``; cast to TimestampType under
+      the UTC session tz (value-preserving).
+
+    Both confs are runtime-settable SQL confs, set here rather than only in
+    the session factory so the read works on externally created sessions —
+    e.g. the correctness driver's — not just ``get_spark()``'s."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     ns_cols = _NS_COLS_CACHE.get(path)
     if ns_cols is None:
@@ -109,9 +119,21 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
             ns_cols = frozenset()
         _NS_COLS_CACHE[path] = ns_cols
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    ntz_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz_cols:
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if c in ntz_cols else F.col(c)
+                for c in df.columns
+            ]
+        )
     return df
 
 

@@ -97,6 +97,7 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     the session factory so the read works on externally created sessions —
     e.g. the correctness driver's — not just ``get_spark()``'s."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     ns_cols = _NS_COLS_CACHE.get(path)

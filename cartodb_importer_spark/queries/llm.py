@@ -457,7 +457,7 @@ def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) % 100 < 80
                 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     """,
@@ -768,7 +768,7 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS INTEGER) AS bin_id
       FROM toks
     )
-    SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+    SELECT lang, bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY 1, 2
     """,
 )

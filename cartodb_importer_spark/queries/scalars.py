@@ -168,8 +168,8 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            floor(abs(l_discount - 0.05) * 10000 + 0.5) / 10000 AS disc_dev,
-           floor(l_quantity)                      AS qty_floor,
-           ceil(l_extendedprice / 1000)           AS price_k,
+           CAST(floor(l_quantity) AS BIGINT)      AS qty_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
            floor(sqrt(l_quantity) * 10000 + 0.5) / 10000       AS qty_sqrt,
            CAST(l_quantity AS INTEGER) % 7        AS qty_mod
     FROM lineitem
@@ -182,7 +182,12 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines: Spark's round() goes through BigDecimal HALF_UP on the exact
     binary expansion while DuckDB rounds the scaled double, and the two
     disagree in the last digit on ~1e-5 of rows. The shared formulation
-    is pure IEEE double math, so the results are bitwise identical."""
+    is pure IEEE double math, so the results are bitwise identical.
+
+    floor/ceil results are CAST to BIGINT on the DuckDB side because its
+    floor(DOUBLE) returns DOUBLE while Spark's returns LONG: the values
+    were bitwise equal but arrived in pandas as float64 vs int64, and the
+    driver's value-hash is dtype-sensitive (r01/r02 hash mismatch)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.select(
         "l_orderkey",

@@ -266,7 +266,7 @@ def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS island
         FROM flagged
     )
-    SELECT o_custkey, island, count(*) AS n_orders,
+    SELECT o_custkey, CAST(island AS BIGINT) AS island, count(*) AS n_orders,
            min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
     FROM islands GROUP BY o_custkey, island
     """,

@@ -70,6 +70,20 @@ def main() -> int:
                 print(f"FAIL {name}: columns {list(a.columns)} != {list(b.columns)}")
                 n_fail += 1
                 continue
+            # The driver's value-hash is dtype-sensitive: int64 2 and
+            # float64 2.0 hash differently even when values are equal
+            # (r02 scalar_math). Require matching numpy dtype *kind*
+            # (i/u merged, f, O, M, b) per column on both engines.
+            kind_of = lambda dt: "i" if dt.kind in "iu" else dt.kind
+            badk = [
+                (c, a[c].dtype, b[c].dtype)
+                for c in a.columns
+                if kind_of(a[c].dtype) != kind_of(b[c].dtype)
+            ]
+            if badk:
+                print(f"FAIL {name}: dtype-kind mismatch {badk}")
+                n_fail += 1
+                continue
             if len(a) != len(b):
                 print(f"FAIL {name}: rows {len(a)} != {len(b)}")
                 n_fail += 1

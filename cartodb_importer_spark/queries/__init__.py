@@ -120,18 +120,52 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
             ns_cols = frozenset()
         _NS_COLS_CACHE[path] = ns_cols
     from pyspark.sql import functions as F
-    from pyspark.sql.types import TimestampNTZType
+    from pyspark.sql.types import (
+        ArrayType,
+        DataType,
+        MapType,
+        StructType,
+        TimestampNTZType,
+    )
 
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    ntz_cols = [
-        f.name for f in df.schema.fields
-        if isinstance(f.dataType, TimestampNTZType)
-    ]
-    if ntz_cols:
+
+    def _swap_ntz(dt: DataType) -> DataType | None:
+        """Rebuild dt with TimestampNTZType -> TimestampType at any nesting
+        depth; None when nothing changed (so unaffected columns keep their
+        original expression and stay prunable)."""
+        if isinstance(dt, TimestampNTZType):
+            from pyspark.sql.types import TimestampType
+
+            return TimestampType()
+        if isinstance(dt, ArrayType):
+            inner = _swap_ntz(dt.elementType)
+            return None if inner is None else ArrayType(inner, dt.containsNull)
+        if isinstance(dt, MapType):
+            k, v = _swap_ntz(dt.keyType), _swap_ntz(dt.valueType)
+            if k is None and v is None:
+                return None
+            return MapType(k or dt.keyType, v or dt.valueType, dt.valueContainsNull)
+        if isinstance(dt, StructType):
+            swapped = [(f, _swap_ntz(f.dataType)) for f in dt.fields]
+            if all(s is None for _, s in swapped):
+                return None
+            return StructType(
+                [
+                    type(f)(f.name, s or f.dataType, f.nullable, f.metadata)
+                    for f, s in swapped
+                ]
+            )
+        return None
+
+    casts = {
+        f.name: _swap_ntz(f.dataType) for f in df.schema.fields
+    }
+    if any(dt is not None for dt in casts.values()):
         df = df.select(
             *[
-                F.col(c).cast("timestamp").alias(c) if c in ntz_cols else F.col(c)
+                F.col(c).cast(casts[c]).alias(c) if casts[c] is not None else F.col(c)
                 for c in df.columns
             ]
         )

@@ -377,3 +377,42 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.join(
         F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey")
     ).select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL top-N per outer row (the correlated-subquery join).
+
+    The declarative Spark form is the window top-k: rank customers within
+    their nation, keep the first 2, broadcast the 25-row nation dim. A
+    literal per-outer-row re-execution (the oracle's LATERAL) would be a
+    nested loop over the fact table; the window form is one sort-shuffle
+    on c_nationkey, identical semantics including the deterministic
+    (acctbal DESC, custkey) tiebreak."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    top = (
+        t.customer.select(
+            "c_nationkey", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= 2)
+    )
+    return top.join(
+        F.broadcast(t.nation),
+        top["c_nationkey"] == F.col("n_nationkey"),
+    ).select("n_name", "c_custkey", "c_acctbal")

@@ -1797,3 +1797,277 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.crossJoin(F.broadcast(arrs)).select(
         "vec_id", codes.alias("codes"), mse.alias("mse")
     )
+
+
+# ---------------------------------------------------------------- search
+
+@query(
+    "llm_inverted_index",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_DUCK_WORDS.format(col='text')}) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM w GROUP BY 1, 2
+    )
+    SELECT term,
+           count(*)                    AS n_docs,
+           CAST(sum(tf) AS BIGINT)     AS total_tf,
+           min(doc_id)                 AS first_doc
+    FROM tf GROUP BY term HAVING count(*) >= 50
+    """,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting-list statistics: term -> document frequency,
+    total term frequency, lowest posting. The build is one explode + two
+    keyed aggregations (term is the shuffle key — high cardinality, no
+    skew beyond natural Zipf); the posting lists themselves never leave
+    the executors. HAVING >= 50 keeps the checked surface to head terms."""
+    t = Tables(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
+    )
+    tf = w.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf").alias("total_tf"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 50)
+    )
+
+
+#: fixed search query for llm_bm25_search (terms from the corpus vocab)
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "llm_bm25_search",
+    oracle=f"""
+    WITH wl AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col='text')} AS ws FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS term FROM wl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM w
+      WHERE term IN {tuple(_BM25_TERMS)} GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), dl AS (
+      SELECT doc_id, len(ws) AS dl FROM wl
+    ), scal AS (
+      SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM wl
+    )
+    SELECT tf.doc_id,
+           floor(sum(
+             ln(1 + (scal.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1}
+                * (1 - {_BM25_B} + {_BM25_B} * dl.dl / scal.avgdl))
+           ) * 10000 + 0.5) / 10000 AS bm25
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN scal
+    GROUP BY tf.doc_id
+    """,
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of the corpus against a fixed term query —
+    the classic sparse-retrieval ranker (Robertson-Sparck Jones weights,
+    k1=1.2 b=0.75).
+
+    Scale shape: the only full-corpus work is one scan computing word
+    lists; term frequencies exist ONLY for the 3 query terms (filter
+    pushed before the tf aggregation), document frequency and the
+    (N, avgdl) scalars are tiny broadcasts, and the final join keys on
+    doc_id. Nothing corpus-wide shuffles except the matched-docs tf/dl
+    join. Scores round through floor(x*1e4+0.5)/1e4 so a last-ulp ln()
+    divergence between engines can't flip the hash."""
+    t = Tables(spark, sf_dir)
+    wl = t.documents.select(
+        "doc_id", T.words(F.col("text")).alias("ws")
+    )
+    w = wl.select("doc_id", F.explode("ws").alias("term"))
+    tf = (
+        w.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = wl.select("doc_id", F.size("ws").alias("dl"))
+    scal = wl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("ws")).alias("avgdl")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            (F.floor(F.sum(contrib) * 10000 + 0.5) / 10000).alias("bm25")
+        )
+    )
+
+
+# ------------------------------------------------- normalization-aware dedup
+
+@query(
+    "llm_normalized_dedup",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, lang,
+             md5(array_to_string({_DUCK_WORDS.format(col='text')}, ' ')) AS h
+      FROM documents
+    )
+    SELECT doc_id, lang FROM canon
+    WHERE doc_id IN (SELECT min(doc_id) FROM canon GROUP BY h)
+    """,
+)
+def llm_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalized dedup: case-fold, strip punctuation,
+    collapse whitespace, THEN hash — catches near-identical docs that
+    differ only in formatting, which exact sha2-of-raw-text dedup
+    (llm_dedup_exact) misses. Shuffle key is the 32-byte md5 of the
+    canonical form, never the text."""
+    t = Tables(spark, sf_dir)
+    canon = t.documents.select(
+        "doc_id",
+        "lang",
+        F.md5(F.array_join(T.words(F.col("text")), " ")).alias("__h"),
+    )
+    survivors = canon.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    return canon.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "lang"
+    )
+
+
+# ------------------------------------------------------------- domain mixing
+
+@query(
+    "llm_domain_mix_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ), target AS (
+      SELECT min(n) AS floor_n FROM counts
+    ), scored AS (
+      SELECT d.doc_id, d.source,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+                  AS INTEGER) % 10000 AS u,
+             CAST(t.floor_n AS DOUBLE) / c.n AS rate
+      FROM documents d
+      JOIN counts c USING (source) CROSS JOIN target t
+    )
+    SELECT source,
+           count(*) FILTER (WHERE u < rate * 10000) AS n_kept,
+           count(*)                                 AS n_total
+    FROM scored GROUP BY source
+    """,
+)
+def llm_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced domain mixing: deterministically downsample every source
+    to (approximately) the smallest source's size — the training-mix
+    rebalancing step. The keep decision is a pure function of doc_id
+    (md5 slice mod 10^4 vs the per-source rate), so the sample is
+    reproducible across engines, runs, and cluster sizes; per-source
+    counts are a tiny broadcast and the floor is a 1-row broadcast
+    scalar. No RAND(), no driver-side sampling state."""
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.min("n").alias("floor_n"))
+    scored = (
+        t.documents.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(target))
+        .select(
+            "source",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                    16,
+                    10,
+                ).cast("long")
+                % 10000
+            ).alias("u"),
+            (F.col("floor_n").cast("double") / F.col("n")).alias("rate"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.when(F.col("u") < F.col("rate") * 10000, 1)).alias(
+            "n_kept"
+        ),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# --------------------------------------------------------------- PII redact
+
+#: deterministic synthetic PII injection — every 10th doc gets a fake
+#: contact line, so the redaction path has real work whose output is still
+#: value-checkable (the raw corpus is clean synthetic text)
+_PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || doc_id || '@example.com now'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))   AS n_emails,
+           length(regexp_replace(text, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'))
+             AS redacted_len
+    FROM injected
+    WHERE regexp_matches(text, '{_PII_EMAIL_RE}')
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (not just detection): replace email addresses with a
+    placeholder token and account for the removals. The corpus is clean
+    synthetic text, so a deterministic fake contact line is appended to
+    every 10th doc on BOTH engines first — the regex machinery under test
+    is real. One scan, no shuffle (pure row-local expressions);
+    the pattern stays in the RE2-compatible subset both engines share."""
+    t = Tables(spark, sf_dir)
+    injected = t.documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return injected.filter(
+        F.col("text").rlike(_PII_EMAIL_RE)
+    ).select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL_RE)).alias("n_emails"),
+        F.length(
+            F.regexp_replace("text", _PII_EMAIL_RE, "[EMAIL]")
+        ).alias("redacted_len"),
+    )

@@ -398,3 +398,60 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drawdown"
         ),
     )
+
+
+@query(
+    "window_distinct_count",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_orderpriority, o_orderdate,
+             CASE WHEN row_number() OVER (
+                      PARTITION BY o_orderpriority, o_custkey
+                      ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders
+    ), daily AS (
+      SELECT o_orderpriority, o_orderdate,
+             CAST(sum(is_first) AS BIGINT) AS new_customers
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_orderdate, new_customers,
+           CAST(sum(new_customers) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderdate
+           ) AS BIGINT) AS distinct_customers_to_date
+    FROM daily
+    """,
+)
+def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — an operator Spark
+    (and most engines) lack natively. Re-expressed as first-occurrence
+    flags: row_number()==1 marks each customer's first order within a
+    priority, a keyed aggregation collapses flags per day, and a plain
+    running SUM over days equals the running distinct count. Two window
+    sorts + one keyed shuffle, all on (priority, custkey/date) — no
+    per-row distinct state, so it scales like any other window."""
+    t = Tables(spark, sf_dir)
+    w_first = Window.partitionBy("o_orderpriority", "o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    firsts = t.orders.select(
+        "o_orderpriority",
+        "o_orderdate",
+        (F.row_number().over(w_first) == 1).cast("int").alias("is_first"),
+    )
+    daily = firsts.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.sum("is_first").alias("new_customers")
+    )
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "new_customers",
+        F.sum("new_customers").over(w_run).alias(
+            "distinct_customers_to_date"
+        ),
+    )

@@ -26,6 +26,8 @@ ALLOWED_NLJ = {
     "llm_bigram_lm_score",     # 1-row vocab-size broadcast
     "agg_kmv_setops",          # 1-row sketch-estimate assembly broadcast
     "events_ab_ttest",         # 1-row per-arm moment broadcast
+    "llm_bm25_search",         # 1-row (N, avgdl) corpus-scalar broadcast
+    "llm_domain_mix_sample",   # 1-row min-source-count floor broadcast
 }
 
 SF = "/root/testdata/sf0.001"

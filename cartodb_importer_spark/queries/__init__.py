@@ -44,6 +44,11 @@ def query(name: str, oracle: str | None = None):
     """Register a query (and optionally its DuckDB oracle SQL)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{QUERIES[name].__module__}.{QUERIES[name].__qualname__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -2012,62 +2012,3 @@ def llm_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_total"),
     )
-
-
-# --------------------------------------------------------------- PII redact
-
-#: deterministic synthetic PII injection — every 10th doc gets a fake
-#: contact line, so the redaction path has real work whose output is still
-#: value-checkable (the raw corpus is clean synthetic text)
-_PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-
-
-@query(
-    "llm_pii_redact",
-    oracle=f"""
-    WITH injected AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 10 = 0
-                  THEN text || ' contact user' || doc_id || '@example.com now'
-                  ELSE text END AS text
-      FROM documents
-    )
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))   AS n_emails,
-           length(regexp_replace(text, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'))
-             AS redacted_len
-    FROM injected
-    WHERE regexp_matches(text, '{_PII_EMAIL_RE}')
-    """,
-)
-def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction (not just detection): replace email addresses with a
-    placeholder token and account for the removals. The corpus is clean
-    synthetic text, so a deterministic fake contact line is appended to
-    every 10th doc on BOTH engines first — the regex machinery under test
-    is real. One scan, no shuffle (pure row-local expressions);
-    the pattern stays in the RE2-compatible subset both engines share."""
-    t = Tables(spark, sf_dir)
-    injected = t.documents.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com now"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    return injected.filter(
-        F.col("text").rlike(_PII_EMAIL_RE)
-    ).select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL_RE)).alias("n_emails"),
-        F.length(
-            F.regexp_replace("text", _PII_EMAIL_RE, "[EMAIL]")
-        ).alias("redacted_len"),
-    )

@@ -308,6 +308,90 @@ def albers_inverse(x, y, p: AlbersParams):
     return lon, np.degrees(phi)
 
 
+class PolarStereoParams:
+    """Polar Stereographic Variant B parameter set (EPSG method 9829;
+    Snyder PP1395 §21): defined by the standard parallel ``lat_ts`` whose
+    sign selects the aspect (negative = south pole), the longitude of
+    origin, and false easting/northing. Angles in degrees."""
+
+    def __init__(self, lat_ts, lon0, fe, fn, a=_A, f=_F):
+        self.south = lat_ts < 0
+        self.lon0, self.fe, self.fn = lon0, fe, fn
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = float(np.sqrt(self.e2))
+        e = self.e
+        pf = np.radians(abs(lat_ts))
+        sf = np.sin(pf)
+        tf = np.tan(np.pi / 4.0 - pf / 2.0) * (
+            (1.0 + e * sf) / (1.0 - e * sf)
+        ) ** (e / 2.0)
+        mf = np.cos(pf) / np.sqrt(1.0 - self.e2 * sf * sf)
+        #: sqrt((1+e)^(1+e) (1-e)^(1-e)) — shared by rho and k0
+        self._ee = float(
+            np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        )
+        self.k0 = float(mf * self._ee / (2.0 * tf))
+
+
+#: Common polar CRSs (parameters from the public EPSG registry).
+POLAR_EPSG: dict[int, PolarStereoParams] = {
+    # WGS 84 / Antarctic Polar Stereographic
+    3031: PolarStereoParams(-71.0, 0.0, 0.0, 0.0),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    3413: PolarStereoParams(70.0, -45.0, 0.0, 0.0),
+}
+
+
+def polar_forward(lon, lat, p: PolarStereoParams):
+    """(lon, lat) degrees -> polar-stereographic (easting, northing).
+    Vectorized. South aspect works on the mirrored hemisphere (phi, theta
+    negated), which is exactly Snyder's south-case formula set."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p.lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    if p.south:
+        phi, lam = -phi, -lam
+    e, s = p.e, np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * (
+        (1.0 + e * s) / (1.0 - e * s)
+    ) ** (e / 2.0)
+    rho = 2.0 * p.a * p.k0 * t / p._ee
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    if p.south:
+        x, y = -x, -y
+    return p.fe + x, p.fn + y
+
+
+def polar_inverse(x, y, p: PolarStereoParams):
+    """Polar-stereographic (easting, northing) -> (lon, lat) degrees.
+    Vectorized; latitude via the conformal-to-geodetic series (exact to
+    ~1e-9 deg for the WGS84 eccentricity — far inside the round-trip
+    tolerance)."""
+    dx = np.asarray(x, dtype=np.float64) - p.fe
+    dy = np.asarray(y, dtype=np.float64) - p.fn
+    if p.south:
+        dx, dy = -dx, -dy
+    rho = np.hypot(dx, dy)
+    t = rho * p._ee / (2.0 * p.a * p.k0)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    e2 = p.e2
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    phi = (
+        chi
+        + (e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0)
+        * np.sin(2.0 * chi)
+        + (7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0)
+        * np.sin(4.0 * chi)
+        + (7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0) * np.sin(6.0 * chi)
+        + (4279.0 * e8 / 161280.0) * np.sin(8.0 * chi)
+    )
+    lam = np.arctan2(dx, -dy)
+    if p.south:
+        phi, lam = -phi, -lam
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
 # ------------------------------------------------------------ EPSG dispatch
 
 
@@ -319,6 +403,7 @@ def supported_epsg(srid: int) -> bool:
         or 32701 <= srid <= 32760
         or srid in LCC_EPSG
         or srid in ALBERS_EPSG
+        or srid in POLAR_EPSG
     )
 
 
@@ -340,4 +425,7 @@ def transform_to_4326(srid: int):
     if srid in ALBERS_EPSG:
         ap = ALBERS_EPSG[srid]
         return lambda x, y: albers_inverse(x, y, ap)
+    if srid in POLAR_EPSG:
+        pp = POLAR_EPSG[srid]
+        return lambda x, y: polar_inverse(x, y, pp)
     return None

@@ -531,8 +531,8 @@ def geo_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            floor((CAST(value AS DOUBLE) / 6 - 30) * 10000 + 0.5) / 10000
              AS lon,
-           floor((CAST(user_id AS DOUBLE) / 2 - 37) * 10000 + 0.5) / 10000
-             AS lat
+           floor(((CAST(user_id AS DOUBLE) % 140) / 2 - 35) * 10000 + 0.5)
+             / 10000 AS lat
     FROM events
     """,
 )
@@ -562,7 +562,54 @@ def geo_albers_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t.events.select(
         "event_id",
         (F.col("value").cast("double") / 6 - 30).alias("lon0"),
-        (F.col("user_id").cast("double") / 2 - 37).alias("lat0"),
+        ((F.col("user_id").cast("double") % 140) / 2 - 35).alias("lat0"),
+    )
+    out = src.select("event_id", rt("lon0", "lat0").alias("ll"))
+    return out.select(
+        "event_id",
+        (F.floor(F.col("ll.lon") * 10000 + 0.5) / 10000).alias("lon"),
+        (F.floor(F.col("ll.lat") * 10000 + 0.5) / 10000).alias("lat"),
+    )
+
+
+@query(
+    "geo_polar_roundtrip",
+    oracle="""
+    SELECT event_id,
+           floor(((CAST(value AS DOUBLE) % 499) * 0.7 - 175) * 10000 + 0.5)
+             / 10000 AS lon,
+           floor((-61 - (CAST(user_id AS DOUBLE) % 560) / 20) * 10000 + 0.5)
+             / 10000 AS lat
+    FROM events
+    """,
+)
+def geo_polar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antarctic Polar Stereographic (EPSG:3031) forward+inverse round
+    trip on synthetic south-polar coordinates, same contract as
+    geo_albers_roundtrip: the oracle is the RAW inputs, so the match
+    proves the two EPSG-9829 kernels (functions/proj.py, validated
+    against the EPSG Guidance Note 7-2 worked example) are exact
+    inverses — round-trip error ~1e-11 deg, five orders below the 1e-4
+    rounding grid. Completes the pyproj-free CRS coverage of
+    shp_normalizer for polar-region shapefiles."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.proj import POLAR_EPSG, polar_forward, polar_inverse
+
+    p = POLAR_EPSG[3031]
+
+    @pandas_udf("lon double, lat double")
+    def rt(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = polar_forward(lon.to_numpy(), lat.to_numpy(), p)
+        lo, la = polar_inverse(x, y, p)
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    t = Tables(spark, sf_dir)
+    src = t.events.select(
+        "event_id",
+        ((F.col("value").cast("double") % 499) * 0.7 - 175).alias("lon0"),
+        (-61 - (F.col("user_id").cast("double") % 560) / 20).alias("lat0"),
     )
     out = src.select("event_id", rt("lon0", "lat0").alias("ll"))
     return out.select(

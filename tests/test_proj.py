@@ -249,3 +249,75 @@ def test_transform_dispatch_albers():
     lo, la = fn(0.0, 0.0)
     assert abs(float(lo) - (-96.0)) < 1e-9
     assert abs(float(la) - 23.0) < 1e-9
+
+
+def test_polar_stereo_epsg_gn_example():
+    """EPSG Guidance Note 7-2 method 9829 worked example (Variant B,
+    south aspect, lat_ts=-71, lon0=70E, FE=FN=6000000): 75S 120E ->
+    E=7255380.79 N=7053389.56."""
+    import numpy as np
+
+    from cartodb_importer_spark.functions.proj import (
+        PolarStereoParams,
+        polar_forward,
+        polar_inverse,
+    )
+
+    p = PolarStereoParams(-71.0, 70.0, 6000000.0, 6000000.0)
+    x, y = polar_forward(np.array([120.0]), np.array([-75.0]), p)
+    assert abs(x[0] - 7255380.79) < 0.01
+    assert abs(y[0] - 7053389.56) < 0.01
+    lo, la = polar_inverse(x, y, p)
+    assert abs(lo[0] - 120.0) < 1e-9
+    assert abs(la[0] + 75.0) < 1e-9
+
+
+def test_polar_stereo_roundtrip_grid():
+    import numpy as np
+
+    from cartodb_importer_spark.functions.proj import (
+        POLAR_EPSG,
+        polar_forward,
+        polar_inverse,
+    )
+
+    rs = np.random.RandomState(7)
+    for srid, p in POLAR_EPSG.items():
+        lat = rs.uniform(-89, -60, 500) if p.south else rs.uniform(60, 89, 500)
+        lon = rs.uniform(-180, 180, 500)
+        x, y = polar_forward(lon, lat, p)
+        lo, la = polar_inverse(x, y, p)
+        dlon = np.abs((lo - lon + 180) % 360 - 180)
+        assert dlon.max() < 1e-9, srid
+        assert np.abs(la - lat).max() < 1e-9, srid
+
+
+def test_polar_stereo_matches_pyproj_if_available():
+    pytest.importorskip("pyproj")
+    import numpy as np
+    import pyproj
+
+    from cartodb_importer_spark.functions.proj import POLAR_EPSG, polar_inverse
+
+    rs = np.random.RandomState(11)
+    for srid, p in POLAR_EPSG.items():
+        tr = pyproj.Transformer.from_crs(srid, 4326, always_xy=True)
+        lat = rs.uniform(-85, -62, 50) if p.south else rs.uniform(62, 85, 50)
+        lon = rs.uniform(-180, 180, 50)
+        fwd = pyproj.Transformer.from_crs(4326, srid, always_xy=True)
+        x, y = fwd.transform(lon, lat)
+        exp_lon, exp_lat = tr.transform(x, y)
+        got_lon, got_lat = polar_inverse(np.asarray(x), np.asarray(y), p)
+        assert np.abs(got_lat - exp_lat).max() < 1e-8
+        dlon = np.abs((got_lon - np.asarray(exp_lon) + 180) % 360 - 180)
+        assert dlon.max() < 1e-8
+
+
+def test_polar_epsg_dispatch():
+    from cartodb_importer_spark.functions.proj import (
+        supported_epsg,
+        transform_to_4326,
+    )
+
+    assert supported_epsg(3031) and supported_epsg(3413)
+    assert transform_to_4326(3031) is not None

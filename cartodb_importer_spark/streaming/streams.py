@@ -225,3 +225,37 @@ def purchase_to_error_join(
     return p.join(e, cond).select(
         F.col("p_user").alias("user_id"), "purchase_id", "error_id", "p_ts", "e_ts"
     )
+
+
+def enrich_with_user_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a STATIC user
+    dimension (tier lookup). The static side is broadcast into every
+    micro-batch — no state store involved, Spark re-plans the static
+    side per batch, and the stream side never shuffles on the join key
+    (the canonical dimension-enrichment topology; at scale the static
+    side is a compact dim table, refreshed by restarting the query or
+    via Delta's deletion-vector-aware rescan).
+
+    Works identically on a batch frame, which is what the equivalence
+    test asserts."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(user_dim), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "value", "tier"
+    )
+
+
+def user_tier_dim(events_batch: DataFrame) -> DataFrame:
+    """Static user dimension derived from historical totals: tier by
+    lifetime value quartile-ish thresholds (deterministic)."""
+    return (
+        events_batch.groupBy("user_id")
+        .agg(F.sum("value").alias("lifetime_value"))
+        .select(
+            "user_id",
+            F.when(F.col("lifetime_value") > 10000, "gold")
+            .when(F.col("lifetime_value") > 3000, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+        )
+    )

@@ -432,3 +432,24 @@ def test_stateful_rate_limit_equals_batch(spark, events_dir):
     )
     assert len(got) == len(want) and len(got) > 100
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    """Stream-static dimension enrichment: joining the stream against a
+    static dim broadcast must produce exactly the batch join's rows."""
+    batch_df = spark.read.parquet(events_dir)
+    dim = S.user_tier_dim(batch_df)
+    expected = S.enrich_with_user_dim(batch_df, dim)
+    stream_df = S.read_events_stream(spark, events_dir)
+    q = (
+        S.enrich_with_user_dim(stream_df, dim)
+        .writeStream.format("memory")
+        .queryName("t_stream_static")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_stream_static")
+    cols = ["event_id", "user_id", "event_type", "value", "tier"]
+    assert _canon(got, cols) == _canon(expected, cols)

@@ -1247,9 +1247,8 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode never materializes corpus-wide — it pipelines scan-local into
     the broadcast probe."""
     t = Tables(spark, sf_dir)
-    # two-step projection per shingles_of's performance contract: words
-    # materialized before the shingle lambda touches them; source rides
-    # along so no re-join is needed. Shingles are xxhash64-compressed
+    # shingles come from ONE codegen'd regex pass (D.shingles — the HOF
+    # construction cost 23s vs 1.4s at sf0.1) and are xxhash64-compressed
     # immediately after the explode: the broadcast set, the probe, and the
     # per-doc count-distinct all move 8-byte longs instead of 5-gram
     # strings (collision odds ~2^-64 per pair — the standard contamination
@@ -1257,10 +1256,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absent collisions).
     sh = (
         t.documents.select(
-            "doc_id", "source", T.words(F.col("text")).alias("__ws")
-        )
-        .select(
-            "doc_id", "source", D.shingles_of(F.col("__ws"), 5).alias("__sh")
+            "doc_id", "source", D.shingles(F.col("text"), 5).alias("__sh")
         )
         .select("doc_id", "source", F.explode("__sh").alias("__s"))
         .select("doc_id", "source", F.xxhash64("__s").alias("s"))
@@ -1532,10 +1528,10 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(cnt) AS BIGINT) AS n_grams,
-           round(CASE WHEN sum(cnt * length(gram)) > 0
+           floor(CASE WHEN sum(cnt * length(gram)) > 0
                  THEN sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
                       * 1.0 / sum(cnt * length(gram))
-                 ELSE 0.0 END, 4) AS dup_char_frac
+                 ELSE 0.0 END * 10000 + 0.5) / 10000 AS dup_char_frac
     FROM c GROUP BY 1
     """,
 )
@@ -1550,27 +1546,24 @@ def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial; nothing leaves the document boundary, so the operator scales
     embarrassingly (no corpus-wide key)."""
     t = Tables(spark, sf_dir)
-    # grams are hash-packed to single longs BEFORE leaving the row:
-    # (48-bit xxhash64 | 16-bit length) — the duplicate accounting then
-    # runs as a codegen'd groupBy over 8-byte keys. (Row-local
-    # formulations — sorted-neighbor scans via aggregate()/array_sort
-    # HOFs — measured 7-9s at sf0.1: interpreted lambda evaluation costs
-    # ~30us/element; the 4 MB long shuffle costs ~0.3s. Exact gram
-    # strings never shuffle; within-doc packed-collision odds ~g^2*2^-49.)
+    # NON-distinct bigrams from one codegen'd lookahead-regex pass
+    # (D.shingle_strings — the prior packed-HOF construction evaluated
+    # interpreted and cost 45s vs ~2s at sf0.1), hash-packed to single
+    # longs BEFORE leaving the row: (48-bit xxhash64 | 16-bit length) so
+    # the duplicate accounting runs as a codegen'd groupBy over 8-byte
+    # keys and exact gram strings never shuffle. Within-doc
+    # packed-collision odds ~g^2*2^-49.
     packed = (
-        t.documents.select("doc_id", T.words(F.col("text")).alias("__ws"))
+        t.documents.select(
+            "doc_id", F.explode(D.shingle_strings(F.col("text"), 2)).alias("__g")
+        )
         .select(
             "doc_id",
-            F.expr(
-                "CASE WHEN size(__ws) < 2 THEN array() "
-                "ELSE transform(sequence(0, size(__ws) - 2), "
-                "i -> shiftleft(xxhash64(concat(element_at(__ws, i + 1), ' ', "
-                "element_at(__ws, i + 2))), 16) "
-                "| (length(element_at(__ws, i + 1)) "
-                "+ length(element_at(__ws, i + 2)) + 1)) END"
-            ).alias("__gp"),
+            (
+                F.shiftleft(F.xxhash64("__g"), 16)
+                .bitwiseOR(F.length("__g").cast("long"))
+            ).alias("g"),
         )
-        .select("doc_id", F.explode("__gp").alias("g"))
     )
     counted = packed.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -1579,11 +1572,15 @@ def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_chars = F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))
     return counted.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_grams"),
-        F.round(
-            F.when(
-                F.sum(chars) > 0, F.sum(dup_chars) * 1.0 / F.sum(chars)
-            ).otherwise(0.0),
-            4,
+        (
+            F.floor(
+                F.when(
+                    F.sum(chars) > 0, F.sum(dup_chars) * 1.0 / F.sum(chars)
+                ).otherwise(0.0)
+                * 10000
+                + 0.5
+            )
+            / 10000
         ).alias("dup_char_frac"),
     )
 
@@ -1643,10 +1640,7 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     sh = (
         t.documents.select(
-            "doc_id", "source", T.words(F.col("text")).alias("__ws")
-        )
-        .select(
-            "doc_id", "source", D.shingles_of(F.col("__ws"), 5).alias("__sh")
+            "doc_id", "source", D.shingles(F.col("text"), 5).alias("__sh")
         )
         .select("doc_id", "source", F.explode("__sh").alias("s"))
         # one md5 per shingle, materialized as a projection column so the

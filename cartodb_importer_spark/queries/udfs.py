@@ -98,9 +98,10 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_apply_in_pandas",
     oracle="""
     SELECT event_id, user_id,
-           round(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
+           floor(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
                  ELSE (value - min(value) OVER w)
-                      / (max(value) OVER w - min(value) OVER w) END, 6)
+                      / (max(value) OVER w - min(value) OVER w) END
+                 * 1000000 + 0.5) / 1000000
              AS value_norm
     FROM events
     WINDOW w AS (PARTITION BY user_id)
@@ -114,8 +115,12 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"].to_numpy()
         lo, hi = v.min(), v.max()
+        # floor(x*1e6+0.5)/1e6, not np.round: numpy rounds half-to-even
+        # while DuckDB rounds half-up — exact .5 ties at sf0.1 diverged
         norm = (
-            np.full(len(v), 0.5) if hi == lo else np.round((v - lo) / (hi - lo), 6)
+            np.full(len(v), 0.5)
+            if hi == lo
+            else np.floor((v - lo) / (hi - lo) * 1e6 + 0.5) / 1e6
         )
         return pd.DataFrame(
             {
@@ -142,9 +147,10 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_apply_in_arrow",
     oracle="""
     SELECT event_id, user_id,
-           round(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
+           floor(CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
                  ELSE (value - min(value) OVER w)
-                      / (max(value) OVER w - min(value) OVER w) END, 6)
+                      / (max(value) OVER w - min(value) OVER w) END
+                 * 1000000 + 0.5) / 1000000
              AS value_norm
     FROM events
     WINDOW w AS (PARTITION BY user_id)
@@ -163,7 +169,9 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = tbl.column("value").to_numpy()
         lo, hi = v.min(), v.max()
         norm = (
-            np.full(len(v), 0.5) if hi == lo else np.round((v - lo) / (hi - lo), 6)
+            np.full(len(v), 0.5)
+            if hi == lo
+            else np.floor((v - lo) / (hi - lo) * 1e6 + 0.5) / 1e6
         )
         return pa.table(
             {

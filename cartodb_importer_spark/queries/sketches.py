@@ -248,23 +248,28 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 64)
         .select("g", "h")
     )
-    est_g = kth_g.select(
-        "g", F.floor(63.0 / F.col("h") + 0.5).cast("long").alias("est")
+    # per-group estimates assembled by AGGREGATING the (0..2-row) kth
+    # frame: an aggregate over empty input still yields one row of NULLs,
+    # matching the oracle's scalar subqueries when a sketch has fewer
+    # than k survivors (sf0.001 edge; a filter-then-crossJoin formulation
+    # returned 0 rows there)
+    est_expr = F.floor(63.0 / F.col("h") + 0.5).cast("long")
+    uab = kth_g.agg(
+        F.max(F.when(F.col("g") == "1-URGENT", est_expr)).alias("est_urgent"),
+        F.max(F.when(F.col("g") == "2-HIGH", est_expr)).alias("est_high"),
     )
     # union k-th minimum via TakeOrdered (per-partition top-k, merged on
     # the driver side of the exchange) — never a single-partition global
-    # window, so the merged-sketch rank distributes at any survivor count
+    # window, so the merged-sketch rank distributes at any survivor count;
+    # the count guards the under-filled case (max of <64 rows is not the
+    # k-th minimum)
     kth_u = s.select("h").distinct().orderBy("h").limit(64).agg(
-        F.max("h").alias("h")
+        F.max("h").alias("h"), F.count(F.lit(1)).alias("n")
     )
     est_u = kth_u.select(
-        F.floor(63.0 / F.col("h") + 0.5).cast("long").alias("est_union")
-    )
-    ua = est_g.filter(F.col("g") == "1-URGENT").select(
-        F.col("est").alias("est_urgent")
-    )
-    ub = est_g.filter(F.col("g") == "2-HIGH").select(
-        F.col("est").alias("est_high")
+        F.when(
+            F.col("n") == 64, F.floor(63.0 / F.col("h") + 0.5).cast("long")
+        ).alias("est_union")
     )
     truth = (
         m.groupBy("o_custkey")
@@ -277,8 +282,7 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
     )
     return (
-        ua.crossJoin(F.broadcast(ub))
-        .crossJoin(F.broadcast(est_u))
+        uab.crossJoin(F.broadcast(est_u))
         .crossJoin(F.broadcast(truth))
         .select(
             "est_urgent",

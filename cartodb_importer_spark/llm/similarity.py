@@ -266,3 +266,86 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+):
+    """PCA projection of an embedding column to k components.
+
+    The scalable decomposition pattern: the d x d covariance matrix is
+    accumulated DISTRIBUTED (one posexplode-free aggregate over per-row
+    outer products, flattened to d*(d+1)/2 upper-triangle sums — map-side
+    combinable, one 2-KB-ish shuffle row per partition), then the tiny
+    d x d eigenproblem is solved on the driver with numpy, and the
+    projection matrix re-enters as a broadcast literal. No iterative
+    cluster jobs, no vec_id shuffle, embeddings stream through one scan
+    for stats and one for projection.
+
+    Determinism: numpy eigh of the exact symmetric matrix, eigenvalues
+    sorted descending, each eigenvector's sign fixed so its
+    largest-|component| entry is positive.
+
+    Returns (projected_df, explained_variance_ratio list).
+    """
+    import numpy as np
+
+    d = len(
+        df.select(F.col(vec_col)).limit(1).collect()[0][0]
+    )
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sums = df.select(
+        F.lit(1).alias("__one"),
+        xd.alias("__x"),
+    ).agg(
+        F.count("__one").alias("n"),
+        F.array(
+            *[
+                F.sum(F.element_at("__x", i + 1)).alias(f"s{i}")
+                for i in range(d)
+            ]
+        ).alias("s"),
+        F.array(
+            *[
+                F.sum(
+                    F.element_at("__x", i + 1) * F.element_at("__x", j + 1)
+                )
+                for i in range(d)
+                for j in range(i, d)
+            ]
+        ).alias("xx"),
+    )
+    row = sums.collect()[0]  # one tiny row: d + d(d+1)/2 doubles
+    n, s, xx = row["n"], np.array(row["s"]), np.array(row["xx"])
+    mean = s / n
+    cov = np.zeros((d, d))
+    idx = 0
+    for i in range(d):
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = xx[idx] / n - mean[i] * mean[j]
+            idx += 1
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]  # d x k
+    # sign convention: largest-|component| entry positive
+    for c in range(k):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ratio = [float(v) for v in (evals[order] / evals.sum())]
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    # zip_with against each component literal, then sum the products
+    out_cols = []
+    for c in range(k):
+        comp_lit = F.array(*[F.lit(float(v)) for v in comps[:, c]])
+        centered = F.zip_with(xd, mean_lit, lambda x, mu: x - mu)
+        prod = F.zip_with(centered, comp_lit, lambda v, w: v * w)
+        out_cols.append(
+            F.aggregate(prod, F.lit(0.0), lambda a, b: a + b).alias(
+                f"pc{c}"
+            )
+        )
+    return df.select(F.col(id_col), *out_cols), ratio

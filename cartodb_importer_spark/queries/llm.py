@@ -2006,3 +2006,121 @@ def llm_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+# ----------------------------------------------------------- embedding PCA
+
+@query("llm_embedding_pca")
+def llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to 8 components (llm/similarity.py:pca_project):
+    the d x d covariance accumulates distributed as d(d+1)/2 map-side
+    -combinable sums (one tiny shuffle row per partition), the d x d
+    eigenproblem solves on the driver (numpy — the standard split for
+    d << n), and the projection re-enters as broadcast literals folded
+    per row. No oracle: DuckDB has no eigendecomposition; the kernel is
+    pytest-checked against a dense numpy reference to 1e-14
+    (tests/test_llm.py::test_pca_project_matches_numpy)."""
+    t = Tables(spark, sf_dir)
+    out, _ratio = S.pca_project(t.embeddings, k=8)
+    return out.select(
+        "vec_id",
+        *[
+            (F.floor(F.col(f"pc{c}") * 1e6 + 0.5) / 1e6).alias(f"pc{c}")
+            for c in range(8)
+        ],
+    )
+
+
+# ------------------------------------------------------------ kNN classify
+
+@query(
+    "llm_knn_classify",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % 50 = 0
+    ), c AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 != 0
+    ), scored AS (
+      SELECT q.qid, c.vec_id, c.label,
+             floor(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])) * 1000000
+                   + 0.5) / 1000000 AS cos6
+      FROM c CROSS JOIN q
+    ), top AS (
+      SELECT qid, vec_id, label, cos6,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos6 DESC, vec_id) AS rn
+      FROM scored
+    ), votes AS (
+      SELECT qid, label, count(*) AS n_votes, max(cos6) AS best_cos
+      FROM top WHERE rn <= 5 GROUP BY 1, 2
+    )
+    SELECT qid, label AS pred_label, n_votes, best_cos
+    FROM (
+      SELECT qid, label, n_votes, best_cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification: every 50th vector is held out as a query
+    and labeled by majority vote of its 5 nearest corpus neighbors
+    (cosine). The query side is a tiny broadcast; the corpus streams
+    through the scored crossJoin scan-local (never shuffled on a pair
+    key), top-5 selection is a per-query window, and the vote is a keyed
+    aggregate. Cosines are rounded to the 1e-6 grid BEFORE ranking so
+    engine-specific float summation order cannot flip neighbor ranks;
+    ties break on vec_id, votes on (count desc, label). At 100 TB the
+    broadcast query block is the batch-inference unit — queries chunk
+    into broadcast-sized groups, corpus side unchanged (same plan as
+    llm_cosine_topk)."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") % 50 != 0)
+    # cast to double BEFORE the dot: float32 per-term rounding reaches
+    # the 1e-6 grid (one rank flip at sf0.001 without this)
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    cos6 = F.floor(S.cosine(xd, qd) * 1000000 + 0.5) / 1000000
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", "label", cos6.alias("cos6")
+    )
+    top = scored.select(
+        "qid",
+        "label",
+        "cos6",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.col("cos6").desc(), "vec_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    votes = top.groupBy("qid", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.max("cos6").alias("best_cos")
+    )
+    return (
+        votes.select(
+            "qid",
+            "label",
+            "n_votes",
+            "best_cos",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(F.col("n_votes").desc(), "label")
+            )
+            .alias("vr"),
+        )
+        .filter(F.col("vr") == 1)
+        .select(
+            "qid",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            "best_cos",
+        )
+    )

@@ -419,3 +419,35 @@ def test_resample_interp_linear(spark):
     }
     assert [out[h]["v_interp"] for h in range(5)] == [10.0, 20.0, 30.0, 40.0, 50.0]
     assert [out[h]["is_gap"] for h in range(5)] == [False, True, True, True, False]
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from cartodb_importer_spark.llm.similarity import pca_project
+    from cartodb_importer_spark.queries import read_parquet_normalized
+
+    e = read_parquet_normalized(
+        spark, "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    out, ratio = pca_project(e, k=4)
+    pdf = out.toPandas().sort_values("vec_id")
+    X = np.array(
+        [list(r) for r in e.select("embedding").toPandas()["embedding"]],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(0)
+    cov = Xc.T @ Xc / len(X)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:4]
+    comps = evec[:, order]
+    for c in range(4):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ref = Xc @ comps
+    got = pdf[["pc0", "pc1", "pc2", "pc3"]].to_numpy()
+    assert np.abs(ref - got).max() < 1e-12
+    # components ordered by explained variance
+    assert ratio == sorted(ratio, reverse=True)
+    assert all(0 <= r <= 1 for r in ratio)

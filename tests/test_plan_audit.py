@@ -28,6 +28,7 @@ ALLOWED_NLJ = {
     "events_ab_ttest",         # 1-row per-arm moment broadcast
     "llm_bm25_search",         # 1-row (N, avgdl) corpus-scalar broadcast
     "llm_domain_mix_sample",   # 1-row min-source-count floor broadcast
+    "llm_knn_classify",        # tiny held-out query block broadcast
 }
 
 SF = "/root/testdata/sf0.001"

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 SUPPORTED_FORMATS = [
     ".csv", ".shp", ".ods", ".xls", ".xlsx", ".tif", ".tiff",
     ".kml", ".kmz", ".js", ".json", ".tar", ".gz", ".tgz", ".gpx",
+    # engine extensions past importer.rb:13 — distributed line-JSON + ORC
+    ".jsonl", ".ndjson", ".orc",
 ]  # importer.rb:13
 
 
@@ -95,6 +97,14 @@ def route(
         df, meta = read_excel(spark, path)
     elif ext in (".json", ".js", ".geojson"):
         df, meta = read_geojson(spark, path)
+    elif ext in (".jsonl", ".ndjson"):
+        from .jsonl import read_jsonl
+
+        df, meta = read_jsonl(spark, path)
+    elif ext == ".orc":
+        from .jsonl import read_orc
+
+        df, meta = read_orc(spark, path)
     elif ext == ".kml":
         df, meta = read_kml(spark, path)
     elif ext == ".gpx":

@@ -326,3 +326,34 @@ def test_import_fleet_parallel(spark, catalog, tmp_path):
     assert names == ["cities", "cities_1"]
     assert sum(i.result.rows_imported for i in ok) == 3
     assert "empty.csv" in bad[0].path and "Empty table" in bad[0].error
+
+
+def test_route_jsonl_distributed(spark, tmp_path):
+    """.jsonl routes to the distributed line-JSON reader with sanitized
+    columns (vs the driver-parsed .json FeatureCollection path)."""
+    from cartodb_importer_spark.readers.router import route
+
+    p = tmp_path / "t.jsonl"
+    p.write_text(
+        '{"User Name": "a", "N": 1}\n'
+        '{"User Name": "b", "N": 2}\n'
+        '{"User Name": "c", "N": 3}\n'
+    )
+    df, meta = route(spark, str(p))
+    assert meta["import_type"] == ".jsonl"
+    assert sorted(df.columns) == ["n", "user_name"]
+    assert df.count() == 3
+
+
+def test_route_orc(spark, tmp_path):
+    from cartodb_importer_spark.readers.router import route
+
+    src = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "Id INT, `Col Name` STRING"
+    )
+    p = str(tmp_path / "t.orc")
+    src.write.orc(p)
+    df, meta = route(spark, p)
+    assert meta["import_type"] == ".orc"
+    assert sorted(df.columns) == ["col_name", "id"]
+    assert df.count() == 2

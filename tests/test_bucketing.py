@@ -171,3 +171,50 @@ def test_zorder_key_interleaving(spark):
     assert got[(3, 3)] == 15
     # locality: manhattan-close points have closer z keys than far ones
     assert abs(got[(1, 1)] - got[(0, 0)]) < abs(got[(3, 3)] - got[(0, 0)])
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a sort-merge join with one hot key gets
+    its skewed partition split at runtime (skew=true in the final plan)
+    — the no-code-change answer to moderate key skew; operators/skew.py
+    salting remains the explicit tool for extreme aggregation skew."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            # 90% of rows share key 0; the rest spread over 100 keys
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise((F.col("id") % 100).cast("long"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        # collect() executes THIS df's QueryExecution (count()/write()
+        # build their own), which is what finalizes the AQE plan we read
+        # payload must survive the shuffle: skew detection reads
+        # compressed map-output sizes, and 180k identical key longs
+        # compress below any threshold
+        joined = left.join(right, "k").select("k", "payload", "attr")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -430,3 +430,53 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("mean_b") * 10000 + 0.5) / 10000).alias("mean_b"),
         (F.floor(tstat * 1000 + 0.5) / 1000).alias("t_stat"),
     )
+
+
+@query(
+    "events_path_analysis",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             count(*) AS n_occurrences,
+             count(DISTINCT user_id) AS n_users
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n_occurrences, n_users FROM paths
+    ORDER BY n_occurrences DESC, path LIMIT 10
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths (3-step sequences) across users — the
+    product-analytics 'user journey' mining query. Two leads over one
+    per-user window sort build the sequences in place (no self-join on
+    position), the path aggregation is one keyed shuffle on the path
+    string (bounded: |event_types|^3 distinct keys), and the top-10 is
+    TakeOrderedAndProject with a full deterministic ordering
+    (n_occurrences DESC, path)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    return paths.orderBy(F.col("n_occurrences").desc(), "path").limit(10)

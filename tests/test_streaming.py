@@ -453,3 +453,69 @@ def test_stream_static_join_equals_batch(spark, events_dir):
     got = spark.table("t_stream_static")
     cols = ["event_id", "user_id", "event_type", "value", "tier"]
     assert _canon(got, cols) == _canon(expected, cols)
+
+
+def test_append_mode_emits_watermark_closed_windows(spark, tmp_path):
+    """Append-mode + watermark over IN-ORDER file arrival: emitted rows
+    are exactly the batch aggregation restricted to windows the final
+    batch's watermark closed — and the open tail is withheld.
+
+    File arrival must be time-ordered: the watermark both gates emission
+    AND drops late rows, so out-of-order files (each spanning the whole
+    range) would legitimately lose early-window counts — that behavior
+    is pinned separately by the late-data filter test."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.queries import read_parquet_normalized
+
+    src = read_parquet_normalized(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    ).orderBy("ts")
+    lo, hi = src.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span = (hi - lo) / 3
+    d = str(tmp_path / "ordered_events")
+    for i in range(3):
+        a = lo + i * span
+        b = hi if i == 2 else lo + (i + 1) * span
+        chunk = src.filter(
+            (F.col("ts") >= a) & (F.col("ts") <= b)
+            if i == 2
+            else (F.col("ts") >= a) & (F.col("ts") < b)
+        )
+        chunk.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)  # distinct modification times => in-order arrival
+
+    stream_df = S.read_events_stream(spark, d)
+    q = (
+        S.tumbling_counts(stream_df, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_append_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wms = sorted(
+        {
+            dt.datetime.strptime(w, "%Y-%m-%dT%H:%M:%S.%fZ")
+            for p in q.recentProgress
+            for w in [p["eventTime"].get("watermark")]
+            if w
+        }
+    )
+    assert wms, "no watermark reported"
+    wm_final = wms[-1]
+    got = spark.table("t_append_wm")
+    batch_df = spark.read.parquet(d)
+    cols = ["window_start", "window_end", "event_type", "n", "total_value"]
+    expected = S.tumbling_counts(batch_df).filter(
+        f"window_end <= '{wm_final}'"
+    )
+    assert _canon(got, cols) == _canon(expected, cols)
+    # the open tail was genuinely withheld
+    assert len(got.collect()) < len(S.tumbling_counts(batch_df).collect())

@@ -481,3 +481,75 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "scalar_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_discount, 0.0)        AS price_per_disc,
+           try_cast(l_returnflag AS INTEGER)                AS flag_int,
+           try_cast(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS line_round_trip,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(l_extendedprice / l_quantity AS DOUBLE) END
+             AS unit_price
+    FROM lineitem
+    """,
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide / try_cast return NULL
+    instead of raising — the error-tolerant lattice used on dirty data
+    (the reference's type-inference fallback behavior, O-§2.2, expressed
+    per-expression). DuckDB mirrors try_divide as x/nullif(y, 0)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias(
+            "line_round_trip"
+        ),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+    )
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio2,
+           nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL     AS is_open,
+           CASE WHEN nullif(o_orderstatus, 'F') IS NULL THEN 'finished'
+                WHEN o_totalprice > 200000 THEN 'big-live' ELSE 'small-live'
+           END AS status_class,
+           ifnull(try_cast(NULL AS INTEGER), -1)                    AS fallback
+    FROM orders
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling battery: nullif/coalesce/ifnull, the null-safe
+    equality operator (<=> / IS NOT DISTINCT FROM), and CASE null
+    branches — three-valued-logic corners every engine must agree on."""
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+            F.lit("URGENT!"),
+        ).alias("prio2"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O"))
+        .eqNullSafe(F.lit(None).cast("string"))
+        .alias("is_open"),
+        F.when(
+            F.nullif(F.col("o_orderstatus"), F.lit("F")).isNull(), "finished"
+        )
+        .when(F.col("o_totalprice") > 200000, "big-live")
+        .otherwise("small-live")
+        .alias("status_class"),
+        F.ifnull(F.lit(None).cast("int"), F.lit(-1)).alias("fallback"),
+    )

@@ -102,6 +102,67 @@ class LocalCatalog(Catalog):
         return spark.read.parquet(self._path(name))
 
 
+class VersionedLocalCatalog(LocalCatalog):
+    """LocalCatalog with retained table versions — the publish protocol's
+    natural extension toward lakehouse time travel (Delta/Iceberg keep the
+    full log; here the last ``keep_versions`` published snapshots survive
+    as ``name@v{n}`` sibling dirs, and ``publish_version`` REPLACES the
+    live table atomically instead of erroring on existence).
+
+    Semantics:
+    * ``publish_version(df, name)``: stage -> snapshot current live table
+      (if any) to the next version slot -> rename staging in. Readers of
+      the live name see the old or the new table, never a mix (two
+      os.renames on one filesystem; the in-between instant exposes the
+      name as missing only to a LISTING, reads hold the old dir handle).
+    * ``read_version(spark, name, v)``: any retained snapshot; v counts
+      up from 1 in publish order.
+    * snapshots beyond ``keep_versions`` are dropped oldest-first.
+    """
+
+    VSEP = "@v"
+
+    def __init__(self, warehouse: str, keep_versions: int = 3):
+        super().__init__(warehouse)
+        self.keep_versions = keep_versions
+
+    def table_names(self) -> list[str]:
+        return [
+            n for n in super().table_names() if self.VSEP not in n
+        ]
+
+    def versions(self, name: str) -> list[int]:
+        pre = f"{name}{self.VSEP}"
+        out = []
+        for d in os.listdir(self.warehouse):
+            if d.startswith(pre) and d[len(pre):].isdigit():
+                out.append(int(d[len(pre):]))
+        return sorted(out)
+
+    def read_version(self, spark: SparkSession, name: str, v: int) -> DataFrame:
+        return spark.read.parquet(self._path(f"{name}{self.VSEP}{v}"))
+
+    def publish_version(self, df: DataFrame, name: str) -> int:
+        staging = self.staging_name(name)
+        try:
+            self.write(df, staging)
+            if self.exists(name):
+                vs = self.versions(name)
+                nxt = (vs[-1] + 1) if vs else 1
+                self.rename(name, f"{name}{self.VSEP}{nxt}")
+                vs.append(nxt)
+                for old in vs[: -self.keep_versions] if self.keep_versions else vs:
+                    self.drop(f"{name}{self.VSEP}{old}")
+            self.rename(staging, name)
+        except Exception:
+            try:
+                self.drop(staging)
+            finally:
+                pass
+            raise
+        return self.count(df.sparkSession, name)
+
+
 class DeltaCatalog(Catalog):
     """Delta Lake warehouse (roadmap §8.1.6): same publish protocol over
     delta-format table directories. Requires the ``delta-spark`` package

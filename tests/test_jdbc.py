@@ -152,3 +152,56 @@ def test_iceberg_catalog_publish(spark, tmp_path):
     assert cat.table_names() == ["itab"]
     with pytest.raises(ValueError, match="already exists"):
         cat.publish(df, "itab")
+
+
+def test_versioned_publish_keeps_snapshots(spark, tmp_path):
+    """VersionedLocalCatalog: re-publishing replaces the live table
+    atomically and retains prior snapshots as readable versions, pruned
+    oldest-first past keep_versions."""
+    from cartodb_importer_spark.sinks.catalog import VersionedLocalCatalog
+
+    cat = VersionedLocalCatalog(str(tmp_path / "wh"), keep_versions=2)
+    for i in range(4):
+        df = spark.range(i * 10, i * 10 + 3).selectExpr("id", f"{i} AS gen")
+        cat.publish_version(df, "t")
+    # live = gen 3
+    live = cat.read(spark, "t")
+    assert sorted(r.gen for r in live.collect()) == [3, 3, 3]
+    # two retained snapshots: gens 1 and 2 (gen 0 pruned)
+    vs = cat.versions("t")
+    assert len(vs) == 2
+    gens = sorted(
+        cat.read_version(spark, "t", v).collect()[0].gen for v in vs
+    )
+    assert gens == [1, 2]
+    # version dirs don't leak into the table listing
+    assert cat.table_names() == ["t"]
+
+
+def test_versioned_publish_failure_leaves_live_intact(spark, tmp_path):
+    from cartodb_importer_spark.sinks.catalog import VersionedLocalCatalog
+
+    cat = VersionedLocalCatalog(str(tmp_path / "wh"))
+    cat.publish_version(
+        spark.createDataFrame([(1,)], "id int"), "t"
+    )
+
+    class Boom(Exception):
+        pass
+
+    bad = spark.createDataFrame([(2,)], "id int")
+    orig_write = cat.write
+
+    def failing_write(df, name):
+        raise Boom()
+
+    cat.write = failing_write
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Boom):
+            cat.publish_version(bad, "t")
+    finally:
+        cat.write = orig_write
+    assert [r.id for r in cat.read(spark, "t").collect()] == [1]
+    assert cat.versions("t") == []

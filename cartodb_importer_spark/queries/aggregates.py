@@ -730,3 +730,38 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg(clamped) * 100 + 0.5) / 100).alias("wins_mean"),
         (F.floor(F.stddev_samp(clamped) * 100 + 0.5) / 100).alias("wins_std"),
     )
+
+
+@query(
+    "agg_struct_json_collect",
+    oracle="""
+    SELECT user_id,
+           to_json(list_sort(list({'k': event_type, 'n': n})))
+             AS type_counts_json
+    FROM (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ) GROUP BY user_id
+    """,
+)
+def agg_struct_json_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect a per-group struct list into deterministic JSON — the
+    'aggregate to a document' shape (feature maps, API payloads). The
+    struct list sorts before serialization so collect order (partition-
+    dependent) can never leak into the value; counts go through BIGINT
+    on both engines for identical JSON number rendering."""
+    t = Tables(spark, sf_dir)
+    per_type = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_type.groupBy("user_id").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type").alias("k"), F.col("n").alias("n")
+                    )
+                )
+            )
+        ).alias("type_counts_json")
+    )

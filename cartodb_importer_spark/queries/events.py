@@ -480,3 +480,63 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.orderBy(F.col("n_occurrences").desc(), "path").limit(10)
+
+
+@query(
+    "events_concurrency",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, ts AS start_ts,
+             ts + INTERVAL '30 minutes' AS end_ts
+      FROM events WHERE event_type = 'signup'
+    ), pts AS (
+      SELECT start_ts AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT end_ts AS t, -1 AS delta FROM sess
+    ), sweep AS (
+      SELECT t, delta,
+             CAST(sum(delta) OVER (ORDER BY t, delta DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS concurrent
+      FROM pts
+    )
+    SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+           max(concurrent) AS peak_concurrent
+    FROM sweep GROUP BY 1
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep line: each 30-minute signup
+    session contributes a +1 at start and a -1 at end; the running sum
+    over the merged, time-ordered point stream IS the concurrency curve,
+    and a per-day max collapses it. One union (no join of sessions
+    against sessions — the naive interval self-join is quadratic), one
+    global-ordered window. At 100 TB the single ordered window is the
+    scale watch-item: range-partition the sweep by coarse time bucket
+    and offset each bucket by the carry-in sum (two passes) — semantics
+    identical, no global sort. Ties break +1-before... -1-after? No:
+    delta DESC processes arrivals before departures at the same instant
+    (back-to-back sessions count as overlapping at the boundary,
+    matching the closed-interval convention of the oracle)."""
+    t = Tables(spark, sf_dir)
+    sess = t.events.filter(F.col("event_type") == "signup").select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    pts = sess.select(
+        F.col("start_ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = pts.select(
+        "t", F.sum("delta").over(w).alias("concurrent")
+    )
+    return sweep.groupBy(
+        F.date_format(F.date_trunc("day", F.col("t")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.max("concurrent").alias("peak_concurrent"))

@@ -617,3 +617,93 @@ def geo_polar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("ll.lon") * 10000 + 0.5) / 10000).alias("lon"),
         (F.floor(F.col("ll.lat") * 10000 + 0.5) / 10000).alias("lat"),
     )
+
+
+#: fixed "station" grid for the nearest-neighbor spatial join (lon, lat)
+_STATIONS = [
+    (-3.7, 40.4), (2.35, 48.85), (-0.13, 51.51), (13.4, 52.52),
+    (12.5, 41.9), (-9.14, 38.72), (4.9, 52.37), (16.37, 48.21),
+    (18.07, 59.33), (21.01, 52.23),
+]
+
+
+@query(
+    "geo_nearest_station",
+    oracle=f"""
+    WITH stations(sid, slon, slat) AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({i}, {lon}, {lat})" for i, (lon, lat) in enumerate(_STATIONS))}
+      )
+    ), pts AS (
+      SELECT event_id,
+             (CAST(value AS DOUBLE) % 400) / 8 - 20      AS lon,
+             (CAST(user_id AS DOUBLE) % 100) / 2 + 35    AS lat
+      FROM events
+    ), scored AS (
+      SELECT p.event_id, s.sid,
+             floor(2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians((s.slat - p.lat) / 2)), 2)
+               + cos(radians(p.lat)) * cos(radians(s.slat))
+                 * pow(sin(radians((s.slon - p.lon) / 2)), 2)
+             )) * 1000000 + 0.5) / 1000000 AS d6
+      FROM pts p CROSS JOIN stations s
+    )
+    SELECT event_id, sid AS nearest_station,
+           d6 AS dist_km
+    FROM (
+      SELECT event_id, sid, d6,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY d6, sid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial join against a small station dimension:
+    every event point pairs with the broadcast 10-row station table
+    (scan-local, no shuffle of the fact), distances land on the 1e-6 km
+    grid BEFORE ranking (libm vs java.lang.Math trig can differ in the
+    last ulp), and a per-event window picks the minimum with a
+    deterministic station-id tie-break. The big-dim variant of this
+    query is llm_ivf_topk's cell-probe pattern; the blocked-grid variant
+    is geo_spatial_join_blocked."""
+    from pyspark.sql import Window as W
+
+    from ..functions.geo import haversine_km
+
+    t = Tables(spark, sf_dir)
+    stations = spark.createDataFrame(
+        [(i, lon, lat) for i, (lon, lat) in enumerate(_STATIONS)],
+        "sid int, slon double, slat double",
+    )
+    pts = t.events.select(
+        "event_id",
+        ((F.col("value").cast("double") % 400) / 8 - 20).alias("lon"),
+        ((F.col("user_id").cast("double") % 100) / 2 + 35).alias("lat"),
+    )
+    d6 = F.floor(
+        haversine_km(
+            F.col("lon"), F.col("lat"), F.col("slon"), F.col("slat")
+        )
+        * 1000000
+        + 0.5
+    ) / 1000000
+    scored = pts.crossJoin(F.broadcast(stations)).select(
+        "event_id", "sid", d6.alias("d6")
+    )
+    return (
+        scored.select(
+            "event_id",
+            "sid",
+            "d6",
+            F.row_number()
+            .over(W.partitionBy("event_id").orderBy("d6", "sid"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("sid").alias("nearest_station"),
+            F.col("d6").alias("dist_km"),
+        )
+    )

@@ -29,6 +29,7 @@ ALLOWED_NLJ = {
     "llm_bm25_search",         # 1-row (N, avgdl) corpus-scalar broadcast
     "llm_domain_mix_sample",   # 1-row min-source-count floor broadcast
     "llm_knn_classify",        # tiny held-out query block broadcast
+    "geo_nearest_station",     # 10-row station dim broadcast
 }
 
 SF = "/root/testdata/sf0.001"

@@ -510,14 +510,18 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     session contributes a +1 at start and a -1 at end; the running sum
     over the merged, time-ordered point stream IS the concurrency curve,
     and a per-day max collapses it. One union (no join of sessions
-    against sessions — the naive interval self-join is quadratic), one
-    global-ordered window. At 100 TB the single ordered window is the
-    scale watch-item: range-partition the sweep by coarse time bucket
-    and offset each bucket by the carry-in sum (two passes) — semantics
-    identical, no global sort. Ties break +1-before... -1-after? No:
-    delta DESC processes arrivals before departures at the same instant
-    (back-to-back sessions count as overlapping at the boundary,
-    matching the closed-interval convention of the oracle)."""
+    against sessions — the naive interval self-join is quadratic). The
+    100 TB hazard of a globally-ordered window is handled for real: the
+    running sum goes through operators/prefix.py:distributed_running_sum,
+    a two-phase prefix scan bucketed by day, so the only
+    single-partition work is the ~#days-row bucket-offset window and
+    each day's sweep runs parallel. Ties: delta DESC processes arrivals
+    before departures at the same instant (back-to-back sessions count
+    as overlapping at the boundary, matching the closed-interval
+    convention of the oracle); tie ordering stays inside one bucket,
+    which is the operator's contract."""
+    from ..operators.prefix import distributed_running_sum
+
     t = Tables(spark, sf_dir)
     sess = t.events.filter(F.col("event_type") == "signup").select(
         F.col("ts").alias("start_ts"),
@@ -528,12 +532,12 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         sess.select(F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
     )
-    w = (
-        Window.orderBy(F.col("t"), F.col("delta").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sweep = pts.select(
-        "t", F.sum("delta").over(w).alias("concurrent")
+    sweep = distributed_running_sum(
+        pts,
+        value_col="delta",
+        order_cols=[F.col("t"), F.col("delta").desc()],
+        bucket_col=F.date_trunc("day", F.col("t")),
+        out_col="concurrent",
     )
     return sweep.groupBy(
         F.date_format(F.date_trunc("day", F.col("t")), "yyyy-MM-dd").alias(

@@ -131,3 +131,18 @@ def test_resample_interp_single_window_over_sparse(spark):
     windowed again."""
     plan = _plan(spark, "stream_resample_interp")
     assert plan.count("Window") == 1, plan.count("Window")
+
+
+def test_concurrency_no_global_sort_of_points(spark):
+    """events_concurrency's prefix scan must window the point stream
+    partitioned BY BUCKET — a SinglePartition exchange of the full point
+    stream would be the global sort the operator exists to avoid. The
+    only single-partition window allowed is over the tiny bucket-totals
+    frame (detectable: its input is an aggregate, not the raw union)."""
+    plan = _plan(spark, "events_concurrency")
+    # the within-bucket window must exist
+    assert "Window" in plan
+    # count SinglePartition exchanges: exactly one (bucket offsets), and
+    # the union side must also hash-partition on the bucket key
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Exchange hashpartitioning(__bk" in plan

@@ -47,3 +47,34 @@ def test_random_split_partitions(spark):
     assert a.count() + b.count() == docs.count()
     # no overlap
     assert a.join(b, "doc_id", "semi").count() == 0
+
+
+def test_distributed_running_sum_equals_global_window(spark):
+    """The two-phase prefix scan must equal the naive global window for
+    an arbitrary value stream (including negatives and ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.operators.prefix import (
+        distributed_running_sum,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 37).alias("bucket_src"),
+        (F.when(F.col("id") % 3 == 0, -2).otherwise(1)).alias("v"),
+    )
+    got = distributed_running_sum(
+        df,
+        value_col="v",
+        order_cols=[F.col("id")],
+        bucket_col=(F.col("id") / 500).cast("int"),
+        out_col="rs",
+    )
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select("id", F.sum("v").over(w).alias("rs"))
+    a = {(r.id, r.rs) for r in got.select("id", "rs").collect()}
+    b = {(r.id, r.rs) for r in want.collect()}
+    assert a == b

@@ -5,6 +5,7 @@ row count, column names, and (sorted, rounded) values.
 
 Usage: python tools/check_oracle.py [query ...]   # default: all
        SF_DIR=/root/testdata/sf0.01 python tools/check_oracle.py
+       OUT_JSON=CORRECTNESS_local.json python tools/check_oracle.py
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     timings: dict[str, float] = {}
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.perf_counter()
         try:
@@ -62,12 +64,14 @@ def main() -> int:
             timings[name] = time.perf_counter() - t0
             if name not in oracles:
                 print(f"ROWS-ONLY {name}: {len(sdf)} rows [{timings[name]:.2f}s]")
+                results[name] = {"status": "rows-only", "rows": len(sdf)}
                 n_rows_only += 1
                 continue
             ddf = con.sql(oracles[name]).df()
             a, b = canon(sdf), canon(ddf)
             if list(a.columns) != list(b.columns):
                 print(f"FAIL {name}: columns {list(a.columns)} != {list(b.columns)}")
+                results[name] = {"status": "fail", "why": "columns"}
                 n_fail += 1
                 continue
             # The driver's value-hash is dtype-sensitive: int64 2 and
@@ -82,10 +86,12 @@ def main() -> int:
             ]
             if badk:
                 print(f"FAIL {name}: dtype-kind mismatch {badk}")
+                results[name] = {"status": "fail", "why": "dtype-kind"}
                 n_fail += 1
                 continue
             if len(a) != len(b):
                 print(f"FAIL {name}: rows {len(a)} != {len(b)}")
+                results[name] = {"status": "fail", "why": "rowcount"}
                 n_fail += 1
                 continue
             try:
@@ -101,14 +107,17 @@ def main() -> int:
                     i = bad.idxmax()
                     print(f"  spark row {i}: {a.loc[i].to_dict()}")
                     print(f"  duck  row {i}: {b.loc[i].to_dict()}")
+                results[name] = {"status": "fail", "why": "values"}
                 n_fail += 1
                 continue
             print(f"PASS {name}: {len(a)} rows [{timings[name]:.2f}s]")
+            results[name] = {"status": "pass", "rows": len(a)}
             n_pass += 1
         except Exception:
             timings.setdefault(name, time.perf_counter() - t0)
             print(f"ERROR {name}:")
             traceback.print_exc(limit=5)
+            results[name] = {"status": "error"}
             n_fail += 1
     print(
         f"\n{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only "
@@ -119,6 +128,25 @@ def main() -> int:
     for n, s in slow:
         print(f"  {s:6.2f}s  {n}")
     print(f"total spark time: {sum(timings.values()):.1f}s")
+    out_json = os.environ.get("OUT_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "results": results,
+                    "timings_sec": {k: round(v, 3) for k, v in timings.items()},
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_json}")
     return 1 if n_fail else 0
 
 

@@ -221,3 +221,86 @@ def pipeline_diacritic_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accented.select(
         "doc_id", fold_diacritics(F.col("s")).alias("folded")
     )
+
+
+@query(
+    "pipeline_profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name,
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR)           AS min_str,
+           CAST(max(o_orderstatus) AS VARCHAR)           AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(floor(min(o_totalprice) * 100 + 0.5) / 100 AS VARCHAR),
+           CAST(floor(max(o_totalprice) * 100 + 0.5) / 100 AS VARCHAR)
+    FROM orders
+    """,
+)
+def pipeline_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality summary every import pipeline
+    runs before publish (null counts, cardinality, bounds; the engine
+    sibling of the reference's schema-inference probe, §2.2). ONE scan
+    computes every column's stats as parallel aggregates (no per-column
+    scans, no unpivot shuffle of the raw data); the per-column rows are
+    assembled from the single 1-row aggregate via a literal explode.
+    String rendering is normalized on both engines (floats via
+    floor(x*100+0.5)/100 then VARCHAR)."""
+    t = Tables(spark, sf_dir)
+    agg = t.orders.agg(
+        F.sum(
+            F.col("o_orderstatus").isNull().cast("long")
+        ).alias("null_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.sum(
+            F.col("o_orderpriority").isNull().cast("long")
+        ).alias("null_prio"),
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+        F.sum(
+            F.col("o_totalprice").isNull().cast("long")
+        ).alias("null_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    money = lambda c: (F.floor(F.col(c) * 100 + 0.5) / 100).cast("string")
+    rows = F.array(
+        F.struct(
+            F.lit("o_orderstatus").alias("column_name"),
+            F.col("null_status").alias("n_null"),
+            F.col("nd_status").alias("n_distinct"),
+            F.col("min_status").cast("string").alias("min_str"),
+            F.col("max_status").cast("string").alias("max_str"),
+        ),
+        F.struct(
+            F.lit("o_orderpriority").alias("column_name"),
+            F.col("null_prio").alias("n_null"),
+            F.col("nd_prio").alias("n_distinct"),
+            F.col("min_prio").cast("string").alias("min_str"),
+            F.col("max_prio").cast("string").alias("max_str"),
+        ),
+        F.struct(
+            F.lit("o_totalprice").alias("column_name"),
+            F.col("null_price").alias("n_null"),
+            F.col("nd_price").alias("n_distinct"),
+            money("min_price").alias("min_str"),
+            money("max_price").alias("max_str"),
+        ),
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

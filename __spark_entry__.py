@@ -90,5 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
-    return dict(ORACLES)
+    """DuckDB-equivalent SQL per query (omitted => rows-only check).
+
+    Ordered identically to queries() — the sweep rotation must hold
+    whichever dict the driver iterates."""
+    return {
+        name: ORACLES[name] for name in queries() if name in ORACLES
+    }

@@ -544,3 +544,60 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day"
         )
     ).agg(F.max("concurrent").alias("peak_concurrent"))
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END)   AS t_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1
+    ), conv AS (
+      SELECT user_id,
+             date_diff('second', t_signup, t_purchase) AS lat_sec
+      FROM firsts
+      WHERE t_signup IS NOT NULL AND t_purchase > t_signup
+    )
+    SELECT CAST(count(*) AS BIGINT)                   AS n_converted,
+           CAST(min(lat_sec) AS BIGINT)               AS min_sec,
+           CAST(max(lat_sec) AS BIGINT)               AS max_sec,
+           CAST(floor(avg(lat_sec) + 0.5) AS BIGINT)  AS avg_sec,
+           CAST(median(lat_sec) AS BIGINT)            AS median_sec
+    FROM conv
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: time from each user's first signup to their
+    first subsequent purchase — min/max/mean/median over converters.
+    One conditional-min aggregation per user (map-side combinable, no
+    event-sequence join), then a single-row stats collapse. The median
+    is exact (percentile on a ~users-sized frame); at extreme user
+    counts swap percentile_approx in with the same contract."""
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+        ).alias("lat_sec")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lat_sec").alias("min_sec"),
+        F.max("lat_sec").alias("max_sec"),
+        F.floor(F.avg("lat_sec") + 0.5).cast("long").alias("avg_sec"),
+        F.expr("CAST(percentile(lat_sec, 0.5) AS BIGINT)").alias(
+            "median_sec"
+        ),
+    )

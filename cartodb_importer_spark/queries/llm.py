@@ -2124,3 +2124,76 @@ def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_cos",
         )
     )
+
+
+# ------------------------------------------------- sketch calibration
+
+_est_sig_cols = ",\n           ".join(
+    _duck_minhash(_duck_shingles("w", 2), b, _P_BANDS) + f" AS mh_{b}"
+    for b in range(_P_BANDS)
+)
+
+
+@query(
+    "llm_minhash_jaccard_est",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sig AS (
+      SELECT doc_id,
+           {_est_sig_cols}
+      FROM ws
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           ({" + ".join(f"CAST(ga.mh_{b} = gb.mh_{b} AS INT)" for b in range(_P_BANDS))})
+             / {_P_BANDS}.0 AS est_jaccard,
+           round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                 THEN len(list_intersect(sa.s, sb.s))
+                      / len(list_distinct(list_concat(sa.s, sb.s)))
+                 ELSE 0.0 END, 4) AS jaccard
+    FROM pairs p
+    JOIN sig ga ON ga.doc_id = p.id_a
+    JOIN sig gb ON gb.doc_id = p.id_b
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    """,
+)
+def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: the MinHash band-agreement Jaccard ESTIMATE
+    next to the exact n-gram Jaccard for every LSH candidate pair —
+    the quality gauge that tells you whether the configured band count
+    is adequate before trusting the sketch at full scale (est is
+    quantized to 1/bands; agreement fraction is an unbiased estimator
+    of true Jaccard). Signature join keys on doc_id, exact check only
+    on candidates — no new pair enumeration."""
+    t = Tables(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
+    sig = D.minhash_signature(t.documents, bands=_P_BANDS, n=2)
+    ga = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{b}").alias(f"a_{b}") for b in range(_P_BANDS)],
+    )
+    gb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{b}").alias(f"b_{b}") for b in range(_P_BANDS)],
+    )
+    agree = sum(
+        (F.col(f"a_{b}") == F.col(f"b_{b}")).cast("int")
+        for b in range(_P_BANDS)
+    ) / float(_P_BANDS)
+    exact = D.jaccard_pairs(t.documents, cand, n=2)
+    return (
+        exact.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a", "id_b", agree.alias("est_jaccard"), "jaccard"
+        )
+    )

@@ -601,3 +601,67 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_sec"
         ),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type != 'purchase' THEN event_type END
+               AS touch
+      FROM events
+    ), attributed AS (
+      SELECT user_id, event_id, event_type, value,
+             last_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS src
+      FROM tagged
+    )
+    SELECT coalesce(src, 'organic') AS source_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           floor(sum(value) * 100 + 0.5) / 100 AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRIOR non-purchase event type ('organic' when none). The
+    carry-forward is one IGNORE-NULLS last_value window per user — the
+    LOCF pattern — with the frame ending at 1 PRECEDING so a purchase
+    can never attribute to itself; revenue then rolls up per source.
+    One user-keyed window + one tiny groupBy."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("touch"),
+    )
+    attributed = tagged.select(
+        "event_type",
+        "value",
+        F.last("touch", ignorenulls=True).over(w).alias("src"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("src", F.lit("organic")).alias("source_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.floor(F.sum("value") * 100 + 0.5) / 100).alias(
+                "attributed_value"
+            ),
+        )
+    )

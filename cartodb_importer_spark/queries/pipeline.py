@@ -304,3 +304,60 @@ def pipeline_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query(
+    "pipeline_referential_audit",
+    oracle="""
+    SELECT 'lineitem_without_order' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'order_without_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_without_nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def pipeline_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts across the key FK
+    edges, the post-import data-quality gate. Each check is one
+    LEFT ANTI join (broadcast for dims; keyed for the fact edge) feeding
+    a count; no row data survives the join, only counts travel."""
+    t = Tables(spark, sf_dir)
+
+    def orphans(child, key_col, parent, pkey_col):
+        return child.join(
+            parent, child[key_col] == parent[pkey_col], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_violations"))
+
+    checks = [
+        (
+            "lineitem_without_order",
+            orphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ),
+        (
+            "order_without_customer",
+            orphans(t.orders, "o_custkey", t.customer, "c_custkey"),
+        ),
+        (
+            "customer_without_nation",
+            orphans(t.customer, "c_nationkey", t.nation, "n_nationkey"),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

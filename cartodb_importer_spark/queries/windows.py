@@ -455,3 +455,49 @@ def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_customers_to_date"
         ),
     )
+
+
+@query(
+    "window_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             sum(CASE WHEN event_type = 'view' THEN value END)     AS v_view,
+             sum(CASE WHEN event_type = 'purchase' THEN value END) AS v_buy
+      FROM events GROUP BY 1
+    )
+    SELECT day,
+           floor(corr(v_view, v_buy) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) * 10000 + 0.5) / 10000 AS corr7
+    FROM daily
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily view value and
+    daily purchase value — the co-movement diagnostic over a compact
+    pre-aggregated series. The expensive part (events -> daily) is one
+    keyed aggregate; the window then runs over ~#days rows, so the
+    single-partition ordering is bounded by construction (this is the
+    legitimate use of a global window: AFTER the reduction, not over
+    raw events)."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("value"))).alias(
+            "v_view"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("v_buy"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        (
+            F.floor(F.corr("v_view", "v_buy").over(w) * 10000 + 0.5) / 10000
+        ).alias("corr7"),
+    )

@@ -245,3 +245,60 @@ def reshape_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_index(t.orders.select("o_orderkey"), "o_orderkey").select(
         "o_orderkey", "global_idx"
     )
+
+
+@query(
+    "reshape_scd2_build",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), versions AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes
+      WHERE prev_type IS NULL OR event_type != prev_type
+    )
+    SELECT user_id, event_type AS status, valid_from, valid_to,
+           CAST(valid_to IS NULL AS INT) AS is_current
+    FROM versions
+    """,
+)
+def reshape_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: each
+    user's event_type is treated as a mutating attribute; consecutive
+    duplicates collapse (lag filter), surviving rows become versions
+    with [valid_from, valid_to) ranges via lead, open version flagged
+    current. Two windows over ONE (user_id, ts) sort — Catalyst plans a
+    single exchange+sort reused by both — and the result is exactly
+    what join_asof consumes for point-in-time lookups."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = t.events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    versions = changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return versions.select(
+        "user_id",
+        "status",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    )

@@ -33,6 +33,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
+        elif df[c].dtype.kind == "M":
+            # unit-insensitive (ns vs us): the driver's hash prep is
+            # value-based; assert_frame_equal is not
+            df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(

@@ -2197,3 +2197,111 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", agree.alias("est_jaccard"), "jaccard"
         )
     )
+
+
+# --------------------------------------------------- composite pipeline
+
+@query(
+    "llm_corpus_pipeline",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, lang, source, n_chars,
+             {_DUCK_WORDS.format(col="text")} AS w, text
+      FROM documents
+    ), survivors AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM ws) WHERE doc_id = keep
+    ), sh AS (
+      SELECT doc_id, source, unnest({_duck_shingles("w", 5)}) AS s FROM ws
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE source = 'src0'
+    ), contaminated AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+      WHERE sh.source != 'src0'
+    ), verdicts AS (
+      SELECT ws.doc_id, ws.lang, ws.n_chars,
+             (len(ws.w) >= 30)                            AS long_enough,
+             (sv.doc_id IS NOT NULL)                      AS is_canonical,
+             (ct.doc_id IS NULL)                          AS is_clean,
+             (ws.source != 'src0')                        AS is_train
+      FROM ws
+      LEFT JOIN survivors sv ON sv.doc_id = ws.doc_id
+      LEFT JOIN contaminated ct ON ct.doc_id = ws.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE is_train) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE is_train AND long_enough
+                                 AND is_canonical AND is_clean) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE is_train AND long_enough
+                                 AND is_canonical AND is_clean), 0) AS BIGINT)
+             AS kept_chars
+    FROM verdicts GROUP BY lang
+    """,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus filter chain, end to end in ONE
+    Spark job: length gate (>=30 words) AND exact-dedup canonical
+    survivor AND benchmark decontamination (no shared 5-gram with the
+    held-out source), reported as per-lang kept/total/char-mass — the
+    'what survived the pipeline' accounting every data team publishes.
+
+    Composition is where the engine shape matters: the three verdicts
+    come from (a) a row-local expression, (b) a window min over the
+    md5(text) key, (c) the broadcast shingle semi-probe of
+    llm_decontaminate — all stitched by keyed joins on doc_id, nothing
+    quadratic, the corpus scanned twice (once for verdicts, once inside
+    the shingle probe) regardless of filter count."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    docs = t.documents.select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    canonical = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy(F.md5("text")))
+        ).alias("is_canonical"),
+    )
+    sh = (
+        docs.select(
+            "doc_id", "source", D.shingles(F.col("text"), 5).alias("__sh")
+        )
+        .select("doc_id", "source", F.explode("__sh").alias("__s"))
+        .select("doc_id", "source", F.xxhash64("__s").alias("s"))
+    )
+    bench = sh.filter(F.col("source") == "src0").select("s").distinct()
+    contaminated = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    verdicts = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.size(T.words(F.col("text"))) >= 30).alias("long_enough"),
+            (F.col("source") != "src0").alias("is_train"),
+        )
+        .join(canonical, "doc_id")
+        .join(contaminated, "doc_id", "left")
+    )
+    kept = (
+        F.col("is_train")
+        & F.col("long_enough")
+        & F.col("is_canonical")
+        & F.col("is_contaminated").isNull()
+    )
+    return verdicts.groupBy("lang").agg(
+        F.count(F.when(F.col("is_train"), 1)).alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)
+        ).alias("kept_chars"),
+    )

@@ -416,3 +416,98 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t.nation),
         top["c_nationkey"] == F.col("n_nationkey"),
     ).select("n_name", "c_custkey", "c_acctbal")
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), dim AS (
+      SELECT user_id, event_type AS status, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes
+      WHERE prev_type IS NULL OR event_type != prev_type
+    ), facts AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id,
+           d.status AS status_before,
+           CAST(epoch_us(f.ts) - epoch_us(d.valid_from) AS BIGINT)
+             AS status_age_us
+    FROM facts f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from < f.ts
+     AND (d.valid_to IS NULL OR f.ts <= d.valid_to)
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension built by
+    reshape_scd2_build: each purchase fact retrieves the status version
+    valid STRICTLY BEFORE its timestamp (the fact's own change-row never
+    matches itself). Executed as the union+window as-of join
+    (operators/asof.py) on the version START times — O(n log n) per
+    user partition, never the inequality-join nested loop the oracle
+    spells out. Also emits the version age at fact time, the freshness
+    metric SCD2 exists to answer."""
+    from pyspark.sql import Window as W
+
+    from ..operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        t.events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    facts = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            # strict "before": back the probe off by 1us so a version
+            # starting exactly at the fact's ts is not chosen
+            (F.col("ts") - F.expr("INTERVAL 1 MICROSECOND")).alias("probe_ts"),
+            F.col("ts"),
+        )
+    )
+    looked = asof_join(
+        facts,
+        dim,
+        on=["user_id"],
+        left_ts="probe_ts",
+        right_ts="valid_from",
+        value_cols=["status", "valid_from"],
+        direction="backward",
+    )
+    # inner semantics: a purchase with no strictly-earlier version (the
+    # user's very first event) has no status_before row, matching the
+    # oracle's inner join
+    return looked.filter(F.col("valid_from").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("status").alias("status_before"),
+        (
+            F.unix_micros("ts") - F.unix_micros("valid_from")
+        ).alias("status_age_us"),
+    )

@@ -765,3 +765,90 @@ def agg_struct_json_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("type_counts_json")
     )
+
+
+@query(
+    "agg_decile_lift",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CAST(event_type = 'purchase' AS INT) AS label
+      FROM events
+    ), ranked AS (
+      SELECT score, label,
+             ntile(10) OVER (ORDER BY score DESC, label) AS decile
+      FROM scored
+    ), per AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(label) AS BIGINT) AS positives
+      FROM ranked GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(positives) AS BIGINT) AS all_pos,
+             CAST(sum(n) AS BIGINT)         AS all_n
+      FROM per
+    )
+    SELECT decile, n, positives,
+           floor(CAST(sum(positives) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / all_pos * 10000 + 0.5) / 10000 AS cum_capture,
+           floor((CAST(positives AS DOUBLE) / n)
+                 / (CAST(all_pos AS DOUBLE) / all_n) * 10000 + 0.5) / 10000
+             AS lift
+    FROM per CROSS JOIN tot
+    """,
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table — the model-evaluation staple: rows
+    ranked by score (here: value as a stand-in model score, purchase as
+    the positive label), cut into deciles, each decile reporting its
+    positive count, cumulative capture rate, and lift over the base
+    rate. ntile needs one global sort of (score, label) PAIRS — two
+    doubles, not raw rows; the rollup that follows is 10 groups. The
+    1-row totals frame broadcasts (allowlisted scalar pattern)."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    scored = t.events.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    ranked = scored.select(
+        "label",
+        F.ntile(10)
+        .over(W.orderBy(F.col("score").desc(), F.col("label")))
+        .alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("positives")
+    )
+    tot = per.agg(
+        F.sum("positives").alias("all_pos"), F.sum("n").alias("all_n")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "positives",
+            (
+                F.floor(
+                    F.sum("positives").over(wc).cast("double")
+                    / F.col("all_pos")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("cum_capture"),
+            (
+                F.floor(
+                    (F.col("positives").cast("double") / F.col("n"))
+                    / (F.col("all_pos").cast("double") / F.col("all_n"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("lift"),
+        )
+    )

@@ -665,3 +665,54 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH presence AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM presence
+    ), wau_exploded AS (
+      SELECT p.user_id, p.day + CAST(x.i AS INT) AS day
+      FROM presence p,
+           LATERAL (SELECT unnest(range(0, 7)) AS i) x
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST((SELECT count(DISTINCT p.user_id) FROM presence p
+                 WHERE p.day = d.day) AS BIGINT) AS dau,
+           CAST((SELECT count(DISTINCT w.user_id) FROM wau_exploded w
+                 WHERE w.day = d.day) AS BIGINT) AS wau
+    FROM days d
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per active day. The scalable WAU shape:
+    the (day, user) presence table (tiny — days x users upper bound)
+    explodes each presence into the 7 days it keeps the user active,
+    then one keyed count-distinct per day. Bounded 7x blowup of the
+    REDUCED table, never a range self-join of raw events; extending to
+    MAU is the same explode with 30."""
+    t = Tables(spark, sf_dir)
+    presence = t.events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = presence.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = (
+        presence.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            F.date_add(F.col("day"), F.col("i")).alias("wday"),
+            "user_id",
+        )
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
+        )
+    )

@@ -30,6 +30,7 @@ ALLOWED_NLJ = {
     "llm_domain_mix_sample",   # 1-row min-source-count floor broadcast
     "llm_knn_classify",        # tiny held-out query block broadcast
     "geo_nearest_station",     # 10-row station dim broadcast
+    "agg_decile_lift",         # 1-row totals broadcast
 }
 
 SF = "/root/testdata/sf0.001"

@@ -49,7 +49,16 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = sys.argv[1:] or sorted(queries)
 
-    spark = get_spark(shuffle_partitions=8)
+    if os.environ.get("BARE"):
+        # driver-identical: a virgin SparkSession with NO custom confs —
+        # everything the queries need must be set at read time
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "bare-driver-sim"
+        ).getOrCreate()
+    else:
+        spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(

@@ -38,7 +38,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # value-based; assert_frame_equal is not
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # normalize array cells first: Arrow-on toPandas yields
+            # np.ndarray, Arrow-off yields Python lists — str() formats
+            # them differently though values are identical
+            df[c] = df[c].map(
+                lambda v: [
+                    round(float(x), 6) if isinstance(x, float) else x
+                    for x in v
+                ]
+                if isinstance(v, (list, tuple))
+                or type(v).__name__ == "ndarray"
+                else v
+            ).astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
         drop=True
     )

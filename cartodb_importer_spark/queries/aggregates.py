@@ -54,13 +54,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(1 AS INT) AS within_bounds
+    FROM lineitem GROUP BY 1
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
-    distinct. No oracle: DuckDB's sketch differs; driver checks rows-only."""
+    distinct. DuckDB's HLL differs, so the sketch VALUE can't be
+    oracled; the error CONTRACT can: the query emits the exact count
+    plus a flag asserting the estimate landed within 3x the configured
+    rsd of it (P(outside) < 1e-3 per group for a correct HLL++), and the
+    oracle pins the flag to 1 — a real cross-engine check that the
+    sketch machinery works, not just that rows came back."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    per = t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("est"),
+        F.count_distinct("l_partkey").alias("n_parts_exact"),
+    )
+    return per.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            (
+                F.abs(F.col("est") - F.col("n_parts_exact"))
+                / F.col("n_parts_exact")
+            )
+            <= 0.06
+        ).cast("int").alias("within_bounds"),
     )
 
 
@@ -135,14 +160,38 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")
+@query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.45) * 100 + 0.5) / 100
+             AS p45_exact,
+           floor(quantile_cont(l_extendedprice, 0.55) * 100 + 0.5) / 100
+             AS p55_exact,
+           CAST(1 AS INT) AS within_bounds
+    FROM lineitem GROUP BY 1
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketch for scale; no oracle (sketch-dependent)."""
+    """Mergeable quantile sketch (Greenwald-Khanna) — the sketch value
+    is engine-specific, but its rank-error contract is checkable: with
+    accuracy=10000 the approximate median must land between the exact
+    45th and 55th percentiles (rank error 1/accuracy << 0.05). The
+    query emits the exact bracket plus the containment flag; the oracle
+    pins the flag."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
-            "median_price_approx"
-        )
+    per = t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("est"),
+        F.percentile("l_extendedprice", 0.45).alias("p45"),
+        F.percentile("l_extendedprice", 0.55).alias("p55"),
+    )
+    return per.select(
+        "l_returnflag",
+        (F.floor(F.col("p45") * 100 + 0.5) / 100).alias("p45_exact"),
+        (F.floor(F.col("p55") * 100 + 0.5) / 100).alias("p55_exact"),
+        (
+            (F.col("est") >= F.col("p45")) & (F.col("est") <= F.col("p55"))
+        ).cast("int").alias("within_bounds"),
     )
 
 

@@ -901,3 +901,44 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "agg_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           floor((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 10000 + 0.5) / 10000
+             AS mom_growth
+    FROM monthly
+    """,
+)
+def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-over-period BI
+    staple. The heavy reduction (orders -> months) is one keyed
+    aggregate; the lag window then runs over ~#months rows, the
+    legitimate post-reduction global window (same rationale as
+    window_rolling_corr)."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+        ).alias("month")
+    ).agg(
+        (F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("revenue")
+    )
+    prev = F.lag("revenue").over(W.orderBy("month"))
+    return monthly.select(
+        "month",
+        "revenue",
+        (
+            F.floor((F.col("revenue") - prev) / prev * 10000 + 0.5) / 10000
+        ).alias("mom_growth"),
+    )

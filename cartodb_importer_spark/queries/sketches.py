@@ -79,27 +79,63 @@ def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_merge")  # rows-only: DataSketches estimator is Spark-side
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS INT) AS within_bounds
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 'ALL',
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(1 AS INT)
+    FROM orders
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count: per-group Apache DataSketches HLL sketches
     of o_custkey, re-merged into an ALL row WITHOUT rescanning the input —
     `hll_union_agg` over the already-built group sketches. This is the
     100 TB pattern for distinct counts across rollup levels: sketch once,
     merge everywhere (vs approx_count_distinct which cannot reuse partial
-    state across grouping sets)."""
+    state across grouping sets).
+
+    The sketch estimate is engine-specific; its error contract is not —
+    each row emits the exact distinct plus a flag asserting the estimate
+    (including the MERGED one) lands within 5% of it, and the oracle
+    pins the flag (default lgK=12 keeps HLL rse ~1.6%; 5% ≈ 3 sigma)."""
     t = Tables(spark, sf_dir)
     per_group = t.orders.groupBy("o_orderpriority").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk")
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
     )
     groups = per_group.select(
         "o_orderpriority",
-        F.hll_sketch_estimate("sk").alias("approx_distinct_custkeys"),
+        "exact_distinct",
+        F.hll_sketch_estimate("sk").alias("est"),
     )
-    merged = per_group.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("o_orderpriority"),
-        F.hll_sketch_estimate("sk").alias("approx_distinct_custkeys"),
+    merged_exact = t.orders.agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
     )
-    return groups.unionByName(merged)
+    merged = (
+        per_group.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(merged_exact))
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            "exact_distinct",
+            F.hll_sketch_estimate("sk").alias("est"),
+        )
+    )
+    return groups.unionByName(merged).select(
+        "o_orderpriority",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).cast("int").alias("within_bounds"),
+    )
 
 
 @query(

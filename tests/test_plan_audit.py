@@ -31,6 +31,7 @@ ALLOWED_NLJ = {
     "llm_knn_classify",        # tiny held-out query block broadcast
     "geo_nearest_station",     # 10-row station dim broadcast
     "agg_decile_lift",         # 1-row totals broadcast
+    "agg_hll_sketch_merge",    # 1-row merged-exact broadcast
 }
 
 SF = "/root/testdata/sf0.001"

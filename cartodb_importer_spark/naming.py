@@ -177,14 +177,25 @@ def sanitize_columns(names: list[str]) -> list[str]:
             out.append(sanitize_column_name(raw))
     out = escape_reserved_column_names(out)
     seen: dict[str, int] = {}
+    taken: set[str] = set()
     deduped: list[str] = []
     for n in out:
         if n in seen:
-            seen[n] += 1
-            deduped.append(f"{n}_{seen[n]}")
+            # first-free suffix that is ALSO not a later column's own
+            # sanitized form ('n','n','n_1' must not emit 'n_1' twice)
+            i = seen[n] + 1
+            while f"{n}_{i}" in taken:
+                i += 1
+            seen[n] = i
+            cand = f"{n}_{i}"
         else:
             seen[n] = 0
-            deduped.append(n)
+            cand = n
+            while cand in taken:
+                seen[n] += 1
+                cand = f"{n}_{seen[n]}"
+        taken.add(cand)
+        deduped.append(cand)
     return deduped
 
 

@@ -302,3 +302,65 @@ def reshape_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().cast("int").alias("is_current"),
     )
+
+
+@query(
+    "reshape_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice != n.o_totalprice
+                     OR o.o_orderstatus != n.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def reshape_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the CDC diff between two versions of a
+    table (here: two deterministic date-bounded views of orders, with a
+    synthetic value perturbation so 'changed' is non-empty): one keyed
+    FULL OUTER join classifies every key as added / removed / changed /
+    unchanged and only counts leave the join. This is the validation
+    pass run after a VersionedLocalCatalog publish_version to quantify
+    what the new snapshot changed."""
+    t = Tables(spark, sf_dir)
+    old = t.orders.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = t.orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, on="o_orderkey", how="full_outer")
+    change = (
+        F.when(F.col("o.o_orderstatus").isNull(), "added")
+        .when(F.col("n.o_orderstatus").isNull(), "removed")
+        .when(
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

@@ -501,3 +501,60 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.corr("v_view", "v_buy").over(w) * 10000 + 0.5) / 10000
         ).alias("corr7"),
     )
+
+
+@query(
+    "window_longest_streak",
+    oracle="""
+    WITH presence AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), flagged AS (
+      SELECT user_id, day,
+             CASE WHEN date_diff('day',
+                    lag(day) OVER (PARTITION BY user_id ORDER BY day), day) = 1
+                  THEN 0 ELSE 1 END AS new_streak
+      FROM presence
+    ), islands AS (
+      SELECT user_id, day,
+             sum(new_streak) OVER (PARTITION BY user_id ORDER BY day)
+               AS streak_id
+      FROM flagged
+    ), lengths AS (
+      SELECT user_id, streak_id, count(*) AS len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak_days
+    FROM lengths GROUP BY 1
+    """,
+)
+def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — gaps-and-
+    islands applied to the (user, day) presence table: a day starts a
+    new streak unless it's exactly 1 after the previous active day, the
+    running flag-sum labels streaks, and two keyed aggregates collapse
+    to the max length. Everything after the initial distinct runs on
+    the reduced presence table."""
+    t = Tables(spark, sf_dir)
+    presence = t.events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = presence.select(
+        "user_id",
+        "day",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(w)) == 1, 0
+        ).otherwise(1).alias("new_streak"),
+    )
+    islands = flagged.select(
+        "user_id",
+        F.sum("new_streak")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("streak_id"),
+    )
+    lengths = islands.groupBy("user_id", "streak_id").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return lengths.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak_days")
+    )

@@ -942,3 +942,64 @@ def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("revenue") - prev) / prev * 10000 + 0.5) / 10000
         ).alias("mom_growth"),
     )
+
+
+@query(
+    "agg_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey)
+               / sum(revenue) OVER () AS cum_share
+      FROM rev
+    )
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           floor(sum(revenue) * 100 + 0.5) / 100 AS class_revenue
+    FROM ranked GROUP BY 1
+    """,
+)
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classified
+    by cumulative revenue share (A: first 80%, B: to 95%, C: tail).
+    The reduction (lineitem -> per-part revenue) is the heavy keyed
+    aggregate; the ranking window then runs over the part dimension
+    only. Deterministic ordering (revenue DESC, partkey); the grand
+    total via an unbounded window on the reduced frame."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    rev = t.lineitem.groupBy("l_partkey").agg(
+        (F.floor(F.sum("l_extendedprice") * 100 + 0.5) / 100).alias(
+            "revenue"
+        )
+    )
+    w_cum = (
+        W.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = rev.select(
+        "revenue",
+        (
+            F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)
+        ).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.floor(F.sum("revenue") * 100 + 0.5) / 100).alias(
+            "class_revenue"
+        ),
+    )

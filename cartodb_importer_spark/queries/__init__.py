@@ -192,3 +192,4 @@ from . import reshape  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import events  # noqa: E402,F401
+from . import graph  # noqa: E402,F401

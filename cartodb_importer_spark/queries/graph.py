@@ -1,0 +1,312 @@
+"""Graph analytics over the part co-purchase graph (SURVEY §2.3 extension).
+
+Nodes are parts; an undirected edge connects two parts that co-occur in at
+least one order (built from a lineitem self-join on l_orderkey, oriented
+src < dst, deduplicated). This is the classic market-basket projection of
+a bipartite order-part graph, and the three queries below are the three
+canonical whole-graph computations a 100 TB pipeline runs over it:
+
+* fixed-iteration PageRank (iterative join+agg, the BSP pattern),
+* triangle counting over oriented edges (the clustering-coefficient core),
+* common-neighbor / Jaccard link prediction (recommendation candidates).
+
+Scale notes (local[32] correctness, 1000-executor design):
+
+* Edge building groups by l_orderkey — per-order item lists are tiny and
+  bounded (max ~7 lineitems per order in TPC-H), so the self-join expands
+  at most k^2 per order and never quadratically in table size.
+* All iterations are keyed shuffles (join on src / groupBy dst) with
+  map-side partial aggregation; ranks and edges co-partition on the same
+  key so AQE reuses the exchange. No driver-side graph state — the only
+  driver scalar is the node count N (an aggregate, not a collect).
+* Triangle counting orients edges by (id) so each triangle is counted
+  exactly once; the production variant orients by (degree, id) to bound
+  the join fan-out of hub nodes — same result set, noted where relevant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import Tables, query
+
+# Shared oracle CTE: distinct oriented co-purchase edges.
+_PAIRS_CTE = """
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+def _copurchase_pairs(t: Tables) -> DataFrame:
+    """Distinct oriented (src < dst) part co-purchase pairs."""
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank as DuckDB CTEs (r0..r{iters})."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+      SELECT e.dst AS src,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.outdeg) AS rank
+      FROM edges e
+      JOIN r{k - 1} r ON e.src = r.src
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+        )
+    return f"""
+    WITH {_PAIRS_CTE.strip()},
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+    {','.join(steps)}
+    SELECT r.src AS part_node,
+           floor(r.rank * (SELECT n FROM nn) * 1e6 + 0.5) / 1e6
+             AS rank_scaled,
+           d.outdeg AS degree
+    FROM r{iters} r JOIN deg d ON r.src = d.src
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(5))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 5-iteration PageRank (damping 0.85) over the co-purchase
+    graph. The symmetric edge set guarantees no dangling nodes (every
+    node has out-degree >= 1 and receives >= 1 in-edge), so mass is
+    conserved without a dangling-redistribution term and the node set is
+    stable across iterations.
+
+    Each iteration is one keyed join (rank onto edges by src) plus one
+    keyed aggregate (contributions by dst) — the standard BSP/Pregel
+    superstep expressed as DataFrame ops, so Catalyst plans map-side
+    partial sums and AQE coalesces the contribution shuffle. The
+    weighted edge list (1/outdeg precomputed) is persisted once and
+    reused by all iterations; at 100 TB you would also localCheckpoint
+    the rank vector every few supersteps to truncate lineage. Ranks are
+    reported scaled by N (so a uniform graph scores 1.0) on the 1e-6
+    grid, making the float fold order cross-engine-stable."""
+    t = Tables(spark, sf_dir)
+    pairs = _copurchase_pairs(t)
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # contribution weight folded into the edge list once: src -> dst with
+    # weight 1/outdeg(src); 5 iterations reuse this one persisted relation
+    wedges = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .persist()
+    )
+    n = deg.count()  # driver scalar (aggregate action, not a row collect)
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    for _ in range(5):
+        ranks = (
+            wedges.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            .select(
+                F.col("dst").alias("src"),
+                (F.lit(0.15 / n) + F.lit(0.85) * F.col("contrib")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks.join(deg, "src").select(
+        F.col("src").alias("part_node"),
+        (F.floor(F.col("rank") * n * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "rank_scaled"
+        ),
+        F.col("outdeg").alias("degree"),
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_PAIRS_CTE.strip()},
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.src = e1.dst
+      JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    member AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS part_node, count(*) AS n_triangles
+    FROM member GROUP BY 1
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via the oriented wedge join: with every
+    edge stored once as src < dst, each triangle {a<b<c} is enumerated
+    exactly once as (a,b)+(b,c) wedges closed by the (a,c) edge — no
+    division by 6, no symmetric blow-up. Each of the two joins is a
+    keyed equi-join (on b, then on the (a,c) pair); the closing join's
+    key is the composite edge, so the probe side is the wedge set, which
+    the id-orientation already bounds. At 100 TB the orientation key
+    becomes (degree, id) — points wedges away from hub nodes, keeping
+    per-key fan-out near-uniform with identical output. Output: every
+    node that participates in at least one triangle with its count (a
+    node in no triangle is absent, matching the SQL oracle)."""
+    t = Tables(spark, sf_dir)
+    pairs = _copurchase_pairs(t).persist()
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    wedge = e1.join(
+        e2, F.col("e2.src") == F.col("e1.dst")
+    ).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    tri = wedge.join(
+        pairs.alias("e3"),
+        (F.col("e3.src") == F.col("a")) & (F.col("e3.dst") == F.col("c")),
+    ).select("a", "b", "c")
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return member.groupBy(F.col("node").alias("part_node")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_PAIRS_CTE.strip()},
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    mid AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN deg d ON d.src = e.src
+      WHERE d.outdeg <= 60
+    ),
+    wedge AS (
+      SELECT e1.dst AS a, e2.dst AS c, count(*) AS n_common
+      FROM mid e1 JOIN mid e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.a, w.c, w.n_common
+      FROM wedge w
+      LEFT JOIN pairs p ON p.src = w.a AND p.dst = w.c
+      WHERE p.src IS NULL
+    )
+    SELECT cand.a AS part_a, cand.c AS part_b, cand.n_common,
+           floor(CAST(cand.n_common AS DOUBLE)
+                 / (da.outdeg + dc.outdeg - cand.n_common) * 1e6 + 0.5)
+             / 1e6 AS jaccard
+    FROM cand
+    JOIN deg da ON da.src = cand.a
+    JOIN deg dc ON dc.src = cand.c
+    ORDER BY cand.n_common DESC, jaccard DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction: the 50 strongest NON-adjacent part pairs by
+    common-neighbor count, with the neighborhood-Jaccard score
+    |N(a)∩N(b)| / |N(a)∪N(b)| (degrees from the full graph). Wedges
+    enumerate through the shared middle node (keyed self-join on src,
+    a < c ordering halves the output), existing edges are removed with a
+    LEFT ANTI join against the oriented edge list, and the top 50 is a
+    TakeOrdered with a total order (count desc, score desc, ids) so ties
+    are deterministic. The wedge join is the hub-fan-out hot spot — a
+    middle node of degree d contributes d(d-1)/2 pairs — so middles are
+    capped at degree 60 (the WTF/Cassovary guard: hub middles contribute
+    noise pairs anyway; the cap makes the join linear in edges instead
+    of quadratic in hub degree, and the oracle applies the same cap)."""
+    t = Tables(spark, sf_dir)
+    pairs = _copurchase_pairs(t).persist()
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    mid = (
+        edges.join(deg, "src")
+        .where(F.col("outdeg") <= 60)
+        .select("src", "dst")
+    )
+    e1 = mid.alias("e1")
+    e2 = mid.alias("e2")
+    wedge = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(
+            F.col("e1.dst").alias("a"), F.col("e2.dst").alias("c")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = wedge.join(
+        pairs,
+        (F.col("a") == F.col("src")) & (F.col("c") == F.col("dst")),
+        "left_anti",
+    )
+    da = deg.alias("da")
+    dc = deg.alias("dc")
+    scored = (
+        cand.join(da, F.col("a") == F.col("da.src"))
+        .join(dc, F.col("c") == F.col("dc.src"))
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            "n_common",
+            (
+                F.floor(
+                    F.col("n_common").cast("double")
+                    / (
+                        F.col("da.outdeg")
+                        + F.col("dc.outdeg")
+                        - F.col("n_common")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_common"), F.desc("jaccard"), "part_a", "part_b"
+    ).limit(50)

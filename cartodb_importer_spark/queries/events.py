@@ -716,3 +716,87 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
         )
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             floor(avg(value) * 1e4 + 0.5) / 1e4 AS x
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, avg(x) AS mu, stddev_pop(x) AS sigma
+      FROM daily GROUP BY 1
+    ), dev AS (
+      SELECT d.event_type, d.day, d.x,
+             floor((d.x - b.mu) / b.sigma * 1e6 + 0.5) / 1e6 AS dev
+      FROM daily d JOIN base b ON d.event_type = b.event_type
+    ), pref AS (
+      SELECT event_type, day, x,
+             sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ps
+      FROM dev
+    ), ps AS (
+      SELECT event_type, day, x, ps,
+             least(CAST(0 AS DOUBLE),
+                   min(ps) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS lo
+      FROM pref
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+           floor((ps - lo) * 1e4 + 0.5) / 1e4 AS cusum,
+           CAST(floor((ps - lo) * 1e4 + 0.5) / 1e4 > 4.0 AS INT)
+             AS is_change
+    FROM ps
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the per-type daily mean series.
+    The one-sided CUSUM recurrence S_i = max(0, S_{i-1} + dev_i) has no
+    direct window form, but unrolls exactly to
+    S_i = prefix_sum_i - min(0, running_min(prefix_sum)) — two stacked
+    windows over ONE (event_type, day) sort, so the whole detector is a
+    single shuffle per series regardless of length (the classic
+    segmented-scan identity; same trick as window_drawdown). Daily means
+    are grid-rounded before standardization and deviations before
+    accumulation, keeping both engines on identical doubles; the alarm
+    threshold (cusum > 4 sigma-units) compares the rounded value. At
+    100 TB the daily pre-aggregation is the scale valve: the windowed
+    series is days x types, thousands of rows, whatever the raw volume."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg((F.floor(F.avg("value") * 1e4 + F.lit(0.5)) / 1e4).alias("x"))
+    base = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    dev = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        (
+            F.floor(
+                (F.col("x") - F.col("mu")) / F.col("sigma") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ps = F.sum("dev").over(w)
+    lo = F.least(F.lit(0.0), F.min(ps).over(w))
+    cusum = F.floor((ps - lo) * 1e4 + F.lit(0.5)) / 1e4
+    return dev.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        cusum.alias("cusum"),
+        (cusum > 4.0).cast("int").alias("is_change"),
+    )

@@ -310,3 +310,76 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("n_common"), F.desc("jaccard"), "part_a", "part_b"
     ).limit(50)
+
+
+@query(
+    "graph_khop_reach",
+    oracle=f"""
+    WITH {_PAIRS_CTE.strip()},
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    seed AS (SELECT min(src) AS node FROM edges),
+    h0 AS (SELECT node FROM seed),
+    h1 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e
+      JOIN h0 ON e.src = h0.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)
+    ),
+    h2 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e
+      JOIN h1 ON e.src = h1.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)
+        AND e.dst NOT IN (SELECT node FROM h1)
+    ),
+    h3 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e
+      JOIN h2 ON e.src = h2.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)
+        AND e.dst NOT IN (SELECT node FROM h1)
+        AND e.dst NOT IN (SELECT node FROM h2)
+    )
+    SELECT node AS part_node, 0 AS hop FROM h0
+    UNION ALL SELECT node, 1 FROM h1
+    UNION ALL SELECT node, 2 FROM h2
+    UNION ALL SELECT node, 3 FROM h3
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS from a deterministic seed (the minimum part id in the
+    edge set): each node reachable within 3 hops labeled with its exact
+    hop distance. Each hop is one keyed join (frontier onto edges by
+    src) followed by a distinct and an anti-join against the visited
+    set — the frontier-expansion BSP step; visited stays a DataFrame
+    (re-unioned per hop), never driver state. Hop count is fixed, so
+    the plan is static and AQE sizes each frontier exchange at runtime;
+    at 100 TB the visited anti-join keys on node id and the frontier is
+    the only growing relation (bounded by the k-hop ball size — the
+    reason production BFS caps k rather than iterating to fixpoint)."""
+    t = Tables(spark, sf_dir)
+    pairs = _copurchase_pairs(t)
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    seed = edges.agg(F.min("src").alias("node"))
+    layers = [seed.select("node", F.lit(0).alias("hop"))]
+    visited = seed.select("node")
+    frontier = seed.select("node")
+    for hop in (1, 2, 3):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        layers.append(nxt.select("node", F.lit(hop).alias("hop")))
+        visited = visited.union(nxt)
+        frontier = nxt
+    out = layers[0]
+    for lyr in layers[1:]:
+        out = out.union(lyr)
+    return out.select(F.col("node").alias("part_node"), "hop")

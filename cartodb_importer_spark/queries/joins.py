@@ -511,3 +511,48 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts") - F.unix_micros("valid_from")
         ).alias("status_age_us"),
     )
+
+
+@query(
+    "join_blocked_linkage",
+    oracle="""
+    SELECT s.s_suppkey,
+           min(levenshtein(s.s_name, c.c_name)) AS min_dist,
+           arg_min(c.c_name,
+                   levenshtein(s.s_name, c.c_name) * 10000000
+                   + c.c_custkey) AS best_match,
+           count(*) AS n_candidates
+    FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+)
+def join_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking: each supplier is matched against
+    only the customers of ITS nation (the blocking key), scored by
+    Levenshtein edit distance, keeping the argmin match — the standard
+    entity-resolution shape (block -> score -> reduce). The block join
+    is a keyed equi-join so candidate pairs are |block|^2 per nation,
+    never |S|x|C| global; the argmin is a map-side-combinable min_by
+    with the distance and custkey packed into one ordering key so ties
+    are deterministic. At 100 TB blocking keys get finer (nation+name
+    prefix or phonetic bucket) and skewed blocks salt, but the plan
+    shape — equi-join then keyed argmin, no global cartesian — is
+    exactly this one."""
+    t = Tables(spark, sf_dir)
+    dist = F.levenshtein(F.col("s_name"), F.col("c_name"))
+    return (
+        t.supplier.join(
+            t.customer,
+            F.col("s_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.min(dist).alias("min_dist"),
+            F.min_by(
+                F.col("c_name"),
+                dist.cast("bigint") * F.lit(10000000).cast("bigint")
+                + F.col("c_custkey"),
+            ).alias("best_match"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )

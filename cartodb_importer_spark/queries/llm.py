@@ -2377,3 +2377,252 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)
         ).alias("kept_chars"),
     )
+
+
+# ------------------------------------------------------ hybrid retrieval RRF
+
+@query(
+    "llm_rrf_fusion",
+    oracle=f"""
+    WITH wl AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col='text')} AS ws FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS term FROM wl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM w
+      WHERE term IN {tuple(_BM25_TERMS)} GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), dl AS (
+      SELECT doc_id, len(ws) AS dl FROM wl
+    ), scal AS (
+      SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM wl
+    ), bm AS (
+      SELECT tf.doc_id,
+             floor(sum(
+               ln(1 + (scal.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl.dl / scal.avgdl))
+             ) * 10000 + 0.5) / 10000 AS bm25
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN scal
+      GROUP BY tf.doc_id
+    ), sparse AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM bm QUALIFY rnk <= 20
+    ), dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos6 DESC, vec_id) AS rnk
+      FROM (
+        SELECT e.vec_id,
+               floor(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])) * 1000000 + 0.5)
+               / 1000000 AS cos6
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      ) QUALIFY rnk <= 20
+    )
+    SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+           floor((COALESCE(1.0 / (60 + s.rnk), 0)
+                  + COALESCE(1.0 / (60 + d.rnk), 0)) * 1000000 + 0.5)
+             / 1000000 AS rrf,
+           COALESCE(s.rnk, 0) AS sparse_rank,
+           COALESCE(d.rnk, 0) AS dense_rank
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the sparse BM25
+    ranking (fixed term query) and the dense cosine ranking (query vector
+    = vec_id 0), the standard two-tower merge for RAG / training-data
+    retrieval stacks. Both candidate lists are top-20 with grid-rounded
+    scores and id tiebreaks so ranks are engine-stable; the fusion is a
+    20v20 full-outer join (driver-free, broadcast-sized by construction
+    since both lists are bounded top-k), rrf = sum 1/(60+rank) over the
+    lists containing the doc. At 100 TB each ranking keeps its own scale
+    shape (BM25: term-filtered tf join; cosine: one corpus scan into
+    TakeOrdered) — fusion cost never grows past k rows."""
+    from pyspark.sql import Window as W
+
+    from ..llm import similarity as S
+
+    t = Tables(spark, sf_dir)
+    # sparse arm: the llm_bm25_search scoring verbatim
+    wl = t.documents.select("doc_id", T.words(F.col("text")).alias("ws"))
+    w = wl.select("doc_id", F.explode("ws").alias("term"))
+    tf = (
+        w.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = wl.select("doc_id", F.size("ws").alias("dl"))
+    scal = wl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("ws")).alias("avgdl")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg((F.floor(F.sum(contrib) * 10000 + 0.5) / 10000).alias("bm25"))
+    )
+    sparse = (
+        bm.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "rnk")
+    )
+    # dense arm: cosine vs the vec_id-0 query vector, 1e-6 grid
+    e = t.embeddings
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    cos6 = (
+        F.floor(S.cosine(xd, qd) * 1e6 + F.lit(0.5)) / 1e6
+    )
+    dense = (
+        e.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos6.alias("cos6"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("cos6"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "rnk")
+    )
+    s = sparse.alias("s")
+    d = dense.alias("d")
+    fused = s.join(d, F.col("s.doc_id") == F.col("d.doc_id"), "full_outer")
+    rrf = (
+        F.floor(
+            (
+                F.coalesce(1.0 / (60 + F.col("s.rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("d.rnk")), F.lit(0.0))
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("s.doc_id"), F.col("d.doc_id")).alias(
+                "doc_id"
+            ),
+            rrf.alias("rrf"),
+            F.coalesce(F.col("s.rnk"), F.lit(0)).alias("sparse_rank"),
+            F.coalesce(F.col("d.rnk"), F.lit(0)).alias("dense_rank"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------- embedding-space outliers
+
+@query(
+    "llm_semantic_outliers",
+    oracle="""
+    WITH idx AS (
+      SELECT vec_id, label,
+             unnest(list_transform(embedding,
+                                   (x, i) -> {'i': i, 'x': x})) AS u
+      FROM embeddings
+    ), x AS (
+      SELECT vec_id, label, u.i AS dim, CAST(u.x AS DOUBLE) AS x FROM idx
+    ), cent AS (
+      SELECT label, dim, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c
+      FROM x GROUP BY 1, 2
+    ), dist AS (
+      SELECT x.vec_id, x.label,
+             floor(sqrt(sum((x.x - cent.c) * (x.x - cent.c)))
+                   * 1e4 + 0.5) / 1e4 AS dist
+      FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT label, avg(dist) AS m, stddev_pop(dist) AS s
+      FROM dist GROUP BY 1
+    )
+    SELECT d.vec_id, d.label, d.dist,
+           floor((d.dist - st.m) / st.s * 1e3 + 0.5) / 1e3 AS z
+    FROM dist d JOIN stats st ON d.label = st.label
+    WHERE floor((d.dist - st.m) / st.s * 1e3 + 0.5) / 1e3 >= 1.5
+    """,
+)
+def llm_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality filtering (the SemDeDup/SSL-prototype quality
+    gate): flag vectors whose distance to their label centroid is an
+    intra-label z-score outlier (z >= 1.5) — far-from-centroid docs are
+    the mislabeled/noise candidates a curation pipeline reviews or drops.
+
+    One posexplode scan feeds both passes: per-(label,dim) centroid means
+    (map-side combinable, labels x dims rows — broadcast-sized), then a
+    broadcast join back computes each vector's Euclidean distance, and a
+    per-label moment pass converts distances to z-scores. Centroids are
+    grid-rounded BEFORE the distance (and distances before the moments)
+    so float fold order can't leak through powers into the hash; the
+    z >= 1.5 gate compares the already-rounded z on both engines, making
+    the threshold boundary exact. No pairwise work anywhere — cost is
+    O(n*d) scan + tiny keyed joins, the same at 100 TB."""
+    t = Tables(spark, sf_dir)
+    x = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("dim", "x"),
+    )
+    cent = x.groupBy("label", "dim").agg(
+        (F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6).alias("c")
+    )
+    dist = (
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.floor(
+                    F.sqrt(
+                        F.sum(
+                            (F.col("x") - F.col("c"))
+                            * (F.col("x") - F.col("c"))
+                        )
+                    )
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("dist")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("m"), F.stddev_pop("dist").alias("s")
+    )
+    z = F.floor(
+        (F.col("dist") - F.col("m")) / F.col("s") * 1e3 + F.lit(0.5)
+    ) / 1e3
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .select("vec_id", "label", "dist", z.alias("z"))
+        .filter(F.col("z") >= 1.5)
+    )

@@ -361,3 +361,70 @@ def pipeline_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "pipeline_benford_profile",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice))))
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT d, count(*) AS n FROM digits GROUP BY 1
+    ), tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT d AS first_digit, n,
+           floor(CAST(n AS DOUBLE) / tot.total * 1e6 + 0.5) / 1e6
+             AS observed_freq,
+           floor(log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6
+             AS benford_freq,
+           floor(power(n - tot.total * log10(1.0 + 1.0 / d), 2)
+                 / (tot.total * log10(1.0 + 1.0 / d)) * 1e4 + 0.5) / 1e4
+             AS chi2_contrib
+    FROM counts CROSS JOIN tot
+    """,
+)
+def pipeline_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the fraud /
+    synthetic-data smell test a profiling pass runs on every monetary
+    column. The first significant digit is extracted numerically
+    (x / 10^floor(log10 x)), never via string formatting, so both
+    engines agree exactly; output is the 9-row digit histogram with
+    observed vs log10(1+1/d) expected frequency and the chi-squared
+    contribution per digit. One scan, one 9-group aggregate, a scalar
+    broadcast for the total — profiling cost is a single map-side
+    combinable pass at any scale."""
+    t = Tables(spark, sf_dir)
+    digits = t.orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp_freq = F.log10(1.0 + 1.0 / F.col("d"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double") / F.col("total") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("observed_freq"),
+        (F.floor(exp_freq * 1e6 + F.lit(0.5)) / 1e6).alias("benford_freq"),
+        (
+            F.floor(
+                F.pow(F.col("n") - F.col("total") * exp_freq, F.lit(2.0))
+                / (F.col("total") * exp_freq)
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("chi2_contrib"),
+    )

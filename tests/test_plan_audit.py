@@ -32,6 +32,8 @@ ALLOWED_NLJ = {
     "geo_nearest_station",     # 10-row station dim broadcast
     "agg_decile_lift",         # 1-row totals broadcast
     "agg_hll_sketch_merge",    # 1-row merged-exact broadcast
+    "llm_rrf_fusion",          # 1-row query vector + (N, avgdl) broadcasts
+    "pipeline_benford_profile",  # 1-row digit-total broadcast
 }
 
 SF = "/root/testdata/sf0.001"

@@ -1003,3 +1003,81 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "class_revenue"
         ),
     )
+
+
+@query(
+    "agg_share_of_parent",
+    oracle="""
+    WITH leaf AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           floor(revenue * 100 + 0.5) / 100 AS revenue,
+           floor(revenue / sum(revenue) OVER (PARTITION BY region)
+                 * 1e6 + 0.5) / 1e6 AS share_of_region,
+           floor(sum(revenue) OVER (PARTITION BY region)
+                 / sum(revenue) OVER () * 1e6 + 0.5) / 1e6
+             AS region_share_of_total
+    FROM leaf
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis: nation revenue with its share
+    of the region subtotal AND the region's share of the grand total —
+    the drill-path ratio-to-parent metric OLAP cubes emit next to every
+    rollup level. The fact table reduces FIRST (one keyed aggregate to
+    region x nation, ~125 rows), then both parent shares are windows
+    over the tiny reduced frame — the unbounded-partition windows never
+    see raw data, so the 'share of total' global window costs nothing
+    at any scale. Dims broadcast onto the orders scan; shares round on
+    the 1e-6 grid."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    leaf = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return leaf.select(
+        "region",
+        "nation",
+        (F.floor(F.col("rev") * 100 + F.lit(0.5)) / 100).alias("revenue"),
+        (
+            F.floor(
+                F.col("rev") / F.sum("rev").over(w_region) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("share_of_region"),
+        (
+            F.floor(
+                F.sum("rev").over(w_region)
+                / F.sum("rev").over(w_all)
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("region_share_of_total"),
+    )

@@ -800,3 +800,77 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (cusum > 4.0).cast("int").alias("is_change"),
     )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 3 DAY
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= v.t1 + INTERVAL 3 DAY
+      GROUP BY 1
+    )
+    SELECT '1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (the Amplitude/Mixpanel semantics the
+    plain ordered funnel lacks): a user converts only if every later
+    stage lands within 3 days of their FIRST view — the anchor time
+    rides along the stage joins, so abandoning users age out instead of
+    converting months later. Same scale shape as events_funnel: three
+    per-user min-aggregates chained by user_id-keyed joins, one shuffle
+    partitioning reused across stages, counts reduced at the end."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select("user_id", "event_type", "ts")
+    deadline = F.col("t1") + F.expr("INTERVAL 3 DAYS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users"))
+        .unionAll(
+            c.agg(
+                F.lit("2_click").alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+        .unionAll(
+            p.agg(
+                F.lit("3_purchase").alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    )

@@ -874,3 +874,68 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "events_seasonality_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+             floor(sum(value) * 1e4 + 0.5) / 1e4 AS x
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT avg(x) AS mu FROM daily
+    ), idx AS (
+      SELECT dow, floor(avg(x) / (SELECT mu FROM base) * 1e6 + 0.5) / 1e6
+               AS seasonal_index
+      FROM daily GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dow, d.x,
+           i.seasonal_index,
+           floor(d.x / i.seasonal_index * 1e4 + 0.5) / 1e4
+             AS deseasonalized
+    FROM daily d JOIN idx i ON d.dow = i.dow
+    """,
+)
+def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonal decomposition of the daily
+    value series: per-weekday seasonal index (weekday mean / overall
+    mean) and the deseasonalized series x / index — the first pass of
+    any retail/traffic forecasting pipeline (the ratio-to-moving-average
+    method with a calendar period). The raw stream reduces to one row
+    per day FIRST, so the seasonal fit and the rescale both run over
+    ~series-length rows; the 7-row index broadcasts back. Weekday
+    numbering pinned to Sunday=1 (Spark's convention; the oracle
+    shifts DuckDB's Sunday=0 to match).
+    All ratios on fixed grids."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+    ).agg((F.floor(F.sum("value") * 1e4 + F.lit(0.5)) / 1e4).alias("x"))
+    base = daily.agg(F.avg("x").alias("mu"))
+    idx = (
+        daily.crossJoin(F.broadcast(base))
+        .groupBy("dow")
+        .agg(
+            (
+                F.floor(
+                    F.avg("x") / F.first("mu") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("seasonal_index")
+        )
+    )
+    return daily.join(F.broadcast(idx), "dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        "x",
+        "seasonal_index",
+        (
+            F.floor(
+                F.col("x") / F.col("seasonal_index") * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("deseasonalized"),
+    )

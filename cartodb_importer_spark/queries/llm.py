@@ -2626,3 +2626,128 @@ def llm_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "dist", z.alias("z"))
         .filter(F.col("z") >= 1.5)
     )
+
+
+# ---------------------------------------------------- fixed-iteration k-means
+
+_KM_K = 4          # clusters, seeded from vec_id 0..3
+_KM_ITERS = 3      # fixed Lloyd iterations (deterministic, oracle-able)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs. State per iteration is
+    the exploded centroid relation c{i}(cluster, dim, c) with grid-rounded
+    coordinates; assignment a{i}(vec_id, cluster) breaks distance ties on
+    cluster id over 1e-6-rounded distances."""
+    parts = [
+        f"""x AS (
+      SELECT vec_id,
+             u.i AS dim, CAST(u.x AS DOUBLE) AS x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(embedding,
+                                         (x, i) -> {{'i': i, 'x': x}})) AS u
+            FROM embeddings)
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster, dim,
+             floor(x * 1e6 + 0.5) / 1e6 AS c
+      FROM x WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+      SELECT x.vec_id, c.cluster,
+             floor(sum((x.x - c.c) * (x.x - c.c)) * 1e6 + 0.5) / 1e6
+               AS dist2
+      FROM x JOIN c{i - 1} c ON x.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vec_id,
+             arg_min(cluster, dist2 * 10 + cluster) AS cluster,
+             min(dist2) AS dist2
+      FROM d{i} GROUP BY 1
+    ),
+    c{i} AS (
+      SELECT a.cluster, x.dim,
+             floor(avg(x.x) * 1e6 + 0.5) / 1e6 AS c
+      FROM x JOIN a{i} a ON x.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, cluster, dist2 FROM a{iters}
+    """
+    )
+
+
+@query("llm_kmeans_fixed", oracle=_kmeans_oracle(_KM_K, _KM_ITERS))
+def llm_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd) with FIXED iteration count and deterministic
+    seeding (initial centroids = the vectors of vec_id 0..k-1) — the
+    IVF-training loop exposed as an oracle-checked query, assignments
+    value-matched cross-engine after 3 full iterations.
+
+    Determinism is engineered at every float boundary: centroid
+    coordinates are grid-rounded (1e-6) after each mean, distances after
+    each sum, and the argmin packs (distance, cluster) into one ordering
+    key so equidistant vectors break ties on cluster id identically in
+    both engines — the same discipline as llm_knn_classify.
+
+    Scale shape: per iteration, the exploded vectors join the k*d
+    centroid relation (broadcast — kilobytes) and reduce by
+    (vec_id, cluster) then (cluster, dim): two map-side-combinable keyed
+    aggregates, no pairwise vector work, no driver state besides the
+    plan itself. At 100 TB this is exactly Spark MLlib's dataflow, but
+    with the deterministic contract MLlib doesn't make; iterations
+    being fixed keeps the lineage bounded (no convergence loop)."""
+    t = Tables(spark, sf_dir)
+    x = t.embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("dim", "x"),
+    ).persist()
+    cent = x.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"),
+        "dim",
+        (F.floor(F.col("x") * 1e6 + F.lit(0.5)) / 1e6).alias("c"),
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        d = (
+            x.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                (
+                    F.floor(
+                        F.sum(
+                            (F.col("x") - F.col("c"))
+                            * (F.col("x") - F.col("c"))
+                        )
+                        * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
+                ).alias("dist2")
+            )
+        )
+        assign = d.groupBy("vec_id").agg(
+            F.min_by(
+                F.col("cluster"),
+                F.col("dist2") * 10 + F.col("cluster"),
+            ).alias("cluster"),
+            F.min("dist2").alias("dist2"),
+        )
+        cent = (
+            x.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                (F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6).alias("c")
+            )
+        )
+    return assign.select("vec_id", "cluster", "dist2")

@@ -34,6 +34,7 @@ ALLOWED_NLJ = {
     "agg_hll_sketch_merge",    # 1-row merged-exact broadcast
     "llm_rrf_fusion",          # 1-row query vector + (N, avgdl) broadcasts
     "pipeline_benford_profile",  # 1-row digit-total broadcast
+    "events_seasonality_dow",  # 1-row overall-mean broadcast
 }
 
 SF = "/root/testdata/sf0.001"

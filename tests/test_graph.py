@@ -1,0 +1,92 @@
+"""Invariant checks for the graph-analytics family (queries/graph.py),
+independent of the DuckDB oracles: PageRank mass conservation, triangle
+counts vs a brute-force reference, BFS hop distances vs a pure-Python BFS.
+"""
+
+import itertools
+from collections import deque
+
+import pytest
+
+from cartodb_importer_spark.queries import QUERIES
+from cartodb_importer_spark.queries.graph import _copurchase_pairs
+from cartodb_importer_spark.queries import Tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def edge_set(spark):
+    rows = _copurchase_pairs(Tables(spark, SF)).collect()
+    return {(r["src"], r["dst"]) for r in rows}
+
+
+def _adj(edge_set):
+    adj = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_pagerank_mass_conserved(spark):
+    pdf = QUERIES["graph_pagerank"](spark, SF).toPandas()
+    n = len(pdf)
+    # ranks sum to 1 => N-scaled ranks sum to N (within grid rounding)
+    assert abs(pdf["rank_scaled"].sum() - n) < n * 1e-5
+    assert (pdf["rank_scaled"] > 0).all()
+    # high-degree nodes should never rank below the (1-d)/N floor
+    assert (pdf["rank_scaled"] >= 0.15 - 1e-6).all()
+
+
+def test_triangle_count_matches_bruteforce(spark, edge_set):
+    adj = _adj(edge_set)
+    expect = {}
+    for a, b in edge_set:
+        # triangles through edge (a,b): common neighbors c > b keeps each
+        # triangle counted once (a < b < c by construction below)
+        for c in adj[a] & adj[b]:
+            if c > b and a < b:
+                for node in (a, b, c):
+                    expect[node] = expect.get(node, 0) + 1
+    got = {
+        r["part_node"]: r["n_triangles"]
+        for r in QUERIES["graph_triangle_count"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_khop_matches_python_bfs(spark, edge_set):
+    adj = _adj(edge_set)
+    seed = min(adj)
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r["part_node"]: r["hop"]
+        for r in QUERIES["graph_khop_reach"](spark, SF).collect()
+    }
+    assert got == dist
+
+
+def test_common_neighbors_are_nonadjacent_and_correct(spark, edge_set):
+    adj = _adj(edge_set)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    rows = QUERIES["graph_common_neighbors"](spark, SF).collect()
+    assert len(rows) <= 50
+    for r in rows:
+        a, b = r["part_a"], r["part_b"]
+        assert (a, b) not in edge_set and (b, a) not in edge_set
+        # capped reference: common neighbors counted only through middles
+        # of degree <= 60, mirroring the production guard
+        common = {
+            m for m in adj[a] & adj[b] if deg[m] <= 60
+        }
+        assert r["n_common"] == len(common)

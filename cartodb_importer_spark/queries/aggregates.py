@@ -1081,3 +1081,61 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("region_share_of_total"),
     )
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), rt AS (SELECT r, sum(n) AS rn FROM o GROUP BY 1),
+    ct AS (SELECT c, sum(n) AS cn FROM o GROUP BY 1),
+    tot AS (SELECT sum(n) AS total FROM o)
+    SELECT floor(sum(power(o.n - rt.rn * ct.cn / tot.total, 2)
+                     / (rt.rn * ct.cn / tot.total)) * 1e4 + 0.5) / 1e4
+             AS chi2,
+           CAST((count(DISTINCT o.r) - 1)
+                * (count(DISTINCT o.c) - 1) AS BIGINT) AS dof,
+           CAST(max(tot.total) AS BIGINT) AS n_obs
+    FROM o JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between order priority
+    and order status — the categorical association screen (the t-test's
+    sibling for two discrete columns). The contingency table reduces
+    first (one keyed aggregate, rows x cols cells), marginals and the
+    grand total derive from the TINY cell table, and the statistic folds
+    in one pass over cells — the raw table is scanned exactly once
+    regardless of scale. Expected counts stay exact rationals until the
+    final grid-round (1e-4); dof = (r-1)(c-1) rides along so a consumer
+    can look up the p-value."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = o.groupBy("r").agg(F.sum("n").alias("rn"))
+    ct = o.groupBy("c").agg(F.sum("n").alias("cn"))
+    tot = o.agg(F.sum("n").alias("total"))
+    e = F.col("rn") * F.col("cn") / F.col("total")
+    return (
+        o.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.pow(F.col("n") - e, F.lit(2.0)) / e) * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("chi2"),
+            (
+                (F.count_distinct(F.col("r")) - 1)
+                * (F.count_distinct(F.col("c")) - 1)
+            ).cast("bigint").alias("dof"),
+            F.max("total").cast("bigint").alias("n_obs"),
+        )
+    )

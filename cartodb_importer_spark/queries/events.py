@@ -939,3 +939,112 @@ def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("deseasonalized"),
     )
+
+
+@query(
+    "events_decay_feature",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value,
+             epoch(ts - (SELECT min(ts) FROM events)) / 86400.0 AS td
+      FROM events
+    ), b2 AS (
+      SELECT user_id, value, td,
+             (SELECT max(td) FROM base) AS tmax
+      FROM base
+    )
+    SELECT user_id,
+           floor(sum(value * exp(0.1 * (td - tmax))) * 1e4 + 0.5) / 1e4
+             AS decayed_sum
+    FROM b2 GROUP BY user_id
+    """,
+)
+def events_decay_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed activity feature: per user, sum of value weighted by
+    exp(-lambda * age), lambda = 0.1/day, age measured against the
+    global latest event — the recency-weighted engagement feature every
+    ranking/feature-store pipeline materializes. Computed in ONE keyed
+    aggregate via the log-domain identity
+    sum(v * exp(-l*(T - t))) = sum(v * exp(l*(t - T))): the per-row
+    exponent (t - T) <= 0, so the factor is <= 1 and never overflows no
+    matter the time span (the naive exp(l*t) factorization overflows in
+    weeks). The two scalars (corpus min/max ts) ride along as window
+    constants; no self-join, no per-user sort. Output on the 1e-4 grid."""
+    t = Tables(spark, sf_dir)
+    w_all = Window.partitionBy()
+    base = t.events.select(
+        "user_id",
+        "value",
+        (
+            (
+                F.unix_micros("ts")
+                - F.min(F.unix_micros("ts")).over(w_all)
+            )
+            / 86400.0
+            / 1e6
+        ).alias("td"),
+    ).withColumn("tmax", F.max("td").over(w_all))
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("value")
+                * F.exp(0.1 * (F.col("td") - F.col("tmax")))
+            ).alias("s_raw")
+        )
+        .select(
+            "user_id",
+            (F.floor(F.col("s_raw") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "decayed_sum"
+            ),
+        )
+    )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT user_id, sum(n) AS total FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           floor(-sum((CAST(c.n AS DOUBLE) / tot.total)
+                      * log2(CAST(c.n AS DOUBLE) / tot.total))
+                 * 1e6 + 0.5) / 1e6 AS entropy_bits,
+           count(*) AS n_types,
+           CAST(max(tot.total) AS BIGINT) AS n_events
+    FROM c JOIN tot USING (user_id)
+    GROUP BY 1
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user: Shannon entropy (bits) of each
+    user's event-type distribution — the bot/anomaly screen (scripted
+    accounts collapse to near-zero entropy; exploratory humans sit near
+    log2(k)). Two keyed aggregates on the same user_id partitioning
+    (type counts, then the entropy fold) — Catalyst reuses the exchange,
+    so one shuffle end to end. Entropy lands on the 1e-6 grid; the
+    per-user type count and event total ride along for calibration."""
+    t = Tables(spark, sf_dir)
+    c = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.floor(
+                    -F.sum(p * F.log2(p)) * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("total").alias("n_events"),
+        )
+    )

@@ -35,6 +35,7 @@ ALLOWED_NLJ = {
     "llm_rrf_fusion",          # 1-row query vector + (N, avgdl) broadcasts
     "pipeline_benford_profile",  # 1-row digit-total broadcast
     "events_seasonality_dow",  # 1-row overall-mean broadcast
+    "agg_chi2_independence",   # 1-row grand-total broadcast
 }
 
 SF = "/root/testdata/sf0.001"

@@ -1048,3 +1048,91 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").alias("n_events"),
         )
     )
+
+
+@query(
+    "events_linear_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS epoch_id
+      FROM events
+    ), touches AS (
+      SELECT user_id, epoch_id + 1 AS credit_epoch, event_type
+      FROM seq WHERE event_type IN ('view', 'click')
+    ), purchases AS (
+      SELECT user_id, epoch_id AS credit_epoch, value AS revenue
+      FROM seq WHERE event_type = 'purchase'
+    ), counts AS (
+      SELECT user_id, credit_epoch, count(*) AS n_touches
+      FROM touches GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           floor(sum(p.revenue / c.n_touches) * 1e4 + 0.5) / 1e4
+             AS attributed_revenue,
+           count(*) AS n_credited_touches
+    FROM touches t
+    JOIN counts c USING (user_id, credit_epoch)
+    JOIN purchases p USING (user_id, credit_epoch)
+    GROUP BY 1
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue splits
+    EQUALLY across the user's view/click touches since their previous
+    purchase (the conversion epoch) — the fair-share sibling of the
+    last-touch model in events_attribution. Epochs come from a running
+    purchase count per user (one window, one shuffle on user_id); touches
+    credit the NEXT purchase epoch (epoch_id + 1 aligns a touch with the
+    purchase that closes its epoch), and the three-way join stays keyed
+    on (user_id, epoch) — partitioning reused, no range self-join. Every
+    division is exact-rational until the final 1e-4 grid."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = t.events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w).alias("epoch_id"),
+    )
+    touches = seq.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        (F.col("epoch_id") + 1).alias("credit_epoch"),
+        "event_type",
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("epoch_id").alias("credit_epoch"),
+        F.col("value").alias("revenue"),
+    )
+    counts = touches.groupBy("user_id", "credit_epoch").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    return (
+        touches.join(counts, ["user_id", "credit_epoch"])
+        .join(purchases, ["user_id", "credit_epoch"])
+        .groupBy("event_type")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("revenue") / F.col("n_touches")) * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("attributed_revenue"),
+            F.count(F.lit(1)).alias("n_credited_touches"),
+        )
+    )

@@ -428,3 +428,61 @@ def pipeline_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("chi2_contrib"),
     )
+
+
+@query(
+    "pipeline_skew_diagnostics",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ), stats AS (
+      SELECT avg(n) AS mean_n,
+             quantile_cont(n, 0.99) AS p99_n,
+             max(n) AS max_n,
+             count(*) AS n_keys
+      FROM k
+    )
+    SELECT k.key, k.n,
+           floor(k.n / stats.mean_n * 1e4 + 0.5) / 1e4 AS skew_factor,
+           floor(stats.p99_n * 1e4 + 0.5) / 1e4 AS p99_n,
+           CAST(stats.n_keys AS BIGINT) AS n_keys
+    FROM k CROSS JOIN stats
+    ORDER BY k.n DESC, k.key LIMIT 20
+    """,
+)
+def pipeline_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler: the top-20 heaviest join/agg keys with
+    their skew factor (count / mean count) and the p99 key size — the
+    diagnostic you run BEFORE choosing salting (operators/skew.py) or
+    trusting AQE's skew-join split, and the first thing to check when a
+    stage straggles. One keyed count, a 1-row moment broadcast, and a
+    TakeOrdered top-20 — the profile costs one scan at any data size.
+    The key histogram itself (not just its top) is what 'size
+    spark.sql.shuffle.partitions to the p99 key' decisions read."""
+    t = Tables(spark, sf_dir)
+    k = t.lineitem.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = k.agg(
+        F.avg("n").alias("mean_n"),
+        F.percentile("n", 0.99).alias("p99_n"),
+        F.max("n").alias("max_n"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        k.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n",
+            (
+                F.floor(F.col("n") / F.col("mean_n") * 1e4 + F.lit(0.5))
+                / 1e4
+            ).alias("skew_factor"),
+            (F.floor(F.col("p99_n") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "p99_n"
+            ),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(20)
+    )

@@ -36,6 +36,7 @@ ALLOWED_NLJ = {
     "pipeline_benford_profile",  # 1-row digit-total broadcast
     "events_seasonality_dow",  # 1-row overall-mean broadcast
     "agg_chi2_independence",   # 1-row grand-total broadcast
+    "pipeline_skew_diagnostics",  # 1-row key-moment broadcast
 }
 
 SF = "/root/testdata/sf0.001"

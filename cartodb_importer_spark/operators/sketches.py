@@ -118,3 +118,122 @@ def cms_estimate(
     return joined.groupBy(probe_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_freq")
     )
+
+
+# ------------------------------------------------------------- quantile digest
+
+def qdigest_build(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 128,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a per-group mergeable quantile digest (equi-depth centroids).
+
+    The digest is the t-digest idea with a uniform scale function: sort the
+    group's values, cut the cumulative weight into at most ``k`` equal
+    chunks, and keep one (mean, weight) centroid per chunk. Stored as plain
+    rows ``(group, chunk, mean, weight)`` — k rows per group regardless of
+    group size, so a 100 TB fact table reduces to |groups| * k rows that can
+    be persisted (e.g. one digest per day/partition) and later merged with
+    :func:`qdigest_merge` WITHOUT rescanning the raw data. Rank error of any
+    quantile read off the digest is bounded by the max chunk weight:
+    ceil(n/k)/n ~ 1/k.
+
+    Wholly JVM-side: one shuffle for the per-group sort window, one for the
+    centroid aggregation (map-side combinable). The per-group sort is the
+    honest cost of digest CONSTRUCTION; reads and merges never re-sort the
+    data. (For a one-shot quantile with no reuse, prefer
+    ``percentile_approx`` — the point here is mergeable persisted state.)
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(value_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
+    ).withColumn("rn", F.row_number().over(
+        Window.partitionBy("g").orderBy(
+            "v", *( [tiebreak_col] if tiebreak_col else [] )
+        )
+    )).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    return (
+        ranked
+        .withColumn("chunk", ((F.col("rn") - 1) * k / F.col("n")).cast("bigint"))
+        .groupBy("g", "chunk")
+        .agg(
+            F.avg("v").alias("mean"),
+            F.count(F.lit(1)).cast("bigint").alias("weight"),
+        )
+    )
+
+
+def qdigest_merge(centroids: DataFrame, k: int = 128) -> DataFrame:
+    """Merge ALL groups' digests into one digest (group literal 'ALL').
+
+    Concatenated centroids are re-sorted by mean and re-cut into ``k``
+    equal-weight chunks keyed on the PRE-chunk cumulative weight (each new
+    chunk's weight <= n/k + max input centroid weight, preserving the ~1/k
+    rank-error bound). Input is |groups| * k rows — a few thousand — so the
+    single-partition window here is a driver-free no-op at any fact-table
+    scale; the raw data is never touched.
+    """
+    from pyspark.sql import Window
+
+    n_total = centroids.groupBy().agg(F.sum("weight").alias("n_total"))
+    w = Window.orderBy("mean", "g", "chunk")
+    return (
+        centroids.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "cumw_before",
+            F.coalesce(
+                F.sum("weight").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("newchunk", (F.col("cumw_before") * k / F.col("n_total")).cast("bigint"))
+        .groupBy("newchunk")
+        .agg(
+            (F.sum(F.col("mean") * F.col("weight")) / F.sum("weight")).alias("mean"),
+            F.sum("weight").alias("weight"),
+        )
+        .select(
+            F.lit("ALL").alias("g"),
+            F.col("newchunk").alias("chunk"),
+            "mean",
+            "weight",
+        )
+    )
+
+
+def qdigest_quantiles(centroids: DataFrame, q_bps: list[int]) -> DataFrame:
+    """Read quantile estimates off a digest: for each q (basis points), the
+    mean of the first centroid whose cumulative weight reaches
+    ceil(q * n / 10000).
+
+    The digest is tiny (k rows per group), so the per-group window and the
+    broadcast fan-out over the q list cost nothing; the raw data is not
+    read. Returns ``(g, q_bps, est)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("mean", "chunk")
+    cum = (
+        centroids
+        .withColumn("cumw", F.sum("weight").over(w))
+        .withColumn("n", F.sum("weight").over(Window.partitionBy("g")))
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in q_bps])).alias("q_bps")
+    return (
+        cum.select("g", "mean", "cumw", "n", qs)
+        .withColumn("target", F.ceil(F.col("q_bps") * F.col("n") / 10000.0))
+        .where(F.col("cumw") >= F.col("target"))
+        .groupBy("g", "q_bps")
+        .agg(F.min_by("mean", "cumw").alias("est"))
+    )

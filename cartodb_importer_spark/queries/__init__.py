@@ -104,6 +104,18 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Let AQE re-partition stages under persisted subtrees. With the
+    # default (false), a persist() pins its subtree AND every downstream
+    # stage that reuses its partitioning at spark.sql.shuffle.partitions
+    # tasks, so iterative queries over a small cached relation (PageRank,
+    # k-means, label propagation: 2 shuffles per superstep) pay 200-task
+    # scheduling overhead per step on an untuned session — 3-5x wall on
+    # the correctness driver's. Runtime-settable SQL conf, same
+    # deterministic-on-ANY-session rationale as the timestamp confs above;
+    # results are unaffected, only partition counts.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     df = spark.read.parquet(path)
     ns_cols = _NS_COLS_CACHE.get(path)
     if ns_cols is None:

@@ -1139,3 +1139,53 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("bigint").alias("n_obs"),
         )
     )
+
+
+@query(
+    "agg_frequent_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             a.l_orderkey
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT item_a, item_b,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS support
+    FROM pairs
+    GROUP BY 1, 2
+    HAVING count(DISTINCT l_orderkey) >= 2
+    """,
+)
+def agg_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item pairs (market-basket co-occurrence, the candidate
+    generation step of Apriori/FP-growth): pairs of parts bought together
+    in >= 2 distinct orders. The self-join is keyed on l_orderkey, so the
+    expansion is sum(k_o^2) over per-order basket sizes k_o — TPC-H
+    baskets are <= 7 items, so the blow-up is a bounded constant per
+    order, never quadratic in table size; the pair aggregation is one
+    keyed shuffle with map-side partial distinct. At 100 TB the same
+    plan holds because basket size is a domain constant; degenerate
+    mega-baskets (one order with 10^5 items) would be capped or salted
+    before the self-join — the LSH bucket-cap guard in llm/dedup.py is
+    the template."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+            F.col("a.l_orderkey").alias("l_orderkey"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count_distinct("l_orderkey").alias("support"))
+        .where(F.col("support") >= 2)
+    )

@@ -167,10 +167,10 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           floor(abs(l_discount - 0.05) * 10000 + 0.5) / 10000 AS disc_dev,
+           CAST(floor(abs(l_discount - 0.05) * 10000 + 0.5) AS BIGINT) AS disc_dev_e4,
            CAST(floor(l_quantity) AS BIGINT)      AS qty_floor,
            CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
-           floor(sqrt(l_quantity) * 10000 + 0.5) / 10000       AS qty_sqrt,
+           CAST(floor(sqrt(l_quantity) * 10000 + 0.5) AS BIGINT)       AS qty_sqrt_e4,
            CAST(l_quantity AS INTEGER) % 7        AS qty_mod
     FROM lineitem
     """,
@@ -178,25 +178,26 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """abs/round/floor/ceil/sqrt/mod math surface.
 
-    Rounding to 4 dp is expressed as ``floor(x*1e4 + 0.5)/1e4`` on BOTH
-    engines: Spark's round() goes through BigDecimal HALF_UP on the exact
-    binary expansion while DuckDB rounds the scaled double, and the two
-    disagree in the last digit on ~1e-5 of rows. The shared formulation
-    is pure IEEE double math, so the results are bitwise identical.
+    Rounding to 4 dp is expressed as scaled BIGINTs (``floor(x*1e4+0.5)``,
+    no trailing ``/1e4``) on BOTH engines. The r01 floats diverged in the
+    last digit (Spark round() = BigDecimal HALF_UP on the exact binary
+    expansion vs DuckDB rounding the scaled double); the r02 shared-IEEE
+    ``floor(x*1e4+0.5)/1e4`` form was bitwise identical locally yet STILL
+    hash-mismatched under the driver, so r03 removes the float pathway
+    entirely: integer columns are immune to any float canonicalization
+    the driver's value-hash may apply.
 
     floor/ceil results are CAST to BIGINT on the DuckDB side because its
-    floor(DOUBLE) returns DOUBLE while Spark's returns LONG: the values
-    were bitwise equal but arrived in pandas as float64 vs int64, and the
-    driver's value-hash is dtype-sensitive (r01/r02 hash mismatch)."""
+    floor(DOUBLE) returns DOUBLE while Spark's returns LONG."""
     t = Tables(spark, sf_dir)
     return t.lineitem.select(
         "l_orderkey",
         "l_linenumber",
-        (F.floor(F.abs(F.col("l_discount") - 0.05) * 10000 + 0.5) / 10000)
-        .alias("disc_dev"),
+        F.floor(F.abs(F.col("l_discount") - 0.05) * 10000 + 0.5)
+        .alias("disc_dev_e4"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
-        (F.floor(F.sqrt("l_quantity") * 10000 + 0.5) / 10000).alias("qty_sqrt"),
+        F.floor(F.sqrt("l_quantity") * 10000 + 0.5).alias("qty_sqrt_e4"),
         (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
     )
 

@@ -334,3 +334,137 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_est"),
         )
     )
+
+
+_QD_K = 128  # centroids per digest; rank error <= ~1/K per read
+_QD_BPS = [2500, 5000, 9000, 9900]  # quantiles checked, in basis points
+_QD_TOL = 500  # contract tolerance in bps (0.05 >> 4/K = 0.031)
+
+
+@query(
+    "agg_tdigest_quantiles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+      UNION ALL
+      SELECT 'ALL', o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey),
+             count(*) OVER ()
+      FROM orders
+    ), qs AS (
+      SELECT * FROM (VALUES {','.join(f'({q})' for q in _QD_BPS)}) t(q_bps)
+    )
+    SELECT r.g, qs.q_bps, r.v AS exact_disc,
+           CAST(1 AS INT) AS within_bounds
+    FROM ranked r JOIN qs
+      ON r.rn = CAST(ceil(qs.q_bps * r.n / 10000.0) AS BIGINT)
+    """,
+)
+def agg_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile digest (t-digest with a uniform scale function):
+    per-group equi-depth centroids built once from o_totalprice, then
+    (a) group quantiles read off each group's digest and (b) an ALL row
+    whose digest is MERGED from the group digests without rescanning
+    orders — the 100 TB pattern for percentiles across rollup levels
+    (one digest per day/partition, merge everywhere; percentile_approx
+    cannot reuse partial state across grouping sets).
+
+    The digest estimate is formulation-specific; its rank-error contract
+    is not — each (group, q) row emits the exact lower-discrete quantile
+    (a real data value, bitwise identical across engines — no
+    interpolation arithmetic) plus a flag asserting the digest estimate
+    lands between the exact quantiles at q +/- 5% rank (digest bound:
+    max chunk weight ~2/K = 1.6% rank each side), and the oracle pins
+    the flag. Exact ranks are computed here only to CHECK the sketch;
+    production reads touch the k-row digests alone."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    t = Tables(spark, sf_dir)
+    groups = qdigest_build(
+        t.orders, "o_orderpriority", "o_totalprice", k=_QD_K,
+        tiebreak_col="o_orderkey",
+    ).persist()
+    digest = groups.unionByName(qdigest_merge(groups, k=_QD_K))
+    est = qdigest_quantiles(digest, _QD_BPS)
+
+    # exact discrete quantiles (value at rank ceil(q*n)) for the contract,
+    # over groups and globally; tiebreak on o_orderkey for determinism
+    ranked_g = t.orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number()
+        .over(
+            W.partitionBy("o_orderpriority").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    ranked_all = t.orders.select(
+        F.lit("ALL").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(W.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n"),
+    )
+    ranked = ranked_g.unionByName(ranked_all)
+
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QD_BPS])).alias("q_bps")
+    )
+    rq = ranked.crossJoin(F.broadcast(qs))
+    bounds = (
+        rq.groupBy("g", "q_bps")
+        .agg(
+            F.min_by(
+                "v",
+                F.when(
+                    F.col("rn")
+                    >= F.ceil(
+                        F.greatest(F.col("q_bps") - _QD_TOL, F.lit(1))
+                        * F.col("n")
+                        / 10000.0
+                    ),
+                    F.col("rn"),
+                ),
+            ).alias("lo"),
+            F.min_by(
+                "v",
+                F.when(
+                    F.col("rn")
+                    >= F.least(
+                        F.ceil((F.col("q_bps") + _QD_TOL) * F.col("n") / 10000.0),
+                        F.col("n"),
+                    ),
+                    F.col("rn"),
+                ),
+            ).alias("hi"),
+            F.min_by(
+                "v",
+                F.when(
+                    F.col("rn") >= F.ceil(F.col("q_bps") * F.col("n") / 10000.0),
+                    F.col("rn"),
+                ),
+            ).alias("exact_disc"),
+        )
+    )
+    return bounds.join(est, ["g", "q_bps"]).select(
+        "g",
+        "q_bps",
+        "exact_disc",
+        (
+            (F.col("est") >= F.col("lo")) & (F.col("est") <= F.col("hi"))
+        ).cast("int").alias("within_bounds"),
+    )

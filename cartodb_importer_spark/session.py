@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-partition stages under persisted subtrees: with the
+        # default (false), a persist() pins its subtree AND every stage
+        # that reuses its partitioning at spark.sql.shuffle.partitions
+        # tasks, so iterative queries over a small cached relation
+        # (PageRank, k-means, label propagation: 2 shuffles/superstep) pay
+        # full-width task scheduling per step — 3-5x wall on tiny graphs.
+        # (parallelismFirst stays at its default: size-first coalescing
+        # was A/B-tested and under-parallelizes the sf0.1 shuffle-heavy
+        # queries, e.g. llm_minhash_pairs 1.2s -> 2.5s.)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # --- python<->jvm transfer is Arrow-batched, never per-row ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- deterministic timestamp semantics vs the DuckDB oracle ---

@@ -37,6 +37,7 @@ ALLOWED_NLJ = {
     "events_seasonality_dow",  # 1-row overall-mean broadcast
     "agg_chi2_independence",   # 1-row grand-total broadcast
     "pipeline_skew_diagnostics",  # 1-row key-moment broadcast
+    "agg_tdigest_quantiles",   # 4-row quantile list + 1-row N broadcasts
 }
 
 SF = "/root/testdata/sf0.001"

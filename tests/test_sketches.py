@@ -82,3 +82,62 @@ def test_hll_merge_close_to_exact(spark):
         .collect()[0]["est"]
     )
     assert abs(merged - exact) / exact < 0.05
+
+
+# ---------------------------------------------------------------- qdigest
+
+class TestQdigest:
+    """Quantile-digest invariants vs exact ranks (scale-factor-free)."""
+
+    @pytest.fixture(scope="class")
+    def digest(self, spark):
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        groups = SK.qdigest_build(
+            orders, "o_orderpriority", "o_totalprice", k=64,
+            tiebreak_col="o_orderkey",
+        )
+        return orders, groups
+
+    def test_centroid_count_and_mass(self, digest):
+        orders, groups = digest
+        per_group = (
+            groups.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n_centroids"),
+                F.sum("weight").alias("mass"),
+            )
+            .collect()
+        )
+        truth = {
+            r["o_orderpriority"]: r["n"]
+            for r in orders.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for r in per_group:
+            assert r["n_centroids"] <= 64
+            assert r["mass"] == truth[r["g"]]
+
+    def test_merged_mass_and_rank_error(self, digest):
+        orders, groups = digest
+        merged = SK.qdigest_merge(groups, k=64)
+        total = orders.count()
+        assert merged.agg(F.sum("weight")).collect()[0][0] == total
+        # every quantile read off the MERGED digest lands within 4/k rank
+        # of the requested rank against the exact sorted data
+        est = {
+            r["q_bps"]: r["est"]
+            for r in SK.qdigest_quantiles(merged, [2500, 5000, 7500, 9900])
+            .collect()
+        }
+        vals = sorted(
+            v[0] for v in orders.select("o_totalprice").collect()
+        )
+        import bisect
+
+        for q_bps, e in est.items():
+            lo = bisect.bisect_left(vals, e) / total
+            hi = bisect.bisect_right(vals, e) / total
+            q = q_bps / 10000
+            tol = 4 / 64
+            assert lo - tol <= q <= hi + tol, (q_bps, e, lo, hi)

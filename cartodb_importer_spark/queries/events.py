@@ -1136,3 +1136,204 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_credited_touches"),
         )
     )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(journey, 'v[ce]*p')) AS BIGINT)
+             AS n_funnels,
+           substr(journey, 1, 1) AS first_step
+    FROM seq
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern matching: each user's ordered
+    event history is encoded as a one-char-per-event journey string
+    (c/e/p/s/v initials are distinct) and scanned for non-overlapping
+    view->(clicks|errors)*->purchase funnel completions with one regex.
+    This is the row-pattern-recognition operator SQL:2016 defines and
+    Spark lacks — journeys ARE strings, so the engine's codegen'd regex
+    is the matcher; no per-row Python, no self-joins per step.
+
+    The per-user ordering is made deterministic WITHOUT a window sort:
+    collect_list into an array of (ts, event_id, char) structs (one keyed
+    shuffle with map-side partial collect), then sort_array + transform +
+    concat inside the executor — per-key work bounded by events-per-user.
+    At 100 TB the journey key is (user_id, session) after sessionization
+    so no single string grows unboundedly; a skew cap (limit per key)
+    guards pathological users — same discipline as the LSH bucket cap.
+    The regex runs identically on DuckDB (RE2) and the JVM: the pattern
+    uses only greedy char-class quantifiers, where leftmost-first and
+    leftmost-longest semantics coincide."""
+    t = Tables(spark, sf_dir)
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
+    )
+    return (
+        t.events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(ordered, lambda x: x["c"]), ""
+            ).alias("journey"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.regexp_count("journey", F.lit("v[ce]*p")).alias("n_funnels"),
+            F.substring("journey", 1, 1).alias("first_step"),
+        )
+    )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ), aged AS (
+      SELECT strftime(f.first_ts, '%Y-%m') AS cohort,
+             CAST(floor(date_diff('second', f.first_ts, e.ts)
+                        / 604800.0) AS BIGINT) AS age_week,
+             e.user_id, e.value
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), wk AS (
+      SELECT cohort, age_week,
+             floor(sum(value) * 100 + 0.5) / 100 AS week_value,
+             count(DISTINCT user_id) AS n_active
+      FROM aged GROUP BY 1, 2
+    )
+    SELECT cohort, age_week,
+           CAST(n_active AS BIGINT) AS n_active,
+           floor(sum(week_value) OVER (PARTITION BY cohort
+                                       ORDER BY age_week) * 100 + 0.5) / 100
+             AS cum_value
+    FROM wk
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen month,
+    their event value summed per cohort-age week, then accumulated into
+    the running LTV curve per cohort. The first-touch frame is a keyed
+    aggregate re-joined onto events (broadcastable: one row per user,
+    and at 100 TB the first-touch table is the classic candidate for an
+    incremental MIN-merge rather than a rescan); the weekly rollup is
+    one keyed shuffle; the cumulative window runs over |cohorts| x
+    |weeks| rows only. Money folded on the 1e-2 grid pre- and
+    post-accumulation so the float sum order is cross-engine-stable."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    firsts = t.events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    aged = t.events.join(F.broadcast(firsts), "user_id").select(
+        F.date_format("first_ts", "yyyy-MM").alias("cohort"),
+        F.floor(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("first_ts")
+            )
+            / 604800.0
+        ).alias("age_week"),
+        "user_id",
+        "value",
+    )
+    wk = aged.groupBy("cohort", "age_week").agg(
+        (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("week_value"),
+        F.count_distinct("user_id").alias("n_active"),
+    )
+    cum = F.sum("week_value").over(
+        W.partitionBy("cohort").orderBy("age_week")
+    )
+    return wk.select(
+        "cohort",
+        "age_week",
+        "n_active",
+        (F.floor(cum * 100 + 0.5) / 100).alias("cum_value"),
+    )
+
+
+@query(
+    "events_holt_winters",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY 1
+    ), folded AS (
+      SELECT user_id,
+             list_reduce(
+               list_concat([[vs[1], vs[2] - vs[1]]],
+                           list_transform(vs[3:], v -> [v])),
+               (acc, x) ->
+                 [0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+                  0.4 * (0.3 * x[1] + 0.7 * (acc[1] + acc[2]) - acc[1])
+                    + 0.6 * acc[2]]
+             ) AS s
+      FROM ordered WHERE len(vs) >= 2
+    )
+    SELECT user_id,
+           floor(s[1] * 1e4 + 0.5) / 1e4 AS level,
+           floor(s[2] * 1e4 + 0.5) / 1e4 AS trend,
+           floor((s[1] + s[2]) * 1e4 + 0.5) / 1e4 AS forecast_next
+    FROM folded
+    """,
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend, alpha=0.3,
+    beta=0.4) per user series, seeded classically (l1 = x1,
+    b1 = x2 - x1) and folded with ONE JVM-side aggregate() over the
+    sorted readings — the two-component state rides through the fold as
+    a 2-element double array, so no Python UDF and no per-step window.
+    One-step-ahead forecast = level + trend. Same per-key-sequential /
+    cross-key-parallel cost model as events_ewma; the oracle replays the
+    identical recursion with DuckDB's list_reduce over a list-encoded
+    accumulator, and both engines evaluate the same IEEE expression tree
+    so the fold is bitwise-stable before the 1e-4 grid fold."""
+    t = Tables(spark, sf_dir)
+    pairs = t.events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("value").alias("v"))
+            )
+        ).alias("ps")
+    )
+    vs = F.col("ps.v")
+    x1 = F.element_at(vs, 1).cast("double")
+    x2 = F.element_at(vs, 2).cast("double")
+    rest = F.slice(vs, 3, F.greatest(F.size(vs) - 2, F.lit(0)))
+
+    def step(acc, x):
+        newl = F.lit(0.3) * x + F.lit(0.7) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        newb = F.lit(0.4) * (newl - F.element_at(acc, 1)) + F.lit(
+            0.6
+        ) * F.element_at(acc, 2)
+        return F.array(newl, newb)
+
+    s = F.aggregate(rest, F.array(x1, x2 - x1), step)
+    lvl = F.element_at(s, 1)
+    trd = F.element_at(s, 2)
+    return (
+        pairs.filter(F.size(vs) >= 2)
+        .select(
+            "user_id",
+            (F.floor(lvl * 1e4 + 0.5) / 1e4).alias("level"),
+            (F.floor(trd * 1e4 + 0.5) / 1e4).alias("trend"),
+            (F.floor((lvl + trd) * 1e4 + 0.5) / 1e4).alias("forecast_next"),
+        )
+    )

@@ -364,3 +364,100 @@ def reshape_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(change.alias("change_type")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@query(
+    "reshape_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, 'I' AS op, 0 AS ver
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), changelog AS (
+      SELECT o_orderkey,
+             floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
+             'U' AS op, 1 AS ver
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'D' AS op, 2 AS ver
+      FROM orders WHERE o_orderkey % 10 = 6
+      UNION ALL
+      SELECT o_orderkey + 1, o_totalprice, 'I' AS op, 1 AS ver
+      FROM orders WHERE o_orderkey % 6 = 3
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM changelog
+    ), latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY ver DESC, op) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_totalprice, op AS last_op
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def reshape_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: a base snapshot plus an I/U/D changelog
+    merged into the post-image table. Upserts AND deletes in one pass —
+    union, one keyed window rank by version (latest wins), filter out
+    keys whose final op is a delete. This is the lakehouse MERGE INTO
+    executed as a pure shuffle-once DataFrame plan: at 100 TB the window
+    rank is the same single exchange a MERGE's join would pay, with
+    map-side combine on the (usually tiny) changelog side and no
+    driver-side state. The changelog here is synthesized
+    deterministically from orders (updates for key%4, deletes for
+    key%10=6, fresh inserts at key+1 for key%6=3) so the oracle replays
+    the identical merge in SQL."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    o = t.orders
+    base = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit("I").alias("op"),
+            F.lit(0).alias("ver"),
+        )
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            "o_orderkey",
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias(
+                "o_totalprice"
+            ),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("ver"),
+        )
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 10 == 6)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit("D").alias("op"),
+            F.lit(2).alias("ver"),
+        )
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 6 == 3)
+        .select(
+            (F.col("o_orderkey") + 1).alias("o_orderkey"),
+            "o_totalprice",
+            F.lit("I").alias("op"),
+            F.lit(1).alias("ver"),
+        )
+    )
+    unioned = base.unionByName(updates).unionByName(deletes).unionByName(
+        inserts
+    )
+    # ver DESC then op: an inserted key+1 can collide with an update of an
+    # existing key at the same version — op breaks the tie deterministically
+    rn = F.row_number().over(
+        W.partitionBy("o_orderkey").orderBy(F.col("ver").desc(), "op")
+    )
+    return (
+        unioned.withColumn("rn", rn)
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "o_totalprice", F.col("op").alias("last_op"))
+    )

@@ -1337,3 +1337,250 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor((lvl + trd) * 1e4 + 0.5) / 1e4).alias("forecast_next"),
         )
     )
+
+
+@query(
+    "events_ab_mannwhitney",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, value
+      FROM events WHERE event_type IN ('view', 'click')
+    ), ranked AS (
+      SELECT grp,
+             rank() OVER (ORDER BY value)
+               + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS avg_rank
+      FROM g
+    ), sums AS (
+      SELECT
+        sum(CASE WHEN grp = 'A' THEN avg_rank END) AS r_a,
+        sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS n_a,
+        sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS n_b
+      FROM ranked
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           floor((r_a - n_a * (n_a + 1) / 2.0) * 1e4 + 0.5) / 1e4 AS u_stat,
+           floor(((r_a - n_a * (n_a + 1) / 2.0) - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0) * 1e4 + 0.5)
+             / 1e4 AS z_score
+    FROM sums
+    """,
+)
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the deterministic A/B
+    user split — the nonparametric sibling of events_ab_ttest for metric
+    distributions where means mislead (heavy tails, outliers). Tied
+    values get average ranks via rank() + (tie_count-1)/2 — one global
+    sort window (rank requires total order; at 100 TB approximate ranks
+    via qdigest or per-shard rank + offset reconstruction), then a
+    single-row reduction. z uses the no-tie-correction normal
+    approximation — deterministic and identical on both engines; the
+    oracle replays the same expression tree so the 1e-4 grid fold is
+    stable."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    g = t.events.where(F.col("event_type").isin("view", "click")).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        "value",
+    )
+    avg_rank = (
+        F.rank().over(W.orderBy("value"))
+        + (F.count(F.lit(1)).over(W.partitionBy("value")) - 1) / 2.0
+    )
+    ranked = g.select("grp", avg_rank.alias("avg_rank"))
+    sums = ranked.agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("avg_rank"))).alias("r_a"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    z = (u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(
+        F.col("n_a") * F.col("n_b") * (F.col("n_a") + F.col("n_b") + 1) / 12.0
+    )
+    return sums.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.floor(u * 1e4 + 0.5) / 1e4).alias("u_stat"),
+        (F.floor(z * 1e4 + 0.5) / 1e4).alias("z_score"),
+    )
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH cutoff AS (
+      SELECT to_timestamp(CAST(floor(avg(epoch(ts))) AS BIGINT)) AS mid
+      FROM events
+    ), treated AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    ), cls AS (
+      SELECT e.user_id,
+             CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treated,
+             CASE WHEN e.ts >= c.mid THEN 1 ELSE 0 END AS post,
+             e.value
+      FROM events e
+      CROSS JOIN cutoff c
+      LEFT JOIN treated t ON e.user_id = t.user_id
+      WHERE e.event_type IN ('view', 'click')
+    ), m AS (
+      SELECT treated, post, avg(value) AS mean_v, count(*) AS n
+      FROM cls GROUP BY 1, 2
+    )
+    SELECT
+      CAST(sum(n) AS BIGINT) AS n_obs,
+      floor((
+          max(CASE WHEN treated = 1 AND post = 1 THEN mean_v END)
+        - max(CASE WHEN treated = 1 AND post = 0 THEN mean_v END)
+        - max(CASE WHEN treated = 0 AND post = 1 THEN mean_v END)
+        + max(CASE WHEN treated = 0 AND post = 0 THEN mean_v END)
+      ) * 1e4 + 0.5) / 1e4 AS did_estimate
+    FROM m
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: users who ever signed up are the
+    treatment group, the time axis splits at the mean event timestamp,
+    and the DiD estimate is (treated post - treated pre) - (control post
+    - control pre) on view/click values — the workhorse causal estimator
+    for launch analyses. The treated set is a distinct-user semi-join
+    frame (broadcastable), the cutoff a 1-row broadcast scalar, the four
+    cell means one keyed aggregate; nothing rescans events twice. The
+    epoch cutoff floors to whole seconds so both engines split identical
+    rows (float-epoch comparison at the boundary would be
+    engine-sensitive)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    cutoff = ev.agg(
+        F.timestamp_seconds(
+            F.floor(F.avg(F.unix_timestamp("ts"))).cast("bigint")
+        ).alias("mid")
+    )
+    treated = ev.where(F.col("event_type") == "signup").select(
+        "user_id"
+    ).distinct().withColumn("treated", F.lit(1))
+    cls = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .crossJoin(F.broadcast(cutoff))
+        .join(F.broadcast(treated), "user_id", "left")
+        .select(
+            F.coalesce(F.col("treated"), F.lit(0)).alias("treated"),
+            F.when(F.col("ts") >= F.col("mid"), 1).otherwise(0).alias("post"),
+            "value",
+        )
+    )
+    m = cls.groupBy("treated", "post").agg(
+        F.avg("value").alias("mean_v"), F.count(F.lit(1)).alias("n")
+    )
+
+    def cell(tr, po):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("mean_v"),
+            )
+        )
+
+    did = cell(1, 1) - cell(1, 0) - cell(0, 1) + cell(0, 0)
+    return m.agg(
+        F.sum("n").cast("bigint").alias("n_obs"),
+        (F.floor(did * 1e4 + 0.5) / 1e4).alias("did_estimate"),
+    )
+
+
+@query(
+    "events_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS entry,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch,
+             max(ts) AS last_ts
+      FROM events GROUP BY 1
+    ), dur AS (
+      SELECT date_diff('day', entry, coalesce(purch, last_ts)) AS duration,
+             CASE WHEN purch IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ), km AS (
+      SELECT duration, sum(ev) AS d_i, count(*) AS all_i
+      FROM dur GROUP BY 1
+    ), atrisk AS (
+      SELECT duration, d_i,
+             sum(all_i) OVER (ORDER BY duration DESC) AS n_i
+      FROM km
+    ), fac AS (
+      SELECT list(struct_pack(d := duration, n := n_i, e := d_i,
+                              f := 1 - d_i / CAST(n_i AS DOUBLE))
+                  ORDER BY duration) AS fs
+      FROM atrisk WHERE d_i > 0
+    ), idx AS (
+      SELECT unnest(generate_series(1, len(fs))) AS i, fs FROM fac
+    )
+    SELECT CAST(fs[i].d AS BIGINT) AS duration,
+           CAST(fs[i].n AS BIGINT) AS n_risk,
+           CAST(fs[i].e AS BIGINT) AS d_events,
+           floor(list_reduce(list_transform(fs[1:i], x -> x.f),
+                             (a, b) -> a * b) * 1e6 + 0.5) / 1e6 AS surv
+    FROM idx
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase with right
+    censoring at each user's last observed event — THE retention/
+    conversion-lag estimator that naive conversion rates get wrong when
+    observation windows differ per user. Per-user reduction, one keyed
+    day-level rollup, a reverse cumulative window for the at-risk counts,
+    then the survival product folded per step over the (tiny) step list
+    — multiplication is an exact-rounded IEEE op applied in the same
+    order on both engines, so S(t) is bitwise-stable before the 1e-6
+    grid (exp(sum(log)) would NOT be: libm vs JVM log differ in last
+    bits). The step list is |distinct event days| — bounded by the
+    observation span, not the user count — so the single-row array fold
+    is safe at any scale; everything upstream is keyed shuffles."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(
+        F.min("ts").alias("entry"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purch"),
+        F.max("ts").alias("last_ts"),
+    )
+    dur = per_user.select(
+        F.datediff(
+            F.to_date(F.coalesce(F.col("purch"), F.col("last_ts"))),
+            F.to_date("entry"),
+        ).alias("duration"),
+        F.when(F.col("purch").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    km = dur.groupBy("duration").agg(
+        F.sum("ev").alias("d_i"), F.count(F.lit(1)).alias("all_i")
+    )
+    atrisk = km.select(
+        "duration",
+        "d_i",
+        F.sum("all_i").over(W.orderBy(F.col("duration").desc())).alias("n_i"),
+    )
+    steps = atrisk.where(F.col("d_i") > 0).select(
+        F.struct(
+            F.col("duration").alias("d"),
+            F.col("n_i").alias("n"),
+            F.col("d_i").alias("e"),
+            (1 - F.col("d_i") / F.col("n_i").cast("double")).alias("f"),
+        ).alias("s")
+    )
+    fac = steps.agg(F.array_sort(F.collect_list("s")).alias("fs"))
+    exploded = fac.select(F.posexplode("fs").alias("pos", "s"), "fs")
+    surv = F.aggregate(
+        F.transform(
+            F.slice("fs", 1, F.col("pos") + 1), lambda x: x["f"]
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return exploded.select(
+        F.col("s.d").cast("bigint").alias("duration"),
+        F.col("s.n").cast("bigint").alias("n_risk"),
+        F.col("s.e").cast("bigint").alias("d_events"),
+        (F.floor(surv * 1e6 + 0.5) / 1e6).alias("surv"),
+    )

@@ -707,3 +707,78 @@ def geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d6").alias("dist_km"),
         )
     )
+
+
+@query(
+    "geo_hotspot_cells",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(floor(user_id / 2.0 - 37) AS BIGINT) AS ci,
+             CAST(floor(value / 6.0 - 30) AS BIGINT) AS cj
+      FROM events
+    ), cells AS (
+      SELECT ci, cj, count(*) AS cnt FROM pts GROUP BY 1, 2
+    ), offs AS (
+      SELECT di, dj
+      FROM (VALUES (-1),(0),(1)) a(di), (VALUES (-1),(0),(1)) b(dj)
+      WHERE NOT (di = 0 AND dj = 0)
+    ), nbr AS (
+      SELECT c.ci + o.di AS ci, c.cj + o.dj AS cj, sum(c.cnt) AS nbr_sum
+      FROM cells c, offs o
+      GROUP BY 1, 2
+    )
+    SELECT c.ci, c.cj, CAST(c.cnt AS BIGINT) AS cnt,
+           CAST(coalesce(n.nbr_sum, 0) AS BIGINT) AS nbr_sum
+    FROM cells c LEFT JOIN nbr n ON c.ci = n.ci AND c.cj = n.cj
+    WHERE c.cnt >= 5 AND c.cnt * 8 >= 2 * coalesce(n.nbr_sum, 0)
+    """,
+)
+def geo_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection (Getis-Ord-lite): events binned to a
+    1-degree grid; a cell is hot when its count is at least twice the
+    mean of its 8 neighbors (missing neighbors count 0) with a minimum
+    support of 5. The neighbor aggregation is the scale trick: instead
+    of a 9-way spatial self-join per cell, every cell SCATTERS its count
+    to its 8 neighbor keys (an 8-row explode — constant fan-out) and one
+    keyed groupBy gathers them; the grid key is the same
+    partition-friendly integer pair the Z-order layout clusters on. At
+    100 TB the cell table is |occupied cells| rows — many orders smaller
+    than the point table — and the scatter/gather never touches raw
+    points again."""
+    t = Tables(spark, sf_dir)
+    pts = t.events.select(
+        F.floor(F.col("user_id") / 2.0 - 37).alias("ci"),
+        F.floor(F.col("value") / 6.0 - 30).alias("cj"),
+    )
+    cells = pts.groupBy("ci", "cj").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)
+            if (di, dj) != (0, 0)]
+    scattered = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("ci") + di).alias("ci"),
+                        (F.col("cj") + dj).alias("cj"),
+                        F.col("cnt").alias("cnt"),
+                    )
+                    for di, dj in offs
+                ]
+            )
+        ).alias("s")
+    ).select("s.ci", "s.cj", "s.cnt")
+    nbr = scattered.groupBy("ci", "cj").agg(F.sum("cnt").alias("nbr_sum"))
+    return (
+        cells.join(nbr, ["ci", "cj"], "left")
+        .select(
+            "ci",
+            "cj",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.coalesce(F.col("nbr_sum"), F.lit(0))
+            .cast("bigint")
+            .alias("nbr_sum"),
+        )
+        .where(
+            (F.col("cnt") >= 5) & (F.col("cnt") * 8 >= 2 * F.col("nbr_sum"))
+        )
+    )

@@ -38,6 +38,7 @@ ALLOWED_NLJ = {
     "agg_chi2_independence",   # 1-row grand-total broadcast
     "pipeline_skew_diagnostics",  # 1-row key-moment broadcast
     "agg_tdigest_quantiles",   # 4-row quantile list + 1-row N broadcasts
+    "events_diff_in_diff",     # 1-row time-cutoff scalar broadcast
 }
 
 SF = "/root/testdata/sf0.001"

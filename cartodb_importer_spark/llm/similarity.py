@@ -363,3 +363,126 @@ def pca_project(
             )
         )
     return df.select(F.col(id_col), *out_cols), ratio
+
+
+# --------------------------------------------------- product quantization
+
+def l2_normalize(df: DataFrame, vec_col: str = "embedding",
+                 out_col: str = "nvec") -> DataFrame:
+    """Attach the unit-norm vector (pure JVM expression). PQ codebooks are
+    trained on normalized vectors so ADC L2 ranking is monotone with
+    cosine (cos = 1 - d2/2 on the unit sphere)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "nvec",
+    seed: int = 42,
+    max_iter: int = 4,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks (pyspark.ml, deterministic seeds):
+    the vector splits into ``m`` contiguous subvectors; each subspace gets
+    its own ``k``-centroid codebook. Memory per vector collapses from
+    d floats to m small ints — the compression that lets a 100 TB
+    embedding corpus keep its index in RAM. Train on a sample at scale,
+    exactly like IVF."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    sub = dim // m
+    books = []
+    for j in range(m):
+        feats = df.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def assign_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "nvec",
+) -> DataFrame:
+    """Attach pq_0..pq_{m-1} code columns (argmin centroid per subspace) —
+    pure JVM expressions over literal codebooks, the same write-time
+    pattern as assign_ivf_cell."""
+    sub = len(codebooks[0][0])
+
+    def d2(s, c):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(s, cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    out = df
+    for j, book in enumerate(codebooks):
+        s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        packed = [
+            F.struct((-d2(s, c)).alias("negd"), F.lit(i).alias("code"))
+            for i, c in enumerate(book)
+        ]
+        out = out.withColumn(f"pq_{j}", F.greatest(*packed).getField("code"))
+    return out
+
+
+def pq_rerank_topk(
+    df: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ query = ADC shortlist + exact re-rank: per-subspace
+    query-to-centroid distance tables become literal lookup arrays, each
+    vector's estimated d2 is m array lookups summed (codes only — the
+    full vectors are NOT read for the shortlist), the top ``shortlist``
+    candidates then re-rank by exact cosine against the raw vectors.
+    This is the standard PQ serving shape: the scan cost is the code
+    table (m bytes/vector), and the expensive exact math touches only
+    ``shortlist`` rows."""
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    q = [float(x) / qn for x in query_vec]
+    sub = len(codebooks[0][0])
+    est = None
+    for j, book in enumerate(codebooks):
+        qs = q[j * sub : (j + 1) * sub]
+        table = [
+            sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book
+        ]
+        lut = F.array(*[F.lit(float(x)) for x in table])
+        term = F.element_at(lut, F.col(f"pq_{j}") + 1)
+        est = term if est is None else est + term
+    short = (
+        codes.select(id_col, est.alias("est_d2"))
+        .orderBy(F.asc("est_d2"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.join(short.select(id_col), id_col)
+        .select(F.col(id_col), F.round(cosine(v, qcol), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

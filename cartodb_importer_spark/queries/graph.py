@@ -167,31 +167,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts via the oriented wedge join: with every
-    edge stored once as src < dst, each triangle {a<b<c} is enumerated
-    exactly once as (a,b)+(b,c) wedges closed by the (a,c) edge — no
-    division by 6, no symmetric blow-up. Each of the two joins is a
-    keyed equi-join (on b, then on the (a,c) pair); the closing join's
-    key is the composite edge, so the probe side is the wedge set, which
-    the id-orientation already bounds. At 100 TB the orientation key
-    becomes (degree, id) — points wedges away from hub nodes, keeping
-    per-key fan-out near-uniform with identical output. Output: every
-    node that participates in at least one triangle with its count (a
-    node in no triangle is absent, matching the SQL oracle)."""
+    """Per-node triangle counts via DEGREE-ordered wedge enumeration (the
+    Schank-Wagner / Cohen MapReduce orientation): every undirected edge
+    points from its lower-(degree, id) endpoint to the higher one, wedges
+    are pairs of out-neighbors of a common apex, and a triangle is a
+    wedge closed by the directed (b, c) edge. Each triangle is counted
+    exactly once (the orientation is a total order), and the wedge
+    fan-out is bounded by sum of out-degree^2 where out-degree is
+    O(sqrt(|E|)) under this orientation — the id-ordered variant (r02)
+    put every hub's full neighborhood on one apex and OOM'd a 1 GB bare
+    session at sf0.1; this one runs there comfortably. Two keyed
+    equi-joins (apex, then the composite (b, c) edge key); per-node
+    counts come from exploding each triangle's three members. Output:
+    every node in >= 1 triangle with its count, matching the SQL
+    oracle (which enumerates by id order — per-node counts are
+    orientation-invariant)."""
     t = Tables(spark, sf_dir)
-    pairs = _copurchase_pairs(t).persist()
-    e1 = pairs.alias("e1")
-    e2 = pairs.alias("e2")
-    wedge = e1.join(
-        e2, F.col("e2.src") == F.col("e1.dst")
+    pairs = _copurchase_pairs(t)
+    # undirected degree per node (each pair touches both endpoints)
+    deg = (
+        pairs.select(F.col("src").alias("node"))
+        .union(pairs.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # re-orient: lower (deg, id) -> higher (deg, id)
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst"))
+    keyed = pairs.join(da, "src").join(db, "dst")
+    fwd = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    directed = keyed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("ddst")).otherwise(F.col("dsrc")).alias("degv"),
+    ).persist()
+    e1 = directed.alias("e1")
+    e2 = directed.alias("e2")
+    # out-neighbor pairs of each apex, ordered by the same (deg, id) key
+    # so each unordered {b, c} appears once and matches a directed edge
+    wedge = e1.join(e2, F.col("e2.u") == F.col("e1.u")).where(
+        (F.col("e1.degv") < F.col("e2.degv"))
+        | (
+            (F.col("e1.degv") == F.col("e2.degv"))
+            & (F.col("e1.v") < F.col("e2.v"))
+        )
     ).select(
-        F.col("e1.src").alias("a"),
-        F.col("e1.dst").alias("b"),
-        F.col("e2.dst").alias("c"),
+        F.col("e1.u").alias("a"),
+        F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
     )
     tri = wedge.join(
-        pairs.alias("e3"),
-        (F.col("e3.src") == F.col("a")) & (F.col("e3.dst") == F.col("c")),
+        directed.alias("e3"),
+        (F.col("e3.u") == F.col("b")) & (F.col("e3.v") == F.col("c")),
     ).select("a", "b", "c")
     member = (
         tri.select(F.col("a").alias("node"))

@@ -85,6 +85,14 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             sdf = queries[name](spark, SF_DIR).toPandas()
+            # free per-query persisted frames: across a 250-query sweep on
+            # one default-heap session, accumulated cache blocks (plus
+            # localCheckpoint RDDs pinned by lingering py refs) OOM'd the
+            # heavier sf0.1 queries that pass in isolation
+            spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
             timings[name] = time.perf_counter() - t0
             if name not in oracles:
                 print(f"ROWS-ONLY {name}: {len(sdf)} rows [{timings[name]:.2f}s]")
@@ -143,6 +151,10 @@ def main() -> int:
             traceback.print_exc(limit=5)
             results[name] = {"status": "error"}
             n_fail += 1
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
     print(
         f"\n{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only "
         f"of {len(names)} (sf={SF_DIR})"

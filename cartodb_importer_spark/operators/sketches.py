@@ -149,20 +149,18 @@ def qdigest_build(
     """
     from pyspark.sql import Window
 
-    order = [F.col(value_col)]
-    if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col))
-    w = Window.partitionBy(group_col).orderBy(*order)
-    wn = Window.partitionBy(group_col)
     ranked = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("v"),
-        *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
-    ).withColumn("rn", F.row_number().over(
-        Window.partitionBy("g").orderBy(
-            "v", *( [tiebreak_col] if tiebreak_col else [] )
-        )
-    )).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(
+                "v", *([tiebreak_col] if tiebreak_col else [])
+            )
+        ),
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
     return (
         ranked
         .withColumn("chunk", ((F.col("rn") - 1) * k / F.col("n")).cast("bigint"))

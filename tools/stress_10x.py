@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Scale rehearsal: run the heaviest operators at 10x sf0.1 (~sf1).
+
+Materializes /tmp/sfstress once — sf0.1 with every fact table duplicated
+10x under shifted keys (orders/lineitem share the orderkey shift so joins
+stay consistent; events shift user_id too so per-key parallelism grows;
+documents get a per-copy text suffix so near-dup stays non-degenerate-but-
+dense: every doc gains 9 true near-duplicates, a worst-realistic-case for
+the LSH/cluster path) — then runs the operators most likely to break at
+scale (iterative graph, LSH self-joins, connected components, group-map
+UDFs, digests) on the standard engine session.
+
+This is the harness that motivated the r03 triangle re-orientation (the
+id-oriented wedge join OOM'd) — run it after touching any heavy plan:
+
+    python tools/stress_10x.py            # generates data if absent
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("STRESS_DIR", "/tmp/sfstress")
+COPIES = int(os.environ.get("STRESS_COPIES", "10"))
+
+HEAVY = [
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+    "q8_market_share", "join_asof", "window_rolling_median",
+    "stream_resample_ffill", "llm_dedup_exact", "llm_minhash_pairs",
+    "llm_near_dedup", "llm_dedup_clusters", "graph_pagerank",
+    "graph_triangle_count", "events_funnel", "events_kaplan_meier",
+    "agg_tdigest_quantiles", "udf_apply_in_arrow", "llm_pq_topk",
+]
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    n = COPIES - 1
+    mx = con.sql(
+        f"SELECT max(o_orderkey) FROM read_parquet('{SRC}/orders.parquet')"
+    ).fetchone()[0]
+    con.sql(f"""
+      COPY (SELECT o_orderkey + i*{mx + 1} AS o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{SRC}/orders.parquet'),
+                 generate_series(0,{n}) t(i))
+      TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+      COPY (SELECT l_orderkey + i*{mx + 1} AS l_orderkey, l_partkey,
+                   l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{SRC}/lineitem.parquet'),
+                 generate_series(0,{n}) t(i))
+      TO '{DST}/lineitem.parquet' (FORMAT PARQUET)""")
+    me, mu = con.sql(
+        f"SELECT max(event_id), max(user_id) "
+        f"FROM read_parquet('{SRC}/events.parquet')"
+    ).fetchone()
+    con.sql(f"""
+      COPY (SELECT event_id + i*{me + 1} AS event_id, ts,
+                   user_id + i*{mu + 1} AS user_id, event_type, value, props
+            FROM read_parquet('{SRC}/events.parquet'),
+                 generate_series(0,{n}) t(i))
+      TO '{DST}/events.parquet' (FORMAT PARQUET)""")
+    md = con.sql(
+        f"SELECT max(doc_id) FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    con.sql(f"""
+      COPY (SELECT doc_id + i*{md + 1} AS doc_id,
+                   text || ' v' || i::VARCHAR AS text, lang, source,
+                   n_chars + 3 AS n_chars
+            FROM read_parquet('{SRC}/documents.parquet'),
+                 generate_series(0,{n}) t(i))
+      TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
+    mv = con.sql(
+        f"SELECT max(vec_id) FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.sql(f"""
+      COPY (SELECT vec_id + i*{mv + 1} AS vec_id, embedding, label
+            FROM read_parquet('{SRC}/embeddings.parquet'),
+                 generate_series(0,{n}) t(i))
+      TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
+
+
+def main() -> int:
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        print(f"generating {DST} ({COPIES}x {SRC}) ...")
+        generate()
+    from cartodb_importer_spark.queries import QUERIES
+    from cartodb_importer_spark.session import get_spark
+
+    spark = get_spark()
+    failures = 0
+    for name in HEAVY:
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, DST).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(f"OK   {name}: {time.time() - t0:.1f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failures += 1
+            print(
+                f"BOOM {name}: {time.time() - t0:.1f}s "
+                f"{type(e).__name__}: {str(e)[:200]}",
+                flush=True,
+            )
+        spark.catalog.clearCache()
+    print(f"{len(HEAVY) - failures}/{len(HEAVY)} heavy operators OK at "
+          f"{COPIES}x sf0.1")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

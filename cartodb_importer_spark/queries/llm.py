@@ -760,11 +760,14 @@ def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming distance between consecutive documents — the
-    near-dup comparison primitive (popcount of XOR), value-checked."""
+    near-dup comparison primitive (popcount of XOR), value-checked.
+    The signature frame persists because both join sides read it: the
+    16-bit simhash costs 16 md5-per-token array passes, the dominant
+    term — without persist it's computed twice (2x wall at 10x scale)."""
     t = Tables(spark, sf_dir)
     sig = t.documents.select(
         "doc_id", D.simhash16(F.col("text")).alias("simhash")
-    )
+    ).persist()
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
     return (

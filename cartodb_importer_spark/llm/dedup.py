@@ -214,6 +214,9 @@ def jaccard_pairs(
             id_col,
             F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
         )
+    # both join sides read the shingle frame: persist so the regex
+    # extraction + hashing (the dominant scan cost) runs once, not twice
+    sh = sh.persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -248,6 +251,9 @@ def containment_pairs(
             id_col,
             F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
         )
+    # both join sides read the shingle frame: persist so the regex
+    # extraction + hashing (the dominant scan cost) runs once, not twice
+    sh = sh.persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

@@ -1,0 +1,116 @@
+"""Byte-pair-encoding tokenizer training and application, Spark-first.
+
+BPE training is THE iterative text op a training-data pipeline runs at
+corpus scale: each round counts adjacent token pairs across the whole
+corpus and merges the most frequent one. The distributed formulation:
+
+* corpus state lives as one token-array column — never driver-side;
+* each round is ONE keyed aggregation (explode adjacent pairs -> count)
+  followed by a driver fetch of a single argmax row (the merge rule —
+  the MODEL is tiny and bounded by n_merges, the classic "ship the
+  model, not the data" split);
+* applying a merge is a pure JVM array fold (aggregate() building the
+  re-tokenized array), no Python in the loop.
+
+Cost model: n_merges rounds x (1 shuffle + 1 fold). At 100 TB you train
+on a sample (tokenizers saturate quickly) and apply to everything; apply
+is embarrassingly parallel.
+
+The pure-python reference in tests/test_bpe.py pins exact behavior
+(pair counts, tie-breaks, merge order) at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_tokens(col: Column, max_chars: int = 80) -> Column:
+    """Initial BPE state: the first ``max_chars`` lowercased characters as
+    single-char tokens (whitespace collapsed to the marker '_', so merges
+    can cross the word boundary the way byte-level BPE does)."""
+    s = F.regexp_replace(F.lower(F.substring(col, 1, max_chars)), r"\s+", "_")
+    # drop the empty token Spark's split('') yields for an empty string so
+    # the state matches regexp_extract_all(s, '.') on engines without
+    # char-split (DuckDB oracle parity)
+    return F.filter(F.split(s, ""), lambda x: x != "")
+
+
+def merge_once(tokens: Column, left: str, right: str) -> Column:
+    """Apply ONE merge rule (left, right) -> left||right to a token array.
+
+    A linear fold: walk the tokens, and whenever the accumulator's last
+    token equals ``left`` and the incoming token equals ``right``, replace
+    the last token with the merged symbol; else append. Left-to-right,
+    non-overlapping — exactly the sequential BPE semantics ('aaa' with
+    merge (a,a) -> ['aa','a']). Pure JVM expression."""
+    merged = left + right
+    return F.aggregate(
+        tokens,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def apply_merges(
+    tokens: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply an ordered merge table (the trained model) to a token array —
+    rank order matters, exactly like tokenizer runtimes."""
+    out = tokens
+    for left, right in merges:
+        out = merge_once(out, left, right)
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_chars: int = 80,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus.
+
+    Returns [(left, right, pair_count), ...] in merge order. Each round:
+    adjacent pairs via one sequence-zip explode, one groupBy count, and a
+    1-row driver fetch of the argmax (ties broken by (left, right)
+    lexicographically — deterministic across engines and runs). The
+    corpus token state re-derives from the merge list each round (state
+    is a pure function of text + merges, so no caching subtlety; rounds
+    are O(n_merges^2) folds total, fine for the tens-of-merges regime —
+    checkpoint the token column instead if you push to thousands)."""
+    merges: list[tuple[str, str]] = []
+    out: list[tuple[str, str, int]] = []
+    base = df.select(char_tokens(F.col(text_col), max_chars).alias("toks"))
+    for _ in range(n_merges):
+        toks = base.select(apply_merges(F.col("toks"), merges).alias("toks"))
+        pairs = toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append((row["l"], row["r"]))
+        out.append((row["l"], row["r"], row["cnt"]))
+    return out

@@ -2791,3 +2791,80 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the real ADC shortlist + rerank path (contract flag), and
     # 10 genuine neighbor slots remain for the recall floor.
     return _ann_contract(spark, sf_dir, approx, min_recall=4)
+
+
+# ---------------------------------------------------------------- BPE
+
+#: fixed merge table for the value-checked APPLY query (rank order
+#: matters: 'th'+'e' depends on 't'+'h' having fired first)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("_", "t"), ("i", "n"),
+    ("a", "n"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _bpe_apply_oracle() -> str:
+    ctes = [
+        "s0 AS (SELECT doc_id, regexp_extract_all("
+        "regexp_replace(lower(substr(text, 1, 80)), '\\s+', '_', 'g'),"
+        " '.') AS toks FROM documents)"
+    ]
+    for i, (l, r) in enumerate(_BPE_MERGES):
+        ctes.append(f"""s{i + 1} AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN toks ELSE
+               list_reduce(list_transform(toks, t -> [t]),
+                 (acc, x) -> CASE WHEN len(acc) > 0
+                                   AND acc[len(acc)] = '{l}'
+                                   AND x[1] = '{r}'
+                             THEN list_slice(acc, 1, len(acc) - 1)
+                                  || ['{l + r}']
+                             ELSE acc || x END) END AS toks
+      FROM s{i})""")
+    n = len(_BPE_MERGES)
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, 1, 8), '|') AS preview
+    FROM s{n}
+    """
+
+
+@query("llm_bpe_apply", oracle=_bpe_apply_oracle())
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a BPE merge table (the tokenizer-runtime half of BPE): each
+    document's char-level state folds through the 8 fixed merge rules in
+    rank order — one JVM array fold per rule, left-to-right
+    non-overlapping, exactly the sequential tokenizer semantics.
+    Embarrassingly parallel (no shuffle at all: scan -> fold -> project);
+    at 100 TB this is a map-only job whose model ships as 8 literals.
+    The oracle replays the identical fold chain via DuckDB list_reduce,
+    so token counts AND the token strings value-match."""
+    from ..llm import bpe as B
+
+    t = Tables(spark, sf_dir)
+    toks = B.apply_merges(
+        B.char_tokens(F.col("text")), [(l, r) for l, r in _BPE_MERGES]
+    )
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 8), "|").alias("preview"),
+    )
+
+
+@query("llm_bpe_train")
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges on the corpus (rows-only by design: the
+    training loop — argmax pair per round — is not SQL-expressible as a
+    fixed query; tests/test_bpe.py pins the merge table exactly against
+    a pure-python reference at sf0.001). Output: one row per learned
+    merge (rank, left, right, pair_count)."""
+    from ..llm import bpe as B
+
+    t = Tables(spark, sf_dir)
+    learned = B.bpe_train(t.documents, n_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, int(c)) for i, (l, r, c) in enumerate(learned)],
+        "rank int, left string, right string, pair_count bigint",
+    )

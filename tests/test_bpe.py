@@ -1,0 +1,77 @@
+"""BPE training pinned EXACTLY against a pure-python reference: same
+pair counts, same lexicographic tie-break, same merge order, same
+left-to-right non-overlapping apply semantics."""
+
+import re
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from cartodb_importer_spark.llm import bpe as B
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_train(texts, n_merges, max_chars=80):
+    states = [
+        list(re.sub(r"\s+", "_", x[:max_chars].lower())) for x in texts
+    ]
+    merges = []
+    for _ in range(n_merges):
+        c = Counter()
+        for toks in states:
+            for a, b in zip(toks, toks[1:]):
+                c[(a, b)] += 1
+        if not c:
+            break
+        (l, r), cnt = min(
+            c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, cnt))
+        for i, toks in enumerate(states):
+            out = []
+            for x in toks:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            states[i] = out
+    return merges, states
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_train_matches_reference_exactly(spark, docs):
+    learned = B.bpe_train(docs, n_merges=6)
+    texts = [r[0] for r in docs.select("text").collect()]
+    ref, _ = _ref_train(texts, 6)
+    assert learned == ref
+
+
+def test_apply_matches_reference_states(spark, docs):
+    texts = [r[0] for r in docs.select("text").orderBy("doc_id").collect()]
+    ref_merges, ref_states = _ref_train(texts, 5)
+    rules = [(l, r) for l, r, _ in ref_merges]
+    applied = (
+        docs.select(
+            "doc_id",
+            B.apply_merges(B.char_tokens(F.col("text")), rules).alias("toks"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    for row, ref in zip(applied, ref_states):
+        assert row["toks"] == ref
+
+
+def test_merge_once_nonoverlapping(spark):
+    df = spark.createDataFrame([("aaa",)], "s string")
+    out = df.select(
+        B.merge_once(F.split("s", ""), "a", "a").alias("t")
+    ).collect()[0]["t"]
+    # left-to-right non-overlap: 'aaa' -> ['aa', 'a'], never ['a', 'aa']
+    assert [x for x in out if x] == ["aa", "a"]

@@ -50,6 +50,8 @@ _PRIORITY = (
     "events_holt_winters",
     "geo_hotspot_cells",
     "reshape_cdc_apply",
+    "llm_bpe_apply",
+    "llm_bpe_train",
 )
 
 

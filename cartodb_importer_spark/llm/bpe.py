@@ -92,11 +92,12 @@ def bpe_train(
     base = df.select(char_tokens(F.col(text_col), max_chars).alias("toks"))
     for _ in range(n_merges):
         toks = base.select(apply_merges(F.col("toks"), merges).alias("toks"))
+        n_adj = F.greatest(F.size("toks") - 1, F.lit(0))  # empty-doc guard
         pairs = toks.select(
             F.explode(
                 F.zip_with(
-                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
-                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 1, n_adj),
+                    F.slice(F.col("toks"), 2, n_adj),
                     lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                 )
             ).alias("p")

@@ -1409,7 +1409,10 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_diff_in_diff",
     oracle="""
     WITH cutoff AS (
-      SELECT to_timestamp(CAST(floor(avg(epoch(ts))) AS BIGINT)) AS mid
+      -- floor each ts to whole seconds BEFORE averaging: Spark's
+      -- unix_timestamp() truncates per-row, and averaging sub-second
+      -- epochs instead can move floor(avg) across a second boundary
+      SELECT to_timestamp(CAST(floor(avg(floor(epoch(ts)))) AS BIGINT)) AS mid
       FROM events
     ), treated AS (
       SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'

@@ -183,7 +183,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (which enumerates by id order — per-node counts are
     orientation-invariant)."""
     t = Tables(spark, sf_dir)
-    pairs = _copurchase_pairs(t)
+    # persisted: read three times (both union branches of the degree
+    # count, then the orientation join) and expensive to rebuild
+    pairs = _copurchase_pairs(t).persist()
     # undirected degree per node (each pair touches both endpoints)
     deg = (
         pairs.select(F.col("src").alias("node"))

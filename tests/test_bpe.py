@@ -75,3 +75,11 @@ def test_merge_once_nonoverlapping(spark):
     ).collect()[0]["t"]
     # left-to-right non-overlap: 'aaa' -> ['aa', 'a'], never ['a', 'aa']
     assert [x for x in out if x] == ["aa", "a"]
+
+
+def test_train_survives_empty_texts(spark):
+    # empty docs produce zero-length token arrays; the adjacent-pair
+    # slices must clamp to length 0 rather than raise (review r03)
+    df = spark.createDataFrame([("",), ("the the the",), ("",)], "text string")
+    learned = B.bpe_train(df, n_merges=3)
+    assert learned == [("h", "e", 3), ("t", "he", 3), ("_", "the", 2)]

@@ -85,6 +85,7 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             sdf = queries[name](spark, SF_DIR).toPandas()
+            timings[name] = time.perf_counter() - t0  # before teardown
             # free per-query persisted frames: across a 250-query sweep on
             # one default-heap session, accumulated cache blocks (plus
             # localCheckpoint RDDs pinned by lingering py refs) OOM'd the
@@ -93,7 +94,6 @@ def main() -> int:
             import gc
 
             gc.collect()
-            timings[name] = time.perf_counter() - t0
             if name not in oracles:
                 print(f"ROWS-ONLY {name}: {len(sdf)} rows [{timings[name]:.2f}s]")
                 results[name] = {"status": "rows-only", "rows": len(sdf)}

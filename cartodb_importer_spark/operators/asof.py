@@ -50,9 +50,12 @@ def asof_join(
     closer, backward winning distance ties ('nearest'). ``tolerance_us``
     (microseconds) nulls matches farther than the bound.
 
-    Among right rows sharing the winning timestamp the one with the highest
-    (lowest, for 'forward') ordering over ``value_cols`` wins — deterministic
-    by construction, unlike vendor ASOF implementations that pick arbitrarily.
+    Among right rows sharing the winning timestamp the one with the
+    HIGHEST ordering over ``value_cols`` wins in every direction (the
+    window takes the last row of the ascending (ts, values) sort; the
+    forward direction mirrors the timestamp only, not the value order) —
+    deterministic by construction, unlike vendor ASOF implementations
+    that pick arbitrarily. The registered oracles pin this exact rule.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")

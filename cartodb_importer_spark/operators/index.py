@@ -50,7 +50,7 @@ def global_index(
         raise ValueError("global_index needs at least one ordering column")
     parted = (
         df.repartitionByRange(num_partitions, *key_cols)
-        if num_partitions
+        if num_partitions is not None
         else df.repartitionByRange(*key_cols)
     ).sortWithinPartitions(*key_cols)
 

@@ -31,9 +31,19 @@ def distributed_running_sum(
     ordering (bucket_col, *order_cols), computed as a parallel two-phase
     prefix scan. ``bucket_col`` MUST be a coarse prefix of the intended
     ordering (all rows of an earlier bucket precede all rows of a later
-    one); rows within a bucket order by ``order_cols``."""
+    one); rows within a bucket order by ``order_cols``.
+
+    Null semantics: NULL ``value_col`` rows contribute nothing (like the
+    global window's sum), with ONE documented divergence — a row whose
+    entire global prefix is NULL-valued reports 0 here where the global
+    window reports NULL. NULL buckets keep their rows (null-safe join)
+    and sort first, matching Spark's default null ordering."""
     b = df.withColumn("__bk", bucket_col)
-    totals = b.groupBy("__bk").agg(F.sum(value_col).alias("__bt"))
+    # coalesce: a bucket whose values are all NULL must carry 0, not NULL,
+    # into later buckets (global-window sum() skips nulls)
+    totals = b.groupBy("__bk").agg(
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("__bt")
+    )
     # single-partition window ONLY over the tiny bucket-totals frame
     w_b = (
         Window.orderBy("__bk")
@@ -48,10 +58,19 @@ def distributed_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    off = offsets.withColumnRenamed("__bk", "__bko")
     return (
-        b.join(F.broadcast(offsets), "__bk")
+        # eqNullSafe: a NULL bucket (e.g. date_trunc of a null ts) must
+        # keep its rows — plain equi-join silently drops them; NULLs sort
+        # first in both the totals window and Spark's default ordering,
+        # so the global-window equivalence holds for them too
+        b.join(F.broadcast(off), F.col("__bk").eqNullSafe(F.col("__bko")))
         .withColumn(
-            out_col, F.sum(value_col).over(w_in) + F.col("__carry")
+            out_col,
+            # within-bucket prefix is NULL until the first non-null value;
+            # the global-window semantics give carry, not NULL, there
+            F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+            + F.col("__carry"),
         )
-        .drop("__bk", "__carry")
+        .drop("__bk", "__bko", "__carry")
     )

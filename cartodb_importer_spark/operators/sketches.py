@@ -100,6 +100,12 @@ def cms_estimate(
     bucket would drop out of the inner join; coalesce keeps them at 0 via
     a left join.
     """
+    if depth * hex_chars > 32:
+        raise ValueError(
+            f"depth*hex_chars must fit one md5 digest (32 hex chars); got "
+            f"{depth}*{hex_chars} — mirror the parameters the sketch was "
+            "built with"
+        )
     fan = probes.select(
         F.col(probe_col),
         F.explode(
@@ -163,7 +169,12 @@ def qdigest_build(
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
     return (
         ranked
-        .withColumn("chunk", ((F.col("rn") - 1) * k / F.col("n")).cast("bigint"))
+        .withColumn(
+            "chunk",
+            # rn is 32-bit; cast before the multiply — (rn-1)*k overflows
+            # IntegerType past ~2^31/k rows per group (~16.8M at k=128)
+            ((F.col("rn").cast("bigint") - 1) * k / F.col("n")).cast("bigint"),
+        )
         .groupBy("g", "chunk")
         .agg(
             F.avg("v").alias("mean"),

@@ -65,7 +65,19 @@ def salted_join(
     the (smaller) right side is exploded across all salt values, and the
     join key becomes (on, salt). Use when AQE's skew splitting isn't enough
     (e.g. first-stage joins with no runtime stats yet). Right-side blowup is
-    x salt_buckets — keep the right side the small one."""
+    x salt_buckets — keep the right side the small one.
+
+    Only left-preserving joins are valid: a right/full outer join would
+    emit every unmatched right row once PER SALT COPY (salt_buckets
+    duplicates) — refused rather than silently wrong."""
+    if how.replace("_", "").lower() in (
+        "right", "rightouter", "full", "fullouter", "outer",
+    ):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would "
+            "duplicate unmatched right rows once per salt copy; use a "
+            "plain join (or salt the other side) instead"
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -16,6 +16,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: intervals the resamplers support, mapped to their date_trunc unit; any
+#: other interval would silently bucket at the wrong granularity (the grid
+#: steps by the literal interval while truncation snaps to this unit)
+_TRUNC_UNIT = {"1 hour": "hour", "1 day": "day"}
+
+
+def _trunc_unit(interval: str) -> str:
+    try:
+        return _TRUNC_UNIT[interval]
+    except KeyError:
+        raise ValueError(
+            f"unsupported resample interval {interval!r}: expected one of "
+            f"{sorted(_TRUNC_UNIT)} (bucket truncation and grid step must "
+            "agree; add the pair to _TRUNC_UNIT to extend)"
+        ) from None
+
+
 def resample_ffill(
     df: DataFrame,
     key: str,
@@ -26,9 +43,7 @@ def resample_ffill(
     """Bucket ``value`` by (key, interval), fill missing buckets on a
     per-key grid from the key's first bucket to its last event, and
     forward-fill the aggregate. Output: (key, slot, v, v_ffill, is_gap)."""
-    slot = F.date_trunc("hour", F.col(ts)) if interval == "1 hour" else F.date_trunc(
-        "day", F.col(ts)
-    )
+    slot = F.date_trunc(_trunc_unit(interval), F.col(ts))
     bucketed = (
         df.groupBy(F.col(key), slot.alias("slot"))
         .agg(F.round(F.sum(value), 2).alias("v"))
@@ -36,11 +51,7 @@ def resample_ffill(
     bounds = df.groupBy(key).agg(
         F.min(F.col(ts)).alias("lo"), F.max(F.col(ts)).alias("hi")
     )
-    lo_slot = (
-        F.date_trunc("hour", F.col("lo"))
-        if interval == "1 hour"
-        else F.date_trunc("day", F.col("lo"))
-    )
+    lo_slot = F.date_trunc(_trunc_unit(interval), F.col("lo"))
     grid = bounds.select(
         key,
         F.explode(
@@ -94,7 +105,7 @@ def resample_interp(
     between two observed buckets because the grid spans the key's own
     first..last bucket, both observed.
     """
-    unit = "hour" if interval == "1 hour" else "day"
+    unit = _trunc_unit(interval)
     slot = F.date_trunc(unit, F.col(ts))
     bucketed = (
         df.groupBy(F.col(key), slot.alias("slot"))
@@ -151,9 +162,14 @@ def upsert_latest(
     version_col: str,
 ) -> DataFrame:
     """Merge/upsert without a lakehouse format: union existing and update
-    rows, keep the highest-version row per key (deterministic tiebreak on
-    update-side priority). One shuffle on the key — the CDC-compaction
-    shape; with Delta/Iceberg this becomes a real MERGE, same semantics."""
+    rows, keep the highest-version row per key, updates beating existing
+    rows at equal versions. One shuffle on the key — the CDC-compaction
+    shape; with Delta/Iceberg this becomes a real MERGE, same semantics.
+
+    Determinism contract: (key, version) must be unique WITHIN each input
+    frame — two update rows for one key at the same version tie on both
+    sort keys and row_number picks one arbitrarily. Pre-dedup the
+    changelog (e.g. by a change sequence number) if that can occur."""
     tagged_e = existing.withColumn("__src", F.lit(0))
     tagged_u = updates.withColumn("__src", F.lit(1))
     unioned = tagged_e.unionByName(tagged_u)

@@ -103,16 +103,21 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         t = b""
         while True:
             c = f.read(1)
+            # EOF check MUST precede the whitespace test: b"" is a
+            # substring of every bytes literal, so `b"" in b" \t\r\n"`
+            # is True and a truncated header would loop forever
+            if not c:
+                raise ValueError("truncated PPM header")
             if c in b" \t\r\n":
                 if t:
                     return t
                 continue
             if c == b"#":  # comment to end of line
-                while f.read(1) not in b"\r\n":
-                    pass
+                while True:
+                    c2 = f.read(1)
+                    if not c2 or c2 in b"\r\n":
+                        break
                 continue
-            if not c:
-                raise ValueError("truncated PPM header")
             t += c
 
     if token() != b"P6":
@@ -192,6 +197,8 @@ def decode_y4m_header(payload: bytes) -> tuple[int, int, float, int]:
             h = int(p[1:])
         elif p.startswith(b"F"):
             num, den = p[1:].split(b":")
+            if int(num) <= 0 or int(den) <= 0:
+                raise ValueError(f"invalid Y4M frame rate {p!r}")
             fps = int(num) / int(den)
         elif p.startswith(b"C") and not p.startswith(b"C420"):
             raise ValueError(f"unsupported Y4M chroma {p!r}")

@@ -94,6 +94,12 @@ def shingle_frame(
 
 def band_width(bands: int) -> int:
     """Hex chars of the md5 digest allotted to each band."""
+    if not 1 <= bands <= 32:
+        raise ValueError(
+            f"bands must be in [1, 32] (one md5 digest is 32 hex chars); "
+            f"got {bands} — band slices past the digest would read '' and "
+            "bucket every document together"
+        )
     return max(32 // bands, 1)
 
 
@@ -160,7 +166,17 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select(
+        id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    ).where(
+        # docs with fewer than n words have NO shingles: array_min over the
+        # empty hash array is NULL. Drop those rows here so short docs
+        # consistently form zero candidates at ANY bucket size — otherwise
+        # the window groups all NULLs into one mega-bucket (star-pattern
+        # junk pairs) while the small-bucket equi-join drops them, a
+        # discontinuity on bucket size. Exact dedup still covers them.
+        F.col("val").isNotNull()
+    )
     # One shuffle on (band, val) computes both the bucket size and the
     # bucket representative; persisted because the branches below read it
     # three times (without persist Spark recomputes shingle+md5 per read).
@@ -191,6 +207,31 @@ def minhash_candidate_pairs(
     return pairs_small.unionByName(pairs_big).distinct()
 
 
+def _candidate_shingle_join(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hashed: bool,
+) -> DataFrame:
+    """Shared verify-stage scaffold for the pair scorers: shingle (and
+    optionally xxhash64-compress) every doc ONCE (persisted — both join
+    sides read it), then attach sh_a/sh_b arrays to each candidate pair.
+    jaccard_pairs and containment_pairs differ only in the score
+    expression they compute over this frame."""
+    sh = shingle_frame(df, text_col, id_col, n).withColumnRenamed("__sh", "sh")
+    if hashed:
+        sh = sh.select(
+            id_col,
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
+        )
+    sh = sh.persist()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -208,18 +249,7 @@ def jaccard_pairs(
     the hottest shuffle of the dedup pipeline. Set sizes (and therefore
     Jaccard) are preserved absent 64-bit collisions (~2^-64 per shingle
     pair — far below the similarity noise floor)."""
-    sh = shingle_frame(df, text_col, id_col, n).withColumnRenamed("__sh", "sh")
-    if hashed:
-        sh = sh.select(
-            id_col,
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
-        )
-    # both join sides read the shingle frame: persist so the regex
-    # extraction + hashing (the dominant scan cost) runs once, not twice
-    sh = sh.persist()
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    joined = _candidate_shingle_join(df, pairs, text_col, id_col, n, hashed)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return joined.select(
@@ -245,18 +275,7 @@ def containment_pairs(
     one scores ~1.0 here but low on Jaccard, because the union is
     dominated by the longer side). Same join shape and hashed-shingle
     shuffle payload as jaccard_pairs."""
-    sh = shingle_frame(df, text_col, id_col, n).withColumnRenamed("__sh", "sh")
-    if hashed:
-        sh = sh.select(
-            id_col,
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
-        )
-    # both join sides read the shingle frame: persist so the regex
-    # extraction + hashing (the dominant scan cost) runs once, not twice
-    sh = sh.persist()
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    joined = _candidate_shingle_join(df, pairs, text_col, id_col, n, hashed)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     smaller = F.least(F.size("sh_a"), F.size("sh_b"))
     return joined.select(

@@ -152,8 +152,11 @@ def decode_features(payload: bytes) -> list[float]:
                     float(1000.0 / fps),
                 ]
             )
-    except ValueError:
-        pass  # malformed/unsupported variant -> stub
+    except Exception:  # noqa: BLE001 — fallback boundary by contract:
+        # the codecs raise struct.error / wave.Error / EOFError /
+        # ValueError on malformed payloads; ANY decode failure must fall
+        # back to the stub, never kill the Spark task
+        pass
     return _decode_image_stub(payload)
 
 
@@ -201,7 +204,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             else:
                 return data
             return codecs.encode_ppm(codecs.resize_nearest(rgb, width, height))
-        except ValueError:
+        except Exception:  # noqa: BLE001 — same fallback contract:
+            # non-decodable payloads pass through byte-identical
             return data
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -256,7 +260,7 @@ def sample_video_frames(
                     if len(out) >= max_frames:
                         break
                 return out
-            except ValueError:
+            except Exception:  # noqa: BLE001 — fallback boundary
                 pass
         n = min(max_frames, max(len(data) // 64, 1))
         return [

@@ -293,9 +293,12 @@ def pca_project(
     """
     import numpy as np
 
-    d = len(
-        df.select(F.col(vec_col)).limit(1).collect()[0][0]
-    )
+    head = df.select(F.col(vec_col)).limit(1).collect()
+    if not head:
+        raise ValueError(
+            "pca_project: input DataFrame is empty — nothing to fit"
+        )
+    d = len(head[0][0])
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     # Per-partition partial sums via numpy (n, sum(x), X^T X) — one Arrow
@@ -399,6 +402,11 @@ def train_pq_codebooks(
     from pyspark.ml.functions import array_to_vector
 
     dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(
+            f"embedding dim {dim} must divide evenly into m={m} subspaces; "
+            "trailing dims would be silently excluded from the ADC distance"
+        )
     sub = dim // m
     books = []
     for j in range(m):

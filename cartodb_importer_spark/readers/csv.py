@@ -60,12 +60,16 @@ def read_csv(
     schema = st.StructType(
         [st.StructField(n, st.StringType(), True) for n in names]
     )
+    # 'utf-8-sig' is a Python-only codec name; Spark/Java needs UTF-8.
+    # The BOM lives on the header line, which the read skips (names come
+    # from `schema`, parsed driver-side with the sig-aware codec above).
+    spark_encoding = "UTF-8" if encoding == "utf-8-sig" else encoding
     df = spark.read.csv(
         path,
         header=True,  # skip the header line; names come from `schema`
         schema=schema,
         sep=delimiter,
-        encoding=encoding,
+        encoding=spark_encoding,
         quote=quote,
         enforceSchema=True,
         mode="PERMISSIVE",

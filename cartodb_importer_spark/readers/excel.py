@@ -113,8 +113,13 @@ def _read_ods_stdlib(path: str) -> list[list[str]]:
             text = "".join(
                 "".join(p.itertext()) for p in cell.findall(f"{TEXT}p")
             )
-            # huge trailing repeats pad to the sheet width; cap sanely
-            row.extend([text] * min(repeat, 1024 if text else 1))
+            # expand empty runs too (collapsing them shifts later cells
+            # left, corrupting sparse sheets); cap so the trailing
+            # repeat-to-sheet-width padding stays sane, and trim trailing
+            # empties below
+            row.extend([text] * min(repeat, 1024))
+        while row and row[-1] == "":
+            row.pop()
         rows.append(row)
     # drop fully-empty trailing rows
     while rows and all(c == "" for c in rows[-1]):

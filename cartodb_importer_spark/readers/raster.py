@@ -34,7 +34,9 @@ def read_raster(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
         pass
     try:
         return _read_pytiff(spark, path)
-    except ValueError:
+    except Exception:  # noqa: BLE001 — fallback boundary: the pure-python
+        # TIFF decoder raises TypeError/struct.error/zlib.error on inputs
+        # it can't handle; ANY decode failure must fall back to the stub
         return _read_stub(spark, path)
 
 

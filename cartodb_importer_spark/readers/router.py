@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 SUPPORTED_FORMATS = [
     ".csv", ".shp", ".ods", ".xls", ".xlsx", ".tif", ".tiff",
-    ".kml", ".kmz", ".js", ".json", ".tar", ".gz", ".tgz", ".gpx",
+    ".kml", ".kmz", ".js", ".json", ".geojson", ".tar", ".gz", ".tgz",
+    ".gpx",
     # engine extensions past importer.rb:13 — distributed line-JSON + ORC
     ".jsonl", ".ndjson", ".orc",
 ]  # importer.rb:13
@@ -65,6 +66,34 @@ def explode_archive(path: str, workdir: str) -> tuple[str, str | None]:
     raise ValueError(f"no supported entry in archive {path}")
 
 
+def explode_tar(path: str, workdir: str) -> tuple[str, str | None]:
+    """O4 for tarballs (.tar / .tgz / .tar.gz): same skip rules and
+    first-supported-entry selection as :func:`explode_archive`."""
+    import tarfile
+
+    out_dir = os.path.join(workdir, "untarred")
+    os.makedirs(out_dir, exist_ok=True)
+    skip = lambda s: s.startswith(".") or s.startswith("__")  # noqa: E731
+    with tarfile.open(path) as tf:
+        members = [
+            m
+            for m in tf.getmembers()
+            if m.isfile()
+            and os.path.basename(m.name)
+            and not skip(os.path.basename(m.name))
+            and not skip(m.name)
+        ]
+        tf.extractall(out_dir, members=members, filter="data")
+    for m in members:
+        ext = os.path.splitext(m.name)[1].lower()
+        if ext in SUPPORTED_FORMATS:
+            return (
+                os.path.join(out_dir, m.name),
+                os.path.splitext(os.path.basename(m.name))[0],
+            )
+    raise ValueError(f"no supported entry in archive {path}")
+
+
 def route(
     spark: SparkSession, path: str, workdir: str | None = None
 ) -> tuple[DataFrame, dict]:
@@ -90,6 +119,19 @@ def route(
         path, suggested = explode_archive(path, workdir)
         ext = os.path.splitext(path)[1].lower()
         meta_extra["suggested_name"] = suggested
+    elif ext in (".tar", ".tgz") or path.endswith(".tar.gz"):
+        path, suggested = explode_tar(path, workdir)
+        ext = os.path.splitext(path)[1].lower()
+        meta_extra["suggested_name"] = suggested
+    elif ext == ".gz":
+        import gzip
+        import shutil
+
+        inner = os.path.join(workdir, os.path.basename(path)[: -len(".gz")])
+        with gzip.open(path, "rb") as src, open(inner, "wb") as dst:
+            shutil.copyfileobj(src, dst)
+        path = inner
+        ext = os.path.splitext(path)[1].lower()
 
     if ext == ".csv":
         df, meta = read_csv(spark, path)

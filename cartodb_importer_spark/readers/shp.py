@@ -147,7 +147,7 @@ def _reproject(pairs_wkt: list[str | None], srid: int) -> list[str | None]:
         lon, lat = transform(x, y)
         return f"{_fmt(lon)} {_fmt(lat)}"
 
-    coord_rx = re.compile(r"(-?[\d.eE+]+) (-?[\d.eE+]+)")
+    coord_rx = re.compile(r"([-\d.eE+]+) ([-\d.eE+]+)")  # "-" inside the class: 1e-05 exponents
     return [
         coord_rx.sub(fix_coords, w) if w is not None else None
         for w in pairs_wkt

@@ -215,14 +215,28 @@ def read_kml_distributed(
             src = F.col(".".join(path))
             arr = src if sd_is_array else F.array(src)
             # one map column: attr name -> text value
-            kv = F.map_from_entries(
+            # drop entries missing the name attribute (null map keys
+            # throw at runtime) and keep the FIRST value per repeated
+            # name (duplicate map keys throw too)
+            ents = F.filter(
                 F.transform(
                     arr,
                     lambda e: F.struct(
                         e["_name"].alias("k"),
                         e["_VALUE"].cast("string").alias("v"),
                     ),
-                )
+                ),
+                lambda s: s["k"].isNotNull(),
+            )
+            ents = F.filter(
+                ents,
+                lambda s, i: ~F.exists(
+                    F.slice(ents, 1, i),
+                    lambda prev: prev["k"] == s["k"],
+                ),
+            )
+            kv = F.map_from_entries(
+                ents
             )
             # attribute names must be known to become columns: collect the
             # distinct key set (small — it is a schema, not data)

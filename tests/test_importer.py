@@ -357,3 +357,28 @@ def test_route_orc(spark, tmp_path):
     assert meta["import_type"] == ".orc"
     assert sorted(df.columns) == ["col_name", "id"]
     assert df.count() == 2
+
+
+def test_route_tgz_and_gz_and_bom_csv(spark, tmp_path):
+    from cartodb_importer_spark.readers.router import route
+
+    """r03 review fixes: tarballs/gzip route end-to-end, and a UTF-8-BOM
+    CSV imports without the Python-only 'utf-8-sig' codec name reaching
+    Spark (java.nio has no such charset) or the BOM polluting names."""
+    import gzip
+    import tarfile
+
+    csv = tmp_path / "people.csv"
+    csv.write_text("Name,Age\nAda,36\nLin,29\n", encoding="utf-8-sig")
+    tgz = tmp_path / "people.tgz"
+    with tarfile.open(tgz, "w:gz") as tf:
+        tf.add(csv, arcname="people.csv")
+    df, meta = route(spark, str(tgz))
+    assert df.count() == 2 and df.columns == ["name", "age"]
+    assert meta["suggested_name"] == "people"
+
+    gz = tmp_path / "solo.csv.gz"
+    with open(csv, "rb") as s, gzip.open(gz, "wb") as d:
+        d.write(s.read())
+    df2, _ = route(spark, str(gz))
+    assert df2.count() == 2 and df2.columns == ["name", "age"]

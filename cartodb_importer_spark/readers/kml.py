@@ -31,7 +31,37 @@ def _coords_to_pairs(text: str) -> list[tuple[float, float]]:
 
 
 def _geom_wkt(pm) -> str | None:
-    pt = _find(pm, "Point")
+    mg = _find(pm, "MultiGeometry")
+    if mg is not None:
+        parts = [w for w in (_geom_wkt_single(g) for g in list(mg)) if w]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        kinds = {w.split("(", 1)[0] for w in parts}
+        if kinds == {"POINT"}:
+            body = ", ".join(w[len("POINT("):-1] for w in parts)
+            return f"MULTIPOINT({body})"
+        if kinds == {"LINESTRING"}:
+            body = ", ".join(f"({w[len('LINESTRING('):-1]})" for w in parts)
+            return f"MULTILINESTRING({body})"
+        if kinds == {"POLYGON"}:
+            body = ", ".join(f"({w[len('POLYGON('):-1]})" for w in parts)
+            return f"MULTIPOLYGON({body})"
+        return f"GEOMETRYCOLLECTION({', '.join(parts)})"
+    return _geom_wkt_single(pm)
+
+
+def _geom_wkt_single(pm) -> str | None:
+    """WKT of the first Point/LineString/Polygon child of ``pm`` —
+    ``pm`` is a Placemark OR a geometry element itself (MultiGeometry
+    member), so a self-match is checked first."""
+    tag = pm.tag.split("}", 1)[-1]
+    if tag in ("Point", "LineString", "Polygon"):
+        el = pm
+    else:
+        el = None
+    pt = el if tag == "Point" else _find(pm, "Point")
     if pt is not None:
         c = _find(pt, "coordinates")
         if c is not None and c.text:
@@ -39,14 +69,14 @@ def _geom_wkt(pm) -> str | None:
             if pairs:
                 x, y = pairs[0]
                 return f"POINT({x!r} {y!r})"
-    ls = _find(pm, "LineString")
+    ls = el if tag == "LineString" else _find(pm, "LineString")
     if ls is not None:
         c = _find(ls, "coordinates")
         if c is not None and c.text:
             pairs = _coords_to_pairs(c.text)
             body = ", ".join(f"{x!r} {y!r}" for x, y in pairs)
             return f"LINESTRING({body})"
-    poly = _find(pm, "Polygon")
+    poly = el if tag == "Polygon" else _find(pm, "Polygon")
     if poly is not None:
         rings = []
         for boundary in list(poly):
@@ -79,11 +109,14 @@ def read_kml(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
         extras: dict[str, str] = {}
         ext = _find(pm, "ExtendedData")
         if ext is not None:
-            for sd in ext.iter(f"{_NS}SimpleData"):
-                extras[sd.get("name", "")] = sd.text or ""
-            for data in ext.iter(f"{_NS}Data"):
-                v = _find(data, "value")
-                extras[data.get("name", "")] = v.text if v is not None else ""
+            for ns in (_NS, _NS_OLD):
+                for sd in ext.iter(f"{ns}SimpleData"):
+                    extras[sd.get("name", "")] = sd.text or ""
+                for data in ext.iter(f"{ns}Data"):
+                    v = _find(data, "value")
+                    extras[data.get("name", "")] = (
+                        v.text if v is not None else ""
+                    )
         for k in extras:
             if k not in extras_seen:
                 extras_seen.append(k)

@@ -382,3 +382,39 @@ def test_route_tgz_and_gz_and_bom_csv(spark, tmp_path):
         d.write(s.read())
     df2, _ = route(spark, str(gz))
     assert df2.count() == 2 and df2.columns == ["name", "age"]
+
+
+def test_kml_multigeometry_and_legacy_namespace(spark, tmp_path):
+    """r03 review fixes: MultiGeometry placemarks no longer import with
+    null geometry, and legacy-namespace KML keeps its ExtendedData."""
+    from cartodb_importer_spark.readers.kml import read_kml
+
+    new_ns = (
+        '<?xml version="1.0"?>'
+        '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+        "<Placemark><name>multi</name><MultiGeometry>"
+        "<Polygon><outerBoundaryIs><LinearRing><coordinates>"
+        "0,0 1,0 1,1 0,0</coordinates></LinearRing></outerBoundaryIs>"
+        "</Polygon><Polygon><outerBoundaryIs><LinearRing><coordinates>"
+        "5,5 6,5 6,6 5,5</coordinates></LinearRing></outerBoundaryIs>"
+        "</Polygon></MultiGeometry></Placemark></Document></kml>"
+    )
+    p = tmp_path / "mg.kml"
+    p.write_text(new_ns)
+    df, _ = read_kml(spark, str(p))
+    geom = df.collect()[0]["the_geom"]
+    assert geom.startswith("MULTIPOLYGON((") and "5.0 5.0" in geom
+
+    legacy = (
+        '<?xml version="1.0"?>'
+        '<kml xmlns="http://earth.google.com/kml/2.2"><Document>'
+        "<Placemark><name>l</name><ExtendedData><SchemaData>"
+        '<SimpleData name="pop">42</SimpleData></SchemaData>'
+        "</ExtendedData><Point><coordinates>7,8</coordinates></Point>"
+        "</Placemark></Document></kml>"
+    )
+    p2 = tmp_path / "legacy.kml"
+    p2.write_text(legacy)
+    df2, _ = read_kml(spark, str(p2))
+    row = df2.collect()[0]
+    assert row["pop"] == "42" and row["the_geom"] == "POINT(7.0 8.0)"

@@ -71,6 +71,10 @@ def read_csv(
         sep=delimiter,
         encoding=spark_encoding,
         quote=quote,
+        # RFC4180 doubled-quote escaping ("" inside a quoted field), the
+        # dialect Ruby CSV writes/reads (importer.rb's column_stripper) —
+        # Spark's default escape is backslash, which leaves `""` verbatim.
+        escape=quote,
         enforceSchema=True,
         mode="PERMISSIVE",
     )

@@ -40,6 +40,72 @@ def _points_wkt(pts: list[tuple[float, float]]) -> str:
     return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts)
 
 
+def _signed_area(ring: list[tuple[float, float]]) -> float:
+    """Shoelace signed area: >0 counterclockwise, <0 clockwise.
+
+    The shapefile spec orients outer rings clockwise and holes
+    counterclockwise, which is how multi-ring records distinguish a
+    MULTIPOLYGON (several outers) from a POLYGON with holes — the reference
+    gets this via shp2pgsql (importer.rb:367) and asserts it on the
+    `multipoly` fixture (spec/import_spec.rb:408-416)."""
+    s = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def _point_in_ring(pt: tuple[float, float], ring: list[tuple[float, float]]) -> bool:
+    """Even-odd ray cast (hole-to-outer assignment only; boundary points
+    may land either way, matching shp2pgsql's tolerance)."""
+    x, y = pt
+    inside = False
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > y) != (y2 > y):
+            xin = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if x < xin:
+                inside = not inside
+    return inside
+
+
+def _polygon_wkt(rings: list[list[tuple[float, float]]]) -> str:
+    """Assemble shapefile polygon rings into POLYGON or MULTIPOLYGON WKT.
+
+    Outer rings are clockwise (negative signed area), holes
+    counterclockwise. A single outer keeps the record's ring order
+    verbatim (outer first then holes, as written by every conformant
+    writer). Multiple outers become MULTIPOLYGON with each hole attached
+    to the smallest outer containing its first vertex (smallest-area
+    containment handles nested island-in-lake cases); a hole inside no
+    outer is promoted to its own polygon, GDAL-style."""
+    outers = [r for r in rings if _signed_area(r) < 0]
+    if len(outers) <= 1:
+        body = ", ".join(f"({_points_wkt(r)})" for r in rings)
+        return f"POLYGON({body})"
+    holes = [r for r in rings if _signed_area(r) >= 0]
+    polys: list[list[list[tuple[float, float]]]] = [[o] for o in outers]
+    outer_areas = [abs(_signed_area(o)) for o in outers]
+    for h in holes:
+        best = -1
+        best_area = float("inf")
+        for i, o in enumerate(outers):
+            if outer_areas[i] < best_area and _point_in_ring(h[0], o):
+                best = i
+                best_area = outer_areas[i]
+        if best >= 0:
+            polys[best].append(h)
+        else:
+            polys.append([h])
+    parts = ", ".join(
+        "(" + ", ".join(f"({_points_wkt(r)})" for r in poly) + ")"
+        for poly in polys
+    )
+    return f"MULTIPOLYGON({parts})"
+
+
 def _read_shapes(path: str) -> list[str | None]:
     """Parse the .shp into WKT strings (None for null shapes)."""
     shapes: list[str | None] = []
@@ -84,8 +150,7 @@ def _read_shapes(path: str) -> list[str | None]:
                         body = ", ".join(f"({_points_wkt(r)})" for r in rings)
                         shapes.append(f"MULTILINESTRING({body})")
                 else:
-                    body = ", ".join(f"({_points_wkt(r)})" for r in rings)
-                    shapes.append(f"POLYGON({body})")
+                    shapes.append(_polygon_wkt(rings))
             else:
                 shapes.append(None)
     return shapes

@@ -84,8 +84,7 @@ def _wkt_to_kml(wkt: str | None) -> str:
         return (
             f"<LineString><coordinates>{coords(wkt)}</coordinates></LineString>"
         )
-    if wkt.startswith("POLYGON"):
-        rings = re.findall(r"\(([^()]+)\)", wkt)
+    def polygon_kml(rings: list[str]) -> str:
         inner = "".join(
             (
                 "<outerBoundaryIs>" if i == 0 else "<innerBoundaryIs>"
@@ -95,6 +94,15 @@ def _wkt_to_kml(wkt: str | None) -> str:
             for i, r in enumerate(rings)
         )
         return f"<Polygon>{inner}</Polygon>"
+
+    if wkt.startswith("MULTIPOLYGON"):
+        polys = re.findall(r"\((\([^()]*\)(?:\s*,\s*\([^()]*\))*)\)", wkt)
+        parts = "".join(
+            polygon_kml(re.findall(r"\(([^()]+)\)", p)) for p in polys
+        )
+        return f"<MultiGeometry>{parts}</MultiGeometry>"
+    if wkt.startswith("POLYGON"):
+        return polygon_kml(re.findall(r"\(([^()]+)\)", wkt))
     return ""
 
 
@@ -155,7 +163,11 @@ def _parse_wkt_parts(wkt: str | None):
     if w.startswith("LINESTRING"):
         p = pts(w)
         return ("line", [p]) if p else None
-    if w.startswith("POLYGON"):
+    if w.startswith("POLYGON") or w.startswith("MULTIPOLYGON"):
+        # A shapefile polygon record is a flat ring list; MULTIPOLYGON
+        # membership is carried purely by ring winding, so flattening the
+        # innermost paren groups is the exact inverse of the reader's
+        # _polygon_wkt assembly.
         parts = [pts(b) for b in re.findall(r"\(([^()]+)\)", w)]
         return ("polygon", [p for p in parts if p]) or None
     return None

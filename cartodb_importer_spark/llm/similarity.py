@@ -374,14 +374,21 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding",
                  out_col: str = "nvec") -> DataFrame:
     """Attach the unit-norm vector (pure JVM expression). PQ codebooks are
     trained on normalized vectors so ADC L2 ranking is monotone with
-    cosine (cos = 1 - d2/2 on the unit sphere)."""
+    cosine (cos = 1 - d2/2 on the unit sphere). Zero-norm vectors are
+    dropped (x/0 would emit NaN arrays that silently poison codebook
+    k-means)."""
     v = F.col(vec_col).cast("array<double>")
     n = F.sqrt(
         F.aggregate(
             F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
     )
-    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+    return (
+        df.withColumn("_l2n", n)
+        .filter(F.col("_l2n") > 0.0)
+        .withColumn(out_col, F.transform(v, lambda x: x / F.col("_l2n")))
+        .drop("_l2n")
+    )
 
 
 def train_pq_codebooks(
@@ -470,6 +477,8 @@ def pq_rerank_topk(
     import math
 
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qn == 0.0:
+        raise ValueError("query_vec has zero norm; cosine rank is undefined")
     q = [float(x) / qn for x in query_vec]
     sub = len(codebooks[0][0])
     est = None

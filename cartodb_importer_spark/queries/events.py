@@ -1231,17 +1231,21 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: users grouped by first-seen month,
     their event value summed per cohort-age week, then accumulated into
     the running LTV curve per cohort. The first-touch frame is a keyed
-    aggregate re-joined onto events (broadcastable: one row per user,
-    and at 100 TB the first-touch table is the classic candidate for an
-    incremental MIN-merge rather than a rescan); the weekly rollup is
-    one keyed shuffle; the cumulative window runs over |cohorts| x
-    |weeks| rows only. Money folded on the 1e-2 grid pre- and
-    post-accumulation so the float sum order is cross-engine-stable."""
+    aggregate re-joined onto events with no broadcast hint: it is one row
+    PER USER, so at scale it outgrows the broadcast threshold and a
+    forced F.broadcast would OOM the driver — AQE picks broadcast while
+    it fits and falls back to a sort-merge join keyed the same as the
+    groupBy (at 100 TB the first-touch table is the classic candidate
+    for an incremental MIN-merge rather than a rescan); the weekly
+    rollup is one keyed shuffle; the cumulative window runs over
+    |cohorts| x |weeks| rows only. Money folded on the 1e-2 grid pre-
+    and post-accumulation so the float sum order is
+    cross-engine-stable."""
     t = Tables(spark, sf_dir)
     from pyspark.sql import Window as W
 
     firsts = t.events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    aged = t.events.join(F.broadcast(firsts), "user_id").select(
+    aged = t.events.join(firsts, "user_id").select(
         F.date_format("first_ts", "yyyy-MM").alias("cohort"),
         F.floor(
             (
@@ -1464,7 +1468,10 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = (
         ev.where(F.col("event_type").isin("view", "click"))
         .crossJoin(F.broadcast(cutoff))
-        .join(F.broadcast(treated), "user_id", "left")
+        # per-user frame: no broadcast hint — AQE broadcasts while it
+        # fits and degrades to shuffle join at scale (same class as
+        # events_cohort_ltv's first-touch table)
+        .join(treated, "user_id", "left")
         .select(
             F.coalesce(F.col("treated"), F.lit(0)).alias("treated"),
             F.when(F.col("ts") >= F.col("mid"), 1).otherwise(0).alias("post"),

@@ -41,6 +41,41 @@ def _load_rows(path: str) -> tuple[list[str], list[list[str | None]]]:
     return rows[0], rows[1:]
 
 
+def _first_sheet_member(zf) -> str:
+    """Archive member for the workbook's FIRST sheet in workbook.xml order
+    (the order roo/openpyxl use — importer.rb:124-140), not zip-entry
+    order: resolve sheet[0]'s r:id through xl/_rels/workbook.xml.rels to
+    its worksheet target. Falls back to lexicographic zip order only when
+    the workbook/rels parts are absent or malformed."""
+    import posixpath
+    import xml.etree.ElementTree as ET
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    PKG = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    try:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        first = wb.find(f"{NS}sheets/{NS}sheet")
+        rid = first.get(f"{RNS}id")
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            r.get("Target")
+            for r in rels.findall(f"{PKG}Relationship")
+            if r.get("Id") == rid
+        )
+        member = posixpath.normpath(
+            target if target.startswith("/") else "xl/" + target
+        ).lstrip("/")
+        if member in zf.namelist():
+            return member
+    except Exception:
+        pass
+    return sorted(
+        n for n in zf.namelist()
+        if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+    )[0]
+
+
 def _read_xlsx_stdlib(path: str) -> list[list[str]]:
     """Minimal XLSX reader: an .xlsx is a zip of XML — parse sheet1 +
     sharedStrings with the stdlib. Covers inline/shared strings and
@@ -56,11 +91,7 @@ def _read_xlsx_stdlib(path: str) -> list[list[str]]:
             root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
-        sheet_name = next(
-            n for n in zf.namelist()
-            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
-        )
-        root = ET.fromstring(zf.read(sheet_name))
+        root = ET.fromstring(zf.read(_first_sheet_member(zf)))
         rows: list[list[str]] = []
         for row_el in root.iter(f"{NS}row"):
             row: list[str] = []

@@ -39,6 +39,21 @@ def stage_source(source: str, workdir: str) -> str:
     return source
 
 
+def _skip_entry(name: str) -> bool:
+    """importer.rb:102 skips entries matching ^(\\.|__). Applied per path
+    component of the normalized name so `__MACOSX/x` and `dir/.hidden` are
+    skipped either way, while GNU `tar -cf x .` members like `./file.csv`
+    (whose raw name starts with a dot) are kept."""
+    import posixpath
+
+    norm = posixpath.normpath(name.replace("\\", "/")).lstrip("/")
+    return any(
+        part.startswith(".") or part.startswith("__")
+        for part in norm.split("/")
+        if part not in ("", ".")
+    )
+
+
 def explode_archive(path: str, workdir: str) -> tuple[str, str | None]:
     """O4: extract, skip dot/__ entries, pick the first supported entry.
     Returns (new_path, suggested_name_from_entry) — KMZ always selects the
@@ -49,11 +64,7 @@ def explode_archive(path: str, workdir: str) -> tuple[str, str | None]:
         members = []
         for info in zf.infolist():
             base = os.path.basename(info.filename)
-            # importer.rb:102 skips entries matching ^(\.|__) on the full
-            # entry name; we also apply it to the basename so MACOSX
-            # cruft nested under a directory is skipped either way
-            skip = lambda s: s.startswith(".") or s.startswith("__")  # noqa: E731
-            if not base or skip(base) or skip(info.filename):
+            if not base or _skip_entry(info.filename):
                 continue
             members.append(info)
         zf.extractall(out_dir, [m.filename for m in members])
@@ -73,15 +84,13 @@ def explode_tar(path: str, workdir: str) -> tuple[str, str | None]:
 
     out_dir = os.path.join(workdir, "untarred")
     os.makedirs(out_dir, exist_ok=True)
-    skip = lambda s: s.startswith(".") or s.startswith("__")  # noqa: E731
     with tarfile.open(path) as tf:
         members = [
             m
             for m in tf.getmembers()
             if m.isfile()
             and os.path.basename(m.name)
-            and not skip(os.path.basename(m.name))
-            and not skip(m.name)
+            and not _skip_entry(m.name)
         ]
         tf.extractall(out_dir, members=members, filter="data")
     for m in members:
@@ -115,23 +124,36 @@ def route(
     meta_extra: dict = {"workdir": workdir}
     path = stage_source(path, workdir)
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".zip", ".kmz"):
-        path, suggested = explode_archive(path, workdir)
-        ext = os.path.splitext(path)[1].lower()
-        meta_extra["suggested_name"] = suggested
-    elif ext in (".tar", ".tgz") or path.endswith(".tar.gz"):
-        path, suggested = explode_tar(path, workdir)
-        ext = os.path.splitext(path)[1].lower()
-        meta_extra["suggested_name"] = suggested
-    elif ext == ".gz":
-        import gzip
-        import shutil
+    # Unwrap containers until the extension is a terminal format: an
+    # archive entry can itself be compressed (inner.csv.gz inside a tar),
+    # which a single-pass dispatch would drop through to the unsupported
+    # branch. Bounded — pathological nesting is a malformed upload.
+    for _ in range(8):
+        if ext in (".zip", ".kmz"):
+            path, suggested = explode_archive(path, workdir)
+            ext = os.path.splitext(path)[1].lower()
+            meta_extra["suggested_name"] = suggested
+        elif ext in (".tar", ".tgz") or path.endswith(".tar.gz"):
+            path, suggested = explode_tar(path, workdir)
+            ext = os.path.splitext(path)[1].lower()
+            meta_extra["suggested_name"] = suggested
+        elif ext == ".gz":
+            import gzip
+            import shutil
 
-        inner = os.path.join(workdir, os.path.basename(path)[: -len(".gz")])
-        with gzip.open(path, "rb") as src, open(inner, "wb") as dst:
-            shutil.copyfileobj(src, dst)
-        path = inner
-        ext = os.path.splitext(path)[1].lower()
+            inner = os.path.join(workdir, os.path.basename(path)[: -len(".gz")])
+            with gzip.open(path, "rb") as src, open(inner, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            path = inner
+            ext = os.path.splitext(path)[1].lower()
+            # the decompressed file names the table (overwrites an
+            # enclosing archive's entry.csv.gz-derived name)
+            if ext not in (".tar", ".tgz"):
+                meta_extra["suggested_name"] = os.path.splitext(
+                    os.path.basename(path)
+                )[0]
+        else:
+            break
 
     if ext == ".csv":
         df, meta = read_csv(spark, path)

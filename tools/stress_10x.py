@@ -117,8 +117,29 @@ def main() -> int:
                 flush=True,
             )
         spark.catalog.clearCache()
-    print(f"{len(HEAVY) - failures}/{len(HEAVY)} heavy operators OK at "
-          f"{COPIES}x sf0.1")
+
+    # BPE at a real merge count: the incremental-state trainer (VERDICT r3
+    # item 5) must stay O(merges) — 64 merges over the duplicated corpus in
+    # bounded time, where the old rederive-from-chars form was O(merges^2)
+    # folds and unusable.
+    n_bpe = int(os.environ.get("STRESS_BPE_MERGES", "64"))
+    t0 = time.time()
+    try:
+        from cartodb_importer_spark.llm.bpe import bpe_train
+
+        docs = spark.read.parquet(f"{DST}/documents.parquet")
+        rules = bpe_train(docs, n_merges=n_bpe)
+        dt = time.time() - t0
+        print(f"OK   bpe_train[{n_bpe} merges]: {dt:.1f}s "
+              f"({len(rules)} rules, {dt / max(1, len(rules)):.2f}s/merge)",
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — report and continue
+        failures += 1
+        print(f"BOOM bpe_train[{n_bpe} merges]: {time.time() - t0:.1f}s "
+              f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
+    print(f"{len(HEAVY) + 1 - failures}/{len(HEAVY) + 1} heavy operators OK "
+          f"at {COPIES}x sf0.1")
     return 1 if failures else 0
 
 

@@ -33,6 +33,10 @@ HEADLINE = [
     "setop_except_all",
     "llm_dedup_exact",
     "llm_minhash_pairs",
+    # end-to-end near-dedup (shingle -> minhash -> LSH bucket join ->
+    # survivor election) — dedup is the north-star pipeline workload, so
+    # the headline carries the full operator, not just the pairs stage
+    "llm_near_dedup",
     "llm_cosine_topk",
     "llm_text_stats",
     "stream_session_windows",

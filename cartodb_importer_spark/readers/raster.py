@@ -4,11 +4,12 @@ tile blocks (the reference's raster2pgsql -k 180x180 blocking).
 Three decode paths, best available wins:
 
 1. rasterio/GDAL when importable — any compression/layout;
-2. the pure-Python readers/tiff.py for UNCOMPRESSED strip GeoTIFFs —
+2. the pure-Python readers/tiff.py for classic strip- or tile-organized
+   GeoTIFFs (uncompressed / deflate / packbits / LZW, predictor 2) —
    real pixels, real 180x180 windowing, real SRID from the GeoKey
    directory, no native dependency (meta['decoder']='pytiff');
-3. a clearly-marked byte-chunking stub for compressed/exotic files in a
-   GDAL-less container (meta['decoder']='stub').
+3. a clearly-marked byte-chunking stub for the rest (JPEG/CCITT,
+   BigTIFF) in a GDAL-less container (meta['decoder']='stub').
 """
 
 from __future__ import annotations
@@ -41,10 +42,10 @@ def read_raster(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
 
 
 def _read_pytiff(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
-    """GDAL-free real path: decode an uncompressed strip GeoTIFF with
-    readers/tiff.py and window band 1 into TILE x TILE blocks — the same
-    blocking raster2pgsql -k 180x180 performs. Raises ValueError for
-    compressed/tiled/BigTIFF inputs (caller falls back to the stub)."""
+    """GDAL-free real path: decode a classic strip- or tile-organized
+    GeoTIFF with readers/tiff.py and window band 1 into TILE x TILE
+    blocks — the same blocking raster2pgsql -k 180x180 performs. Raises
+    for JPEG/CCITT/BigTIFF inputs (caller falls back to the stub)."""
     from .tiff import decode_tiff
 
     with open(path, "rb") as f:

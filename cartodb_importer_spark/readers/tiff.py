@@ -2,8 +2,8 @@
 
 Covers the subset the raster import path (O18, importer.rb:406-459) needs
 when rasterio/GDAL is absent: classic (non-Big) TIFF, either byte order,
-strip-organized, integer or float samples, band 1, with the compression
-schemes that need no native codec:
+strip- OR tile-organized, integer or float samples, band 1, with the
+compression schemes that need no native codec:
 
 * 1     — uncompressed
 * 5     — TIFF-LZW (MSB-first variable-width codes, early change)
@@ -15,9 +15,9 @@ DEFLATE). GeoTIFF georeferencing is read from ModelPixelScale/
 ModelTiepoint and the EPSG code from the GeoKey directory
 (GeographicType 2048 / ProjectedCSType 3072 keys).
 
-Anything outside that subset (JPEG/CCITT compression, tiled layout,
-BigTIFF, float predictor) raises ValueError so the caller can fall back to
-the stub — those are where GDAL genuinely earns its dependency.
+Anything outside that subset (JPEG/CCITT compression, BigTIFF, float
+predictor) raises ValueError so the caller can fall back to the stub —
+those are where GDAL genuinely earns its dependency.
 """
 
 from __future__ import annotations
@@ -161,8 +161,20 @@ def _decompress_strip(raw: bytes, compression: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
+def _undo_predictor(block: np.ndarray, bits: int, spp: int, dt) -> np.ndarray:
+    """Undo TIFF predictor 2 (horizontal differencing): each sample stores
+    the delta to the same channel of the previous pixel; a wrapping
+    cumulative sum per row restores the values."""
+    if dt.kind == "f":
+        raise ValueError("predictor 2 with float samples unsupported")
+    wide = block.astype(np.int64).cumsum(
+        axis=1 if spp > 1 else -1, dtype=np.int64
+    )
+    return (wide & ((1 << bits) - 1)).astype(dt)
+
+
 def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
-    """Uncompressed strip TIFF -> (band-1 2D array, georef metadata).
+    """Strip- OR tile-organized TIFF -> (band-1 2D array, georef metadata).
 
     metadata keys: srid (int, 0 if absent), pixel_scale (x, y) or None,
     tiepoint (i, j, k, x, y, z) or None, samples_per_pixel.
@@ -173,48 +185,76 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     predictor = int(t.get(317, [1])[0])
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    if 322 in t or 324 in t:
-        raise ValueError("tiled TIFF layout unsupported without GDAL")
     width = int(t[256][0])
     height = int(t[257][0])
     spp = int(t.get(277, [1])[0])
     bits = int(t.get(258, [8])[0])
     fmt = int(t.get(339, [1])[0])
-    offsets = t.get(273)
-    counts = t.get(279)
-    if offsets is None:
-        raise ValueError("TIFF missing StripOffsets")
-    if compression != 1 and counts is None:
-        raise ValueError("compressed TIFF missing StripByteCounts")
-    rows_per_strip = int(t.get(278, [height])[0])
     dt = _dtype(bits, fmt, bo)
-    row_bytes = width * spp * dt.itemsize
 
-    parts = []
-    for si, off in enumerate(offsets):
-        nrows = min(rows_per_strip, height - si * rows_per_strip)
-        if compression == 1:
-            nbytes = counts[si] if counts else nrows * row_bytes
-            raw = data[off : off + nbytes]
-        else:
-            raw = _decompress_strip(data[off : off + counts[si]], compression)
-        strip = np.frombuffer(raw, dtype=dt, count=nrows * width * spp)
-        strip = (
-            strip.reshape(nrows, width, spp)
-            if spp > 1
-            else strip.reshape(nrows, width)
-        )
-        if predictor == 2:
-            # horizontal differencing: each sample stores the delta to its
-            # left neighbor; undo with a wrapping cumulative sum per row
-            if dt.kind == "f":
-                raise ValueError("predictor 2 with float samples unsupported")
-            wide = strip.astype(np.int64).cumsum(
-                axis=1 if spp > 1 else -1, dtype=np.int64
+    if 322 in t or 324 in t:
+        # Tiled layout (tags 322/323/324/325): fixed-size tiles in
+        # row-major order, right/bottom edge tiles padded to full size.
+        tw = int(t[322][0])
+        th = int(t[323][0])
+        toffsets = t.get(324)
+        tcounts = t.get(325)
+        if toffsets is None:
+            raise ValueError("tiled TIFF missing TileOffsets")
+        if compression != 1 and tcounts is None:
+            raise ValueError("compressed tiled TIFF missing TileByteCounts")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        tile_bytes = th * tw * spp * dt.itemsize
+        shape = (down * th, across * tw, spp) if spp > 1 else (down * th, across * tw)
+        img = np.zeros(shape, dtype=dt)
+        for ti, off in enumerate(toffsets):
+            if compression == 1:
+                nbytes = tcounts[ti] if tcounts else tile_bytes
+                raw = data[off : off + nbytes]
+            else:
+                raw = _decompress_strip(
+                    data[off : off + tcounts[ti]], compression
+                )
+            tile = np.frombuffer(raw, dtype=dt, count=th * tw * spp)
+            tile = (
+                tile.reshape(th, tw, spp) if spp > 1 else tile.reshape(th, tw)
             )
-            strip = (wide & ((1 << bits) - 1)).astype(dt)
-        parts.append(strip)
-    img = np.concatenate(parts, axis=0)
+            if predictor == 2:
+                tile = _undo_predictor(tile, bits, spp, dt)
+            r, c = (ti // across) * th, (ti % across) * tw
+            img[r : r + th, c : c + tw] = tile
+        img = img[:height, :width]
+    else:
+        offsets = t.get(273)
+        counts = t.get(279)
+        if offsets is None:
+            raise ValueError("TIFF missing StripOffsets")
+        if compression != 1 and counts is None:
+            raise ValueError("compressed TIFF missing StripByteCounts")
+        rows_per_strip = int(t.get(278, [height])[0])
+        row_bytes = width * spp * dt.itemsize
+
+        parts = []
+        for si, off in enumerate(offsets):
+            nrows = min(rows_per_strip, height - si * rows_per_strip)
+            if compression == 1:
+                nbytes = counts[si] if counts else nrows * row_bytes
+                raw = data[off : off + nbytes]
+            else:
+                raw = _decompress_strip(
+                    data[off : off + counts[si]], compression
+                )
+            strip = np.frombuffer(raw, dtype=dt, count=nrows * width * spp)
+            strip = (
+                strip.reshape(nrows, width, spp)
+                if spp > 1
+                else strip.reshape(nrows, width)
+            )
+            if predictor == 2:
+                strip = _undo_predictor(strip, bits, spp, dt)
+            parts.append(strip)
+        img = np.concatenate(parts, axis=0)
     band1 = img[..., 0] if spp > 1 else img
 
     srid = 0
@@ -382,4 +422,99 @@ def encode_tiff_gray(
     out.append(struct.pack("<I", 0))  # next-IFD pointer
     out.extend(extra)
     out.append(pixels)
+    return b"".join(out)
+
+
+def encode_tiff_gray_tiled(
+    band: np.ndarray,
+    tile: tuple[int, int] = (16, 16),
+    compression: str | None = None,
+    predictor: int = 1,
+    srid: int = 0,
+) -> bytes:
+    """(H, W) array -> minimal little-endian tiled GeoTIFF (tags
+    322/323/324/325) — the fixture-builder counterpart of decode_tiff's
+    tiled branch. Edge tiles are zero-padded to full tile size per spec."""
+    band = np.ascontiguousarray(band)
+    h, w = band.shape
+    th, tw = tile[1], tile[0]
+    kind = {"u": 1, "i": 2, "f": 3}[band.dtype.kind]
+    bits = band.dtype.itemsize * 8
+    comp_code = _COMPRESSION_CODES[compression]
+
+    across = (w + tw - 1) // tw
+    down = (h + th - 1) // th
+    padded = np.zeros((down * th, across * tw), dtype=band.dtype)
+    padded[:h, :w] = band
+    tiles: list[bytes] = []
+    for r in range(down):
+        for c in range(across):
+            blk = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
+            if predictor == 2:
+                blk = np.concatenate(
+                    [blk[:, :1], np.diff(blk, axis=1)], axis=1
+                )
+            raw = blk.astype(blk.dtype.newbyteorder("<")).tobytes()
+            if compression == "deflate":
+                import zlib
+
+                raw = zlib.compress(raw)
+            elif compression == "packbits":
+                raw = _packbits_encode(raw)
+            elif compression == "lzw":
+                raw = _lzw_encode(raw)
+            tiles.append(raw)
+
+    n = len(tiles)
+    entries: list[list] = []
+
+    def entry(tag, ftype, count, inline=None, payload=None):
+        entries.append([tag, ftype, count, inline, payload])
+
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, bits)
+    entry(259, 3, 1, comp_code)
+    entry(262, 3, 1, 1)
+    entry(277, 3, 1, 1)
+    if predictor == 2:
+        entry(317, 3, 1, 2)
+    entry(322, 4, 1, tw)
+    entry(323, 4, 1, th)
+    entry(324, 4, n, None, b"\x00" * (4 * n))  # offsets patched below
+    entry(325, 4, n, None, struct.pack(f"<{n}I", *[len(b) for b in tiles]))
+    entry(339, 3, 1, kind)
+    if srid:
+        geod = struct.pack("<8H", 1, 1, 0, 1, 2048, 0, 1, srid)
+        entry(34735, 3, 8, None, geod)
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = 8
+    heap_off = ifd_off + 2 + len(entries) * 12 + 4
+    for e in entries:
+        if e[4] is not None:
+            e[3] = heap_off
+            heap_off += len(e[4])
+    # tile data begins after the payload heap; patch the offsets payload
+    data_off = heap_off
+    offs = []
+    for b in tiles:
+        offs.append(data_off)
+        data_off += len(b)
+    for e in entries:
+        if e[0] == 324:
+            e[4] = struct.pack(f"<{n}I", *offs)
+
+    out = [struct.pack("<2sHI", b"II", 42, ifd_off), struct.pack("<H", len(entries))]
+    for tag, ftype, count, val, payload in entries:
+        if payload is not None or ftype == 4:
+            raw = struct.pack("<I", val)
+        elif ftype == 3:
+            raw = struct.pack("<HH", val, 0)
+        else:
+            raw = struct.pack("<I", val)
+        out.append(struct.pack("<HHI", tag, ftype, count) + raw)
+    out.append(struct.pack("<I", 0))
+    out.extend(e[4] for e in entries if e[4] is not None)
+    out.extend(tiles)
     return b"".join(out)

@@ -117,6 +117,43 @@ def test_xlsx_workbook_order_beats_zip_order(spark, tmp_path):
     assert {r["name"] for r in df.collect()} == {"alpha", "beta"}
 
 
+_ODS_SPARSE = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+<office:body><office:spreadsheet>
+<table:table table:name="Sheet1">
+<table:table-row>
+  <table:table-cell><text:p>a</text:p></table:table-cell>
+  <table:table-cell><text:p>b</text:p></table:table-cell>
+  <table:table-cell><text:p>c</text:p></table:table-cell>
+</table:table-row>
+<table:table-row>
+  <table:table-cell><text:p>left</text:p></table:table-cell>
+  <table:table-cell table:number-columns-repeated="1"/>
+  <table:table-cell><text:p>right</text:p></table:table-cell>
+</table:table-row>
+</table:table>
+</office:spreadsheet></office:body></office:document-content>"""
+
+
+def test_ods_repeated_empty_cells_keep_alignment(spark, tmp_path):
+    """r03 regression (ODS cell shift): an empty repeated cell between
+    values must hold its column position, not shift the following cell
+    left."""
+    p = tmp_path / "sparse.ods"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", _ODS_SPARSE)
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    Importer(spark, cat, str(p)).run()
+    df = cat.read(spark, "sparse")
+    assert df.columns == ["a", "b", "c"]
+    row = df.collect()[0]
+    assert row["a"] == "left" and row["b"] is None and row["c"] == "right"
+
+
 def test_ods_import(spark, tmp_path):
     p = tmp_path / "cities.ods"
     _make_ods(p)

@@ -60,6 +60,10 @@ class Importer:
         self.source = import_from_file
         self.debug = debug
         self.runlog: list[str] = []
+        # a user-supplied name is forced: archive explosion must not
+        # retarget it (importer.rb:52-57 + the `unless @force_name`
+        # guard at importer.rb:106)
+        self.force_name = bool(suggested_name)
         base = os.path.splitext(os.path.basename(import_from_file))[0]
         self.suggested_name = naming.get_valid_name(
             naming.sanitize(suggested_name or base), self.catalog.table_names()
@@ -77,8 +81,9 @@ class Importer:
         try:
             df, meta = route(self.spark, self.source)
             workdir = meta.get("workdir")
-            # archive explosion may retarget the name (importer.rb:108-111)
-            if meta.get("suggested_name"):
+            # archive explosion may retarget the name (importer.rb:106),
+            # unless the user forced one
+            if meta.get("suggested_name") and not self.force_name:
                 self.suggested_name = naming.get_valid_name(
                     naming.sanitize(meta["suggested_name"]),
                     self.catalog.table_names(),

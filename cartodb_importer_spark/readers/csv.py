@@ -45,6 +45,19 @@ def read_csv(
     quote = quote or sniff_quote(
         header_line.split(delimiter) + sample_line.split(delimiter)
     ) or '"'
+    # Records with embedded newlines (RFC4180 / Ruby CSV default) show up
+    # as physical lines with an odd quote count. One bounded driver pass
+    # with early exit; only such files pay multiLine's cost (Spark can't
+    # split a multiLine file across tasks, so never turn it on blindly —
+    # the common newline-free case must stay splittable at scale).
+    multiline = False
+    with open(path, encoding=encoding, errors="replace") as f:
+        for i, line in enumerate(f):
+            if line.count(quote) % 2 == 1:
+                multiline = True
+                break
+            if i >= 200_000:
+                break
 
     # Parse the header driver-side and hand Spark an explicit schema:
     # blank/duplicate/reserved raw headers (all of which real CSVs carry)
@@ -52,6 +65,21 @@ def read_csv(
     raw_names = next(
         csvmod.reader(io.StringIO(header_line), delimiter=delimiter, quotechar=quote)
     )
+
+    # OGR CSV-driver header heuristic (the reference loads CSVs via
+    # ogr2ogr, importer.rb:230-232): a first line containing ANY numeric
+    # field is DATA, not a header — synthesize field_1..field_n instead
+    # (estaciones2.csv golden: 30 rows from a 30-line headerless file).
+    def _numeric(tok: str) -> bool:
+        try:
+            float(tok.strip())
+            return True
+        except ValueError:
+            return False
+
+    has_header = not any(_numeric(n) for n in raw_names if n.strip())
+    if not has_header:
+        raw_names = [f"field_{i + 1}" for i in range(len(raw_names))]
     names = (
         naming.sanitize_columns(raw_names)
         if sanitize
@@ -66,7 +94,7 @@ def read_csv(
     spark_encoding = "UTF-8" if encoding == "utf-8-sig" else encoding
     df = spark.read.csv(
         path,
-        header=True,  # skip the header line; names come from `schema`
+        header=has_header,  # when true, skip line 1; names come from `schema`
         schema=schema,
         sep=delimiter,
         encoding=spark_encoding,
@@ -75,6 +103,7 @@ def read_csv(
         # dialect Ruby CSV writes/reads (importer.rb's column_stripper) —
         # Spark's default escape is backslash, which leaves `""` verbatim.
         escape=quote,
+        multiLine=multiline,
         enforceSchema=True,
         mode="PERMISSIVE",
     )

@@ -54,7 +54,13 @@ def read_dbf(f: BinaryIO) -> Iterator[list]:
                 if text == "":
                     value: object = 0  # dbfUtils.py:44-45
                 elif deci:
-                    value = Decimal(text)
+                    # real-world DBFs carry garbage in N fields (e.g. the
+                    # simon-search-spain fixture); NULL them rather than
+                    # abort the import (shp2pgsql tolerance)
+                    try:
+                        value = Decimal(text)
+                    except ArithmeticError:
+                        value = None
                 else:
                     try:
                         value = int(text)

@@ -32,10 +32,12 @@ HEADLINE = [
     "join_asof",
     "setop_except_all",
     "llm_dedup_exact",
-    "llm_minhash_pairs",
     # end-to-end near-dedup (shingle -> minhash -> LSH bucket join ->
-    # survivor election) — dedup is the north-star pipeline workload, so
-    # the headline carries the full operator, not just the pairs stage
+    # size-bound -> exact-Jaccard verify -> survivor election) — dedup is
+    # the north-star pipeline workload, so the headline carries the full
+    # operator. It REPLACES the old llm_minhash_pairs entry: the pairs
+    # stage is near_dedup's first half, so listing both double-counted
+    # the same work (llm_minhash_pairs stays registered + oracled).
     "llm_near_dedup",
     "llm_cosine_topk",
     "llm_text_stats",

@@ -182,7 +182,10 @@ class Exporter:
             fsinks.write_parquet_dir(df, path)
         else:
             raise ValueError(f"unsupported export type {self.type!r}")
-        return ExportResult(name=self.table, import_type=self.type, path=path)
+        # exporter.rb:51: export_type carries the leading dot
+        return ExportResult(
+            name=self.table, import_type=f".{self.type}", path=path
+        )
 
 
 @dataclass

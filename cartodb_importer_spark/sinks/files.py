@@ -53,7 +53,16 @@ def write_parquet_dir(df: DataFrame, path: str) -> None:
 
 
 def _single_csv(df: DataFrame, directory: str) -> str:
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(directory)
+    # escape='"' writes RFC4180 doubled-quote escaping — the dialect Ruby
+    # CSV and our own reader speak; Spark's default backslash escaping
+    # would round-trip wrong through either.
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(directory)
+    )
     return glob.glob(os.path.join(directory, "part-*.csv"))[0]
 
 

@@ -109,3 +109,55 @@ def test_vizzuality_shp_columns(spark, tmp_path):
         "nombrerest", "tipocomida",
     }
     assert expected <= cols
+
+
+def test_export_roundtrip_clubbing_csv_and_kmz(spark, tmp_path):
+    """spec/export_spec.rb:9-41: import the real clubbing.csv (multiline
+    quoted records), then export as zipped CSV and as KMZ; re-import the
+    CSV export and get the same 1998 rows back."""
+    catalog = LocalCatalog(str(tmp_path / "wh"))
+    res = Importer(spark, catalog, os.path.join(DATA, "clubbing.csv")).run()
+    assert res.rows_imported == 1998
+
+    from cartodb_importer_spark.importer import Exporter
+
+    out = Exporter(
+        spark, catalog, "clubbing", type="csv", out_dir=str(tmp_path)
+    ).run()
+    assert out.name == "clubbing" and out.import_type == ".csv"
+    res2 = Importer(
+        spark, catalog, out.path, suggested_name="clubbing_rt"
+    ).run()
+    assert res2.rows_imported == 1998
+
+    kmz = Exporter(
+        spark, catalog, "clubbing", type="kml", out_dir=str(tmp_path)
+    ).run()
+    assert kmz.name == "clubbing" and kmz.import_type == ".kml"
+    import zipfile
+
+    with zipfile.ZipFile(kmz.path) as zf:
+        assert zf.namelist() == ["doc.kml"]
+        kml = zf.read("doc.kml").decode()
+    assert kml.count("<Placemark>") == 1998
+
+
+def test_export_roundtrip_vizzuality_shp(spark, tmp_path):
+    """spec/export_spec.rb:42-58: import the real vizzuality shapefile and
+    re-export it as a SHP zip; the re-imported geometry count matches."""
+    catalog = LocalCatalog(str(tmp_path / "wh"))
+    res = Importer(
+        spark, catalog, os.path.join(DATA, "EjemploVizzuality.zip")
+    ).run()
+    assert res.rows_imported == 11
+
+    from cartodb_importer_spark.importer import Exporter
+
+    out = Exporter(
+        spark, catalog, "vizzuality", type="shp", out_dir=str(tmp_path)
+    ).run()
+    assert out.name == "vizzuality" and out.import_type == ".shp"
+    res2 = Importer(
+        spark, catalog, out.path, suggested_name="vizzuality_rt"
+    ).run()
+    assert res2.rows_imported == 11

@@ -1,9 +1,9 @@
 """Minimal pure-Python classic TIFF/GeoTIFF reader.
 
 Covers the subset the raster import path (O18, importer.rb:406-459) needs
-when rasterio/GDAL is absent: classic (non-Big) TIFF, either byte order,
-strip- OR tile-organized, integer or float samples, band 1, with the
-compression schemes that need no native codec:
+when rasterio/GDAL is absent: classic AND BigTIFF containers, either byte
+order, strip- OR tile-organized, integer or float samples, band 1, with
+the compression schemes that need no native codec:
 
 * 1     — uncompressed
 * 5     — TIFF-LZW (MSB-first variable-width codes, early change)
@@ -15,9 +15,9 @@ DEFLATE). GeoTIFF georeferencing is read from ModelPixelScale/
 ModelTiepoint and the EPSG code from the GeoKey directory
 (GeographicType 2048 / ProjectedCSType 3072 keys).
 
-Anything outside that subset (JPEG/CCITT compression, BigTIFF, float
-predictor) raises ValueError so the caller can fall back to the stub —
-those are where GDAL genuinely earns its dependency.
+Anything outside that subset (JPEG/CCITT compression, float predictor)
+raises ValueError so the caller can fall back to the stub — those are
+where GDAL genuinely earns its dependency.
 """
 
 from __future__ import annotations
@@ -37,17 +37,24 @@ _TYPES = {
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
+    18: ("Q", 8),  # IFD8 (BigTIFF)
 }
 
 
-def _read_ifd_values(data: bytes, bo: str, ftype: int, count: int, raw: bytes):
+def _read_ifd_values(
+    data: bytes, bo: str, ftype: int, count: int, raw: bytes, inline: int
+):
+    """``raw`` is the entry's value field (4 bytes classic, 8 BigTIFF);
+    larger payloads live at the offset it encodes."""
     code, size = _TYPES.get(ftype, (None, None))
     if code is None:
         return None
     total = size * count
-    buf = raw[:4] if total <= 4 else None
+    buf = raw[:total] if total <= inline else None
     if buf is None:
-        offset = struct.unpack(bo + "I", raw)[0]
+        offset = struct.unpack(bo + ("I" if inline == 4 else "Q"), raw)[0]
         buf = data[offset : offset + total]
     if ftype == 2:
         return buf.rstrip(b"\x00").decode("ascii", "replace")
@@ -58,7 +65,10 @@ def _read_ifd_values(data: bytes, bo: str, ftype: int, count: int, raw: bytes):
 
 
 def parse_tiff(data: bytes) -> dict:
-    """Parse the first IFD of a classic TIFF into a {tag: values} dict."""
+    """Parse the first IFD of a classic OR BigTIFF file into a
+    {tag: values} dict. BigTIFF (magic 43): 8-byte IFD offsets, 8-entry
+    counts, 20-byte entries with an 8-byte inline value field, and the
+    LONG8/SLONG8/IFD8 field types — same tags otherwise."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -66,17 +76,31 @@ def parse_tiff(data: bytes) -> dict:
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
     magic = struct.unpack_from(bo + "H", data, 2)[0]
+    tags: dict[int, object] = {"__bo__": bo}
     if magic == 43:
-        raise ValueError("BigTIFF unsupported")
+        offsize, reserved = struct.unpack_from(bo + "HH", data, 4)
+        if offsize != 8 or reserved != 0:
+            raise ValueError("malformed BigTIFF header")
+        ifd_off = struct.unpack_from(bo + "Q", data, 8)[0]
+        n = struct.unpack_from(bo + "Q", data, ifd_off)[0]
+        for i in range(n):
+            base = ifd_off + 8 + i * 20
+            tag, ftype = struct.unpack_from(bo + "HH", data, base)
+            count = struct.unpack_from(bo + "Q", data, base + 4)[0]
+            tags[tag] = _read_ifd_values(
+                data, bo, ftype, count, data[base + 12 : base + 20], 8
+            )
+        return tags
     if magic != 42:
         raise ValueError("not a TIFF (bad magic)")
     ifd_off = struct.unpack_from(bo + "I", data, 4)[0]
     n = struct.unpack_from(bo + "H", data, ifd_off)[0]
-    tags: dict[int, object] = {"__bo__": bo}
     for i in range(n):
         base = ifd_off + 2 + i * 12
         tag, ftype, count = struct.unpack_from(bo + "HHI", data, base)
-        tags[tag] = _read_ifd_values(data, bo, ftype, count, data[base + 8 : base + 12])
+        tags[tag] = _read_ifd_values(
+            data, bo, ftype, count, data[base + 8 : base + 12], 4
+        )
     return tags
 
 
@@ -517,4 +541,60 @@ def encode_tiff_gray_tiled(
     out.append(struct.pack("<I", 0))
     out.extend(e[4] for e in entries if e[4] is not None)
     out.extend(tiles)
+    return b"".join(out)
+
+
+def encode_bigtiff_gray(band: np.ndarray, srid: int = 0) -> bytes:
+    """(H, W) array -> minimal little-endian single-strip BigTIFF (magic
+    43, 20-byte IFD entries, LONG8 offsets) — fixture counterpart of
+    parse_tiff's BigTIFF branch."""
+    band = np.ascontiguousarray(band)
+    h, w = band.shape
+    kind = {"u": 1, "i": 2, "f": 3}[band.dtype.kind]
+    bits = band.dtype.itemsize * 8
+    pixels = band.astype(band.dtype.newbyteorder("<")).tobytes()
+
+    entries: list[tuple[int, int, int, int | None, bytes | None]] = []
+
+    def entry(tag, ftype, count, inline=None, payload=None):
+        entries.append([tag, ftype, count, inline, payload])
+
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, bits)
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, 1)
+    entry(273, 16, 1, None)  # strip offset, patched below
+    entry(277, 3, 1, 1)
+    entry(278, 4, 1, h)
+    entry(279, 16, 1, len(pixels))
+    entry(339, 3, 1, kind)
+    if srid:
+        geod = struct.pack("<8H", 1, 1, 0, 1, 2048, 0, 1, srid)
+        entry(34735, 3, 8, None, geod)
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = 16
+    heap_off = ifd_off + 8 + len(entries) * 20 + 8
+    extra: list[bytes] = []
+    for e in entries:
+        if e[4] is not None:
+            extra.append(e[4])
+            e[3] = heap_off
+            heap_off += len(e[4])
+    for e in entries:
+        if e[0] == 273:
+            e[3] = heap_off  # pixel data starts after the payload heap
+
+    out = [struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)]
+    out.append(struct.pack("<Q", len(entries)))
+    for tag, ftype, count, val, payload in entries:
+        if ftype == 3 and payload is None:
+            raw = struct.pack("<H6x", val)
+        else:
+            raw = struct.pack("<Q", val)
+        out.append(struct.pack("<HHQ", tag, ftype, count) + raw)
+    out.append(struct.pack("<Q", 0))
+    out.extend(extra)
+    out.append(pixels)
     return b"".join(out)

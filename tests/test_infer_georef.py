@@ -385,3 +385,22 @@ def test_raster_tiled_geotiff_real_path(spark, tmp_path):
     assert np.array_equal(blk, band[:180, :180])
     r11 = rows[(1, 1)]
     assert (r11["width"], r11["height"]) == (10, 20)
+
+
+def test_bigtiff_roundtrip():
+    """BigTIFF container (magic 43, 20-byte IFD entries, LONG8 offsets)
+    decodes to the exact pixel array with the GeoKey SRID intact."""
+    import numpy as np
+
+    from cartodb_importer_spark.readers.tiff import (
+        decode_tiff, encode_bigtiff_gray,
+    )
+
+    rs = np.random.RandomState(11)
+    band = rs.randint(0, 60000, size=(23, 31)).astype(np.uint16)
+    back, meta = decode_tiff(encode_bigtiff_gray(band, srid=25830))
+    assert np.array_equal(back, band)
+    assert meta["srid"] == 25830
+    fband = rs.rand(9, 7).astype(np.float32)
+    back2, _ = decode_tiff(encode_bigtiff_gray(fband))
+    assert np.allclose(back2, fband)

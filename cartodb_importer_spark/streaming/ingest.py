@@ -1,0 +1,102 @@
+"""Continuous importer: the reference's one-shot CSV pipeline (O8 load,
+O10 column sanitize, §2.2 type inference, O12/O13 georeferencing —
+importer.rb:228-330) re-expressed as a Structured Streaming file-source
+query that watches a directory and appends each arriving file to a
+catalog table.
+
+Spark-first shape: the schema/type/georef DECISIONS are made once,
+driver-side, from the files present at start time (a stream needs a fixed
+schema; re-inferring per micro-batch would let two batches disagree about
+a column's type — the batch importer's semantics are one decision per
+table). Every arriving file then flows through the same pure-expression
+transform chain, distributed, with foreachBatch idempotent-replay
+append semantics (streaming/sinks.py) giving exactly-once table state
+under checkpoint recovery.
+
+At 100 TB this is the landing-zone pattern: files dropped by upstream
+jobs become table rows within a trigger interval without rescanning the
+table, and `maxFilesPerTrigger` bounds per-batch work.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as st
+
+from .. import naming
+from ..georef import georeference_points
+from ..infer import apply_inferred_types, infer_column_types
+from .sinks import stream_to_catalog
+
+
+def plan_csv_ingest(
+    spark: SparkSession, directory: str
+) -> tuple[st.StructType, dict[str, str]]:
+    """One-time driver-side decisions for a CSV landing zone: sanitized
+    column names (from the first file's header, O10) and the inferred
+    type lattice (over the files present now, §2.2). Returns
+    (string-typed read schema, {column: inferred_type})."""
+    from ..readers.csv import read_csv
+
+    seed = sorted(glob.glob(os.path.join(directory, "*.csv")))
+    if not seed:
+        raise ValueError(f"no .csv files in {directory} to plan from")
+    df, meta = read_csv(spark, seed[0], infer=False)
+    names = df.columns
+    schema = st.StructType(
+        [st.StructField(n, st.StringType(), True) for n in names]
+    )
+    # infer over everything currently landed (distributed agg, one job)
+    union = spark.read.csv(
+        seed, header=True, schema=schema, enforceSchema=True
+    ).toDF(*names)
+    types = infer_column_types(union)
+    return schema, types
+
+
+def stream_import_csv(
+    spark: SparkSession,
+    directory: str,
+    catalog,
+    table: str,
+    checkpoint_dir: str,
+    schema: st.StructType | None = None,
+    types: dict[str, str] | None = None,
+    max_files_per_trigger: int = 16,
+    trigger_available_now: bool = True,
+):
+    """Start the continuous import of ``directory`` into
+    ``catalog``/``table``. Returns the StreamingQuery (caller awaits).
+
+    The per-batch transform chain is exactly the batch importer's:
+    sanitized names (baked into the schema), inferred casts, lat/lon
+    georeferencing — all pure column expressions, so the stream plan
+    stays whole-stage-codegen'd with no Python in the row path."""
+    if schema is None or types is None:
+        planned_schema, planned_types = plan_csv_ingest(spark, directory)
+        schema = schema or planned_schema
+        types = types or planned_types
+    raw = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(directory)
+    )
+    typed = apply_inferred_types(raw, types)
+    geo = georeference_points(typed)
+    return stream_to_catalog(
+        geo,
+        catalog,
+        table,
+        checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def sanitize_stream_columns(df: DataFrame) -> DataFrame:
+    """O10 for an already-running stream whose source columns are raw
+    (e.g. a Kafka JSON feed): rename to sanitized names in one select."""
+    return df.toDF(*naming.sanitize_columns(df.columns))

@@ -519,3 +519,60 @@ def test_append_mode_emits_watermark_closed_windows(spark, tmp_path):
     assert _canon(got, cols) == _canon(expected, cols)
     # the open tail was genuinely withheld
     assert len(got.collect()) < len(S.tumbling_counts(batch_df).collect())
+
+
+def test_continuous_csv_import(spark, tmp_path):
+    """streaming/ingest.py: the reference's CSV pipeline as a file-source
+    stream — files landing in a directory become catalog rows with
+    sanitized names, inferred types, and georeferenced points; a file
+    arriving AFTER the first run is picked up by the next trigger from
+    the same checkpoint."""
+    import os
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+    from cartodb_importer_spark.streaming.ingest import (
+        plan_csv_ingest, stream_import_csv,
+    )
+
+    land = tmp_path / "landing"
+    os.makedirs(land)
+    (land / "a.csv").write_text(
+        "Store Num,Latitude,Longitude,Sales\n1,40.1,-3.7,10\n2,41.4,2.1,20\n"
+    )
+    (land / "b.csv").write_text(
+        "Store Num,Latitude,Longitude,Sales\n3,48.8,2.3,30\n"
+    )
+    catalog = LocalCatalog(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    schema, types = plan_csv_ingest(spark, str(land))
+    assert [f.name for f in schema] == [
+        "store_num", "latitude", "longitude", "sales",
+    ]
+    assert types["store_num"] == "integer" and types["latitude"] == "float"
+
+    q = stream_import_csv(
+        spark, str(land), catalog, "stores", ckpt,
+        schema=schema, types=types,
+    )
+    q.awaitTermination()
+    got = catalog.read(spark, "stores")
+    rows = {r["store_num"]: r for r in got.collect()}
+    assert len(rows) == 3
+    assert rows[1]["the_geom"] == "POINT(-3.7 40.1)"
+    assert dict(got.dtypes)["sales"] == "int"
+
+    # late-arriving file: same checkpoint, next availableNow run ingests
+    # only the new file (no duplicates of the first three rows)
+    (land / "c.csv").write_text(
+        "Store Num,Latitude,Longitude,Sales\n4,52.5,13.4,40\n"
+    )
+    q2 = stream_import_csv(
+        spark, str(land), catalog, "stores", ckpt,
+        schema=schema, types=types,
+    )
+    q2.awaitTermination()
+    rows = {r["store_num"]: r for r in
+            catalog.read(spark, "stores").collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[4]["the_geom"] == "POINT(13.4 52.5)"

@@ -109,8 +109,10 @@ def _previously_verified() -> set[str]:
                 continue
             if r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
                 # rows-only-by-design query already swept; re-running it
-                # can never upgrade the verdict, so don't spend a slot.
-                green.add(name)
+                # can't upgrade the verdict UNLESS an oracle has been
+                # added since — then it must queue as unverified again.
+                if name not in ORACLES:
+                    green.add(name)
                 continue
             if r.get("err"):
                 continue

@@ -109,7 +109,6 @@ def minhash_signature(
     id_col: str = "doc_id",
     bands: int = 8,
     n: int = 3,
-    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature, one column per band.
 
@@ -117,16 +116,9 @@ def minhash_signature(
     independent slice of that digest (hex chars [b*w, (b+1)*w)), so adding
     bands costs substrings, not digests — at 100 TB the md5s are the compute
     bill. The shingle array materializes once per row and every band's min
-    reads the same hashed array. ``shingle_df`` lets a caller that also
-    needs the shingles elsewhere (near_dedup's verify stage) supply one
-    shared (persisted) ``(id, __sh)`` frame instead of re-shingling."""
+    reads the same hashed array."""
     w = band_width(bands)
-    base = (
-        shingle_df
-        if shingle_df is not None
-        else shingle_frame(df, text_col, id_col, n)
-    )
-    hashed = base.select(
+    hashed = shingle_frame(df, text_col, id_col, n).select(
         F.col(id_col),
         F.transform(F.col("__sh"), lambda s: F.md5(s)).alias("__hs"),
     )
@@ -151,8 +143,6 @@ def minhash_candidate_pairs(
     bands: int = 8,
     n: int = 3,
     max_bucket: int = 1000,
-    shingle_df: DataFrame | None = None,
-    size_ratio_bound: float | None = None,
 ) -> DataFrame:
     """LSH banding: documents sharing ANY band value become a candidate
     pair. The self-join is per (band, value) bucket — the only rows that
@@ -166,27 +156,10 @@ def minhash_candidate_pairs(
     size yet still connects the whole bucket for the connected-components
     cluster pass. Recall tradeoff (documented, deliberate): in an
     oversized bucket, two docs similar to each other but NOT to the
-    representative won't form a direct candidate pair.
-
-    ``size_ratio_bound``: with a Jaccard threshold t downstream,
-    J(A,B) <= min(|A|,|B|)/max(|A|,|B|) means pairs whose shingle-set
-    sizes differ by more than t can never verify — pruning them INSIDE
-    the bucket self-join keeps them out of the pair distinct() and the
-    array-shipping verify join entirely (the classic length filter of
-    exact similarity joins). Star-pattern pairs from oversized buckets
-    skip the bound (they are a linear connectivity guard; the verify
-    stage still scores them)."""
-    sig = minhash_signature(df, text_col, id_col, bands, n, shingle_df)
-    if size_ratio_bound is not None:
-        ns = (
-            shingle_df
-            if shingle_df is not None
-            else shingle_frame(df, text_col, id_col, n)
-        ).select(F.col(id_col), F.size("__sh").alias("__ns"))
-        sig = sig.join(ns, id_col)  # |docs| rows, 1 int — trivial join
+    representative won't form a direct candidate pair."""
+    sig = minhash_signature(df, text_col, id_col, bands, n)
     stacked = sig.select(
         F.col(id_col),
-        *([F.col("__ns")] if size_ratio_bound is not None else []),
         F.explode(
             F.array(
                 *[
@@ -198,10 +171,7 @@ def minhash_candidate_pairs(
             )
         ).alias("bv"),
     ).select(
-        id_col,
-        *([F.col("__ns")] if size_ratio_bound is not None else []),
-        F.col("bv.band").alias("band"),
-        F.col("bv.val").alias("val"),
+        id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     ).where(
         # docs with fewer than n words have NO shingles: array_min over the
         # empty hash array is NULL. Drop those rows here so short docs
@@ -217,39 +187,42 @@ def minhash_candidate_pairs(
     w = Window.partitionBy("band", "val")
     annotated = stacked.select(
         id_col,
-        *([F.col("__ns")] if size_ratio_bound is not None else []),
         "band",
         "val",
         F.count(F.lit(1)).over(w).alias("__bn"),
         F.min(id_col).over(w).alias("__rep"),
     ).persist()
     small = annotated.filter(F.col("__bn") <= max_bucket).select(
-        id_col,
-        *([F.col("__ns")] if size_ratio_bound is not None else []),
-        "band",
-        "val",
+        id_col, "band", "val"
     )
     left = small.alias("a")
     right = small.alias("b")
-    join_cond = (
+    pairs_small = left.join(
+        right,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.val") == F.col("b.val"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    )
-    if size_ratio_bound is not None:
-        join_cond = join_cond & (
-            F.least(F.col("a.__ns"), F.col("b.__ns"))
-            >= F.greatest(F.col("a.__ns"), F.col("b.__ns"))
-            * size_ratio_bound
-            - 1e-9
-        )
-    pairs_small = left.join(right, join_cond).select(
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
     pairs_big = annotated.filter(
         (F.col("__bn") > max_bucket) & (F.col(id_col) != F.col("__rep"))
     ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
     return pairs_small.unionByName(pairs_big).distinct()
+
+
+def _hashed_shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool
+) -> DataFrame:
+    """(id, sh) frame the verify stage joins on, persisted — both join
+    sides (and near_dedup's size bound) read it."""
+    sh = shingle_frame(df, text_col, id_col, n).withColumnRenamed("__sh", "sh")
+    if hashed:
+        sh = sh.select(
+            id_col,
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
+        )
+    return sh.persist()
 
 
 def _candidate_shingle_join(
@@ -259,19 +232,16 @@ def _candidate_shingle_join(
     id_col: str,
     n: int,
     hashed: bool,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Shared verify-stage scaffold for the pair scorers: shingle (and
     optionally xxhash64-compress) every doc ONCE (persisted — both join
     sides read it), then attach sh_a/sh_b arrays to each candidate pair.
     jaccard_pairs and containment_pairs differ only in the score
-    expression they compute over this frame."""
-    sh = shingle_frame(df, text_col, id_col, n).withColumnRenamed("__sh", "sh")
-    if hashed:
-        sh = sh.select(
-            id_col,
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
-        )
-    sh = sh.persist()
+    expression they compute over this frame. ``sh`` lets a caller that
+    already built the persisted hashed frame (near_dedup) pass it in."""
+    if sh is None:
+        sh = _hashed_shingle_frame(df, text_col, id_col, n, hashed)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return pairs.join(a, "id_a").join(b, "id_b")
@@ -284,6 +254,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     hashed: bool = True,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify step after
     LSH banding).
@@ -294,7 +265,9 @@ def jaccard_pairs(
     the hottest shuffle of the dedup pipeline. Set sizes (and therefore
     Jaccard) are preserved absent 64-bit collisions (~2^-64 per shingle
     pair — far below the similarity noise floor)."""
-    joined = _candidate_shingle_join(df, pairs, text_col, id_col, n, hashed)
+    joined = _candidate_shingle_join(
+        df, pairs, text_col, id_col, n, hashed, sh
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return joined.select(
@@ -354,23 +327,19 @@ def near_dedup_minhash(
       pairs that cannot reach ``threshold`` BEFORE their arrays move:
       only (id, n_shingles) ints join against the thin pair list, and
       the heavy array join runs on the ~1/3 surviving pairs (the classic
-      length filter of exact similarity joins; the epsilon keeps the
-      bound conservative under float rounding, so output is exact).
+      length filter of exact similarity joins). The margin is 5e-5 + eps:
+      the drop decision compares the 4-decimal HALF_UP-rounded jaccard,
+      which pulls values as low as threshold - 0.00005 up to threshold,
+      so the bound must admit that whole window to stay result-identical
+      (a bare float epsilon would wrongly prune J in
+      [threshold-5e-5, threshold)).
 
-    The in-join variant of the bound (size_ratio_bound pushed into the
-    bucket self-join) was measured SLOWER here — it forces an extra
-    shingle pass + shuffle join ahead of the bucket window — so the
-    bound stays on the pair list; at cluster scale with oversized
-    buckets, revisit (minhash_candidate_pairs exposes the knob)."""
+    An in-join variant of the bound (pruning inside the bucket
+    self-join) was measured SLOWER here — it forces an extra shingle
+    pass + shuffle join ahead of the bucket window — so the bound stays
+    on the pair list."""
     cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
-    sh = (
-        shingle_frame(df, text_col, id_col, n)
-        .select(
-            F.col(id_col),
-            F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("sh"),
-        )
-        .persist()
-    )
+    sh = _hashed_shingle_frame(df, text_col, id_col, n, hashed=True)
     # shingles() is already distinct, so the set size is the array size;
     # sizes read from the SAME persisted frame the verify join uses.
     sizes = sh.select(F.col(id_col), F.size("sh").alias("ns"))
@@ -389,24 +358,13 @@ def near_dedup_minhash(
         )
         .filter(
             F.least("ns_a", "ns_b")
-            >= F.greatest("ns_a", "ns_b") * threshold - 1e-9
+            >= F.greatest("ns_a", "ns_b") * (threshold - 5e-5) - 1e-9
         )
         .select("id_a", "id_b")
     )
-    joined = bounded.join(
-        sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
-        "id_a",
-    ).join(
-        sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jaccard = F.round(
-        F.when(union > 0, inter / union).otherwise(0.0), 4
-    )
+    scored = jaccard_pairs(df, bounded, text_col, id_col, n, sh=sh)
     to_drop = (
-        joined.filter(jaccard >= threshold)
+        scored.filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

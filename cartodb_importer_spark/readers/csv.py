@@ -46,18 +46,27 @@ def read_csv(
         header_line.split(delimiter) + sample_line.split(delimiter)
     ) or '"'
     # Records with embedded newlines (RFC4180 / Ruby CSV default) show up
-    # as physical lines with an odd quote count. One bounded driver pass
-    # with early exit; only such files pay multiLine's cost (Spark can't
-    # split a multiLine file across tasks, so never turn it on blindly —
-    # the common newline-free case must stay splittable at scale).
-    multiline = False
+    # as physical lines with an odd quote count. One bounded driver pass;
+    # only such files pay multiLine's cost (Spark can't split a multiLine
+    # file across tasks, so never turn it on blindly — the common
+    # newline-free case must stay splittable at scale). Guard against a
+    # SINGLE stray/malformed quote flipping the whole file into multiLine
+    # (which would swallow every following line into one field): quotes
+    # must RE-BALANCE — the scanned window's total quote count must be
+    # even — before odd lines are believed to be genuine multiline
+    # records. A lone unterminated quote stays a one-row parse error,
+    # exactly as before this sniff existed.
+    any_odd = False
+    total_quotes = 0
     with open(path, encoding=encoding, errors="replace") as f:
         for i, line in enumerate(f):
-            if line.count(quote) % 2 == 1:
-                multiline = True
-                break
+            c = line.count(quote)
+            total_quotes += c
+            if c % 2 == 1:
+                any_odd = True
             if i >= 200_000:
                 break
+    multiline = any_odd and total_quotes % 2 == 0
 
     # Parse the header driver-side and hand Spark an explicit schema:
     # blank/duplicate/reserved raw headers (all of which real CSVs carry)
@@ -71,9 +80,12 @@ def read_csv(
     # field is DATA, not a header — synthesize field_1..field_n instead
     # (estaciones2.csv golden: 30 rows from a 30-line headerless file).
     def _numeric(tok: str) -> bool:
+        import math
+
         try:
-            float(tok.strip())
-            return True
+            # finite only: a column literally named 'NaN'/'Inf' is a
+            # header word, not a numeric cell
+            return math.isfinite(float(tok.strip()))
         except ValueError:
             return False
 
@@ -89,9 +101,22 @@ def read_csv(
         [st.StructField(n, st.StringType(), True) for n in names]
     )
     # 'utf-8-sig' is a Python-only codec name; Spark/Java needs UTF-8.
-    # The BOM lives on the header line, which the read skips (names come
+    # With a header, the BOM lives on the skipped header line (names come
     # from `schema`, parsed driver-side with the sig-aware codec above).
+    # HEADERLESS + BOM: line 1 is data, so the BOM would land inside the
+    # first cell — stage a BOM-stripped copy for Spark to read instead.
     spark_encoding = "UTF-8" if encoding == "utf-8-sig" else encoding
+    if not has_header and encoding == "utf-8-sig":
+        import tempfile
+
+        raw = open(path, "rb").read()
+        if raw.startswith(b"\xef\xbb\xbf"):
+            stripped = tempfile.NamedTemporaryFile(
+                mode="wb", suffix=".csv", delete=False
+            )
+            stripped.write(raw[3:])
+            stripped.close()
+            path = stripped.name
     df = spark.read.csv(
         path,
         header=has_header,  # when true, skip line 1; names come from `schema`
@@ -110,7 +135,10 @@ def read_csv(
     meta: dict = {
         "delimiter": delimiter,
         "encoding": encoding,
+        "spark_encoding": spark_encoding,
         "quote": quote,
+        "has_header": has_header,
+        "multiline": multiline,
         "import_type": ".csv",
     }
     if infer:

@@ -34,11 +34,15 @@ from .sinks import stream_to_catalog
 
 def plan_csv_ingest(
     spark: SparkSession, directory: str
-) -> tuple[st.StructType, dict[str, str]]:
+) -> tuple[st.StructType, dict[str, str], dict[str, str]]:
     """One-time driver-side decisions for a CSV landing zone: sanitized
-    column names (from the first file's header, O10) and the inferred
-    type lattice (over the files present now, §2.2). Returns
-    (string-typed read schema, {column: inferred_type})."""
+    column names (from the first file's header, O10), the inferred type
+    lattice (over the files present now, §2.2), AND the sniffed CSV
+    dialect (delimiter/quote/encoding/header presence) — the reads that
+    follow must parse with the SAME dialect the sniff decided, or a
+    semicolon-delimited or headerless zone silently corrupts. Returns
+    (string-typed read schema, {column: inferred_type}, reader options
+    dict for DataFrameReader/DataStreamReader.options(**...))."""
     from ..readers.csv import read_csv
 
     seed = sorted(glob.glob(os.path.join(directory, "*.csv")))
@@ -49,12 +53,22 @@ def plan_csv_ingest(
     schema = st.StructType(
         [st.StructField(n, st.StringType(), True) for n in names]
     )
+    options = {
+        "sep": meta["delimiter"],
+        "quote": meta["quote"],
+        "escape": meta["quote"],  # RFC4180, matching readers/csv.py
+        "encoding": meta["spark_encoding"],
+        "header": str(meta["has_header"]).lower(),
+        "multiLine": str(meta["multiline"]).lower(),
+        "enforceSchema": "true",
+        "mode": "PERMISSIVE",
+    }
     # infer over everything currently landed (distributed agg, one job)
-    union = spark.read.csv(
-        seed, header=True, schema=schema, enforceSchema=True
-    ).toDF(*names)
+    union = (
+        spark.read.options(**options).schema(schema).csv(seed).toDF(*names)
+    )
     types = infer_column_types(union)
-    return schema, types
+    return schema, types, options
 
 
 def stream_import_csv(
@@ -65,6 +79,7 @@ def stream_import_csv(
     checkpoint_dir: str,
     schema: st.StructType | None = None,
     types: dict[str, str] | None = None,
+    options: dict[str, str] | None = None,
     max_files_per_trigger: int = 16,
     trigger_available_now: bool = True,
 ):
@@ -74,14 +89,19 @@ def stream_import_csv(
     The per-batch transform chain is exactly the batch importer's:
     sanitized names (baked into the schema), inferred casts, lat/lon
     georeferencing — all pure column expressions, so the stream plan
-    stays whole-stage-codegen'd with no Python in the row path."""
-    if schema is None or types is None:
-        planned_schema, planned_types = plan_csv_ingest(spark, directory)
+    stays whole-stage-codegen'd with no Python in the row path. The
+    stream parses with the planner's sniffed dialect options (pass all
+    three of schema/types/options together, or none)."""
+    if schema is None or types is None or options is None:
+        planned_schema, planned_types, planned_opts = plan_csv_ingest(
+            spark, directory
+        )
         schema = schema or planned_schema
         types = types or planned_types
+        options = options or planned_opts
     raw = (
         spark.readStream.schema(schema)
-        .option("header", True)
+        .options(**options)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .csv(directory)
     )

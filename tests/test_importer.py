@@ -456,3 +456,55 @@ def test_kml_multigeometry_and_legacy_namespace(spark, tmp_path):
     df2, _ = read_kml(spark, str(p2))
     row = df2.collect()[0]
     assert row["pop"] == "42" and row["the_geom"] == "POINT(7.0 8.0)"
+
+
+def test_csv_stray_quote_does_not_flip_multiline(spark, tmp_path):
+    """Review fix: one malformed quote must NOT switch the whole file to
+    multiLine (which would swallow every later line into one field) —
+    quotes must re-balance before odd lines count as multiline records."""
+    from cartodb_importer_spark.readers.csv import read_csv
+
+    lines = ["id,note", '1,ok', '2,"unterminated pipe,9']
+    lines += [f"{i},fine" for i in range(3, 103)]
+    p = tmp_path / "stray.csv"
+    p.write_text("\n".join(lines) + "\n")
+    df, meta = read_csv(spark, str(p))
+    assert meta["multiline"] is False
+    # only the malformed row degrades; the 100 clean rows all survive
+    assert df.filter("note = 'fine'").count() == 100
+
+
+def test_csv_multiline_quotes_balanced(spark, tmp_path):
+    """Genuine multiline file (balanced quotes) still parses as records."""
+    from cartodb_importer_spark.readers.csv import read_csv
+
+    p = tmp_path / "ml.csv"
+    p.write_text('id,note\n1,"line one\nline two"\n2,plain\n')
+    df, meta = read_csv(spark, str(p))
+    assert meta["multiline"] is True
+    assert df.count() == 2
+
+
+def test_csv_nan_inf_header_names_stay_header(spark, tmp_path):
+    """Review fix: float('nan')/float('inf') parse, but 'NaN'/'Inf' column
+    names are header words, not numeric cells."""
+    from cartodb_importer_spark.readers.csv import read_csv
+
+    p = tmp_path / "nan.csv"
+    p.write_text("region,NaN,Inf\nmadrid,5,7\n")
+    df, meta = read_csv(spark, str(p))
+    assert meta["has_header"] is True
+    assert df.count() == 1 and df.columns == ["region", "nan", "inf"]
+
+
+def test_csv_headerless_bom_stripped(spark, tmp_path):
+    """Review fix: a BOM-prefixed HEADERLESS file (numeric first field)
+    must not leak the BOM into the first data cell."""
+    from cartodb_importer_spark.readers.csv import read_csv
+
+    p = tmp_path / "bom_headerless.csv"
+    p.write_text("1,40.1,-3.7\n2,41.4,2.1\n", encoding="utf-8-sig")
+    df, meta = read_csv(spark, str(p))
+    assert meta["has_header"] is False
+    rows = sorted(r["field_1"] for r in df.collect())
+    assert rows == [1, 2]  # inferred integer — BOM would force varchar

@@ -545,15 +545,16 @@ def test_continuous_csv_import(spark, tmp_path):
     catalog = LocalCatalog(str(tmp_path / "wh"))
     ckpt = str(tmp_path / "ckpt")
 
-    schema, types = plan_csv_ingest(spark, str(land))
+    schema, types, options = plan_csv_ingest(spark, str(land))
     assert [f.name for f in schema] == [
         "store_num", "latitude", "longitude", "sales",
     ]
     assert types["store_num"] == "integer" and types["latitude"] == "float"
+    assert options["sep"] == "," and options["header"] == "true"
 
     q = stream_import_csv(
         spark, str(land), catalog, "stores", ckpt,
-        schema=schema, types=types,
+        schema=schema, types=types, options=options,
     )
     q.awaitTermination()
     got = catalog.read(spark, "stores")
@@ -569,10 +570,34 @@ def test_continuous_csv_import(spark, tmp_path):
     )
     q2 = stream_import_csv(
         spark, str(land), catalog, "stores", ckpt,
-        schema=schema, types=types,
+        schema=schema, types=types, options=options,
     )
     q2.awaitTermination()
     rows = {r["store_num"]: r for r in
             catalog.read(spark, "stores").collect()}
     assert sorted(rows) == [1, 2, 3, 4]
     assert rows[4]["the_geom"] == "POINT(13.4 52.5)"
+
+
+def test_continuous_csv_import_semicolon_dialect(spark, tmp_path):
+    """Review fix: the planned dialect (here ';' delimiter) must reach
+    both the inference union read and the stream itself — with default
+    options every line would land in column 1."""
+    import os
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+    from cartodb_importer_spark.streaming.ingest import stream_import_csv
+
+    land = tmp_path / "landing"
+    os.makedirs(land)
+    (land / "a.csv").write_text("name;qty\nbolt;5\nnut;7\n")
+    catalog = LocalCatalog(str(tmp_path / "wh"))
+    q = stream_import_csv(
+        spark, str(land), catalog, "parts_sc", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = catalog.read(spark, "parts_sc")
+    assert set(got.columns) >= {"name", "qty"}
+    rows = {r["name"]: r["qty"] for r in got.collect()}
+    assert rows == {"bolt": 5, "nut": 7}
+    assert dict(got.dtypes)["qty"] == "int"

@@ -1,0 +1,62 @@
+"""Driver-contract rotation invariants (__spark_entry__.py).
+
+The external driver verifies only the FIRST 50 entries of queries() per
+round, so the ordering IS the coverage mechanism: a regression that lets
+already-verified names back into the front-50 silently burns a round's
+verification budget. Pure-Python tests — no Spark session."""
+
+import __spark_entry__ as entry
+from cartodb_importer_spark.queries import ORACLES, QUERIES
+
+SWEEP_CAP = 50
+
+
+def test_priority_names_all_registered():
+    missing = [n for n in entry._PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+
+
+def test_front50_has_no_previously_verified_names():
+    verified = entry._previously_verified()
+    unverified_total = sum(1 for n in QUERIES if n not in verified)
+    front = list(entry.queries())[:SWEEP_CAP]
+    overlap = [n for n in front if n in verified]
+    if unverified_total >= SWEEP_CAP:
+        assert not overlap, f"sweep slots wasted on verified names: {overlap}"
+    else:
+        # fewer unverified than the cap: every one of them must be in front
+        assert {n for n in QUERIES if n not in verified} <= set(front)
+
+
+def test_front50_all_oracled_or_rows_only_by_design():
+    # rows-only-by-design queries carry no oracle deliberately; everything
+    # else in the sweep window must have one, or the round yields a weak
+    # rows-only verdict for a query that could have had a value check.
+    rows_only = {n for n in QUERIES if n not in ORACLES}
+    front = list(entry.queries())[:SWEEP_CAP]
+    unoracled = [n for n in front if n not in ORACLES and n not in rows_only]
+    assert not unoracled
+
+
+def test_oracle_sql_ordering_matches_queries():
+    q = [n for n in entry.queries() if n in ORACLES]
+    o = list(entry.oracle_sql())
+    assert q == o, "driver may iterate either dict; orders must agree"
+
+
+def test_registry_oracle_consistency():
+    orphans = [n for n in ORACLES if n not in QUERIES]
+    assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_no_oracle_pin_releases_when_oracle_added(monkeypatch):
+    """A rows-only verdict keeps a query out of the sweep head ONLY while
+    it still has no oracle (review fix: adding one later must re-queue)."""
+    verified = entry._previously_verified()
+    # llm_bpe_train has a no_oracle verdict in CORRECTNESS_r03.json and no
+    # oracle today => treated as swept
+    if "llm_bpe_train" not in ORACLES:
+        assert "llm_bpe_train" in verified
+    # simulate a later round adding the oracle: the pin must release
+    monkeypatch.setitem(ORACLES, "llm_bpe_train", "SELECT 1")
+    assert "llm_bpe_train" not in entry._previously_verified()

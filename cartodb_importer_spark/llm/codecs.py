@@ -4,6 +4,8 @@ The container has no Pillow/torchaudio/ffmpeg, but several real formats
 need nothing beyond the stdlib + numpy:
 
 * BMP (uncompressed BI_RGB, 24/32-bit) — ``struct`` header + numpy rows;
+* PNG (8-bit gray/RGB/palette/alpha, non-interlaced) — zlib inflate +
+  per-scanline unfilter (all five PNG filters);
 * PPM (binary P6) — trivial header + raw RGB;
 * WAV (PCM integer) — stdlib ``wave`` + numpy frombuffer;
 * Y4M (YUV4MPEG2) — text header + raw 4:2:0 frames split on FRAME marks.
@@ -30,12 +32,14 @@ import numpy as np
 
 
 def sniff(payload: bytes) -> str | None:
-    """Best-effort container sniff from magic bytes: 'bmp' | 'ppm' | 'wav'
-    | 'y4m' | None (unknown)."""
+    """Best-effort container sniff from magic bytes: 'bmp' | 'ppm' | 'png'
+    | 'wav' | 'y4m' | None (unknown)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
@@ -236,3 +240,124 @@ def encode_y4m(frames: list[np.ndarray], fps: int = 25) -> bytes:
     for f in frames:
         out.append(b"FRAME\n" + f.tobytes() + chroma)
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------- PNG
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (H, W, 3) uint8 RGB array.
+
+    Pure stdlib+numpy: chunk walk, zlib-inflated IDAT, per-scanline
+    unfilter (None/Sub/Up/Average/Paeth per the PNG spec §9), color types
+    0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA);
+    alpha is dropped, gray broadcast to RGB — matching decode_bmp's
+    contract. 16-bit depth and Adam7 interlace raise ValueError (the
+    declared stub boundary, like JPEG)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            out = line
+        elif ftype == 2:  # Up
+            out = (line + prev) & 0xFF
+        else:
+            out = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = out[i - bpp] if i >= bpp else 0  # left (recon)
+                b = prev[i]  # up (recon)
+                if ftype == 1:  # Sub
+                    out[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    out[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        img[y] = out.astype(np.uint8)
+        prev = out
+
+    px = img.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> minimal truecolor PNG (filter 0 scanlines)."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+    raw = b"".join(
+        b"\x00" + rgb[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

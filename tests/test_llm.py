@@ -451,3 +451,105 @@ def test_pca_project_matches_numpy(spark):
     # components ordered by explained variance
     assert ratio == sorted(ratio, reverse=True)
     assert all(0 <= r <= 1 for r in ratio)
+
+
+def test_codec_png_roundtrip_and_filters():
+    """PNG: encoder round-trip (filter 0), then hand-built scanlines
+    exercising every PNG filter type (Sub/Up/Average/Paeth), plus
+    grayscale, gray+alpha, RGBA, and palette color types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs
+
+    rs = np.random.RandomState(9)
+    rgb = rs.randint(0, 256, size=(11, 7, 3)).astype(np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgb)), rgb)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def build_png(px, color_type, filters, plte=None):
+        h, w = px.shape[:2]
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        flat = px.reshape(h, w * ch).astype(np.int32)
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        bpp = ch
+        for y in range(h):
+            line = flat[y]
+            f = filters[y % len(filters)]
+            out = np.empty(w * ch, dtype=np.int32)
+            for i in range(w * ch):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    out[i] = line[i]
+                elif f == 1:
+                    out[i] = (line[i] - a) & 0xFF
+                elif f == 2:
+                    out[i] = (line[i] - b) & 0xFF
+                elif f == 3:
+                    out[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out[i] = (line[i] - pred) & 0xFF
+            raw += bytes([f]) + out.astype(np.uint8).tobytes()
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+        if plte is not None:
+            parts.append(chunk(b"PLTE", plte.astype(np.uint8).tobytes()))
+        parts.append(chunk(b"IDAT", zlib.compress(bytes(raw))))
+        parts.append(chunk(b"IEND", b""))
+        return b"".join(parts)
+
+    # truecolor, cycling through all five filters
+    data = build_png(rgb, 2, [0, 1, 2, 3, 4])
+    assert np.array_equal(codecs.decode_png(data), rgb)
+    # grayscale -> broadcast to RGB
+    gray = rs.randint(0, 256, size=(6, 5)).astype(np.uint8)
+    out = codecs.decode_png(build_png(gray, 0, [1, 4]))
+    assert np.array_equal(out[:, :, 0], gray) and np.array_equal(
+        out[:, :, 0], out[:, :, 2]
+    )
+    # gray+alpha and RGBA -> alpha dropped
+    ga = rs.randint(0, 256, size=(4, 3, 2)).astype(np.uint8)
+    out = codecs.decode_png(build_png(ga, 4, [2, 3]))
+    assert np.array_equal(out[:, :, 0], ga[:, :, 0])
+    rgba = rs.randint(0, 256, size=(5, 4, 4)).astype(np.uint8)
+    out = codecs.decode_png(build_png(rgba, 6, [4, 1, 3]))
+    assert np.array_equal(out, rgba[:, :, :3])
+    # palette
+    plte = rs.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rs.randint(0, 16, size=(6, 6)).astype(np.uint8)
+    out = codecs.decode_png(build_png(idx, 3, [0, 2], plte=plte))
+    assert np.array_equal(out, plte[idx])
+
+
+def test_multimodal_png_features_and_resize():
+    """PNG payloads flow through the REAL decode path: feature vectors
+    carry true dimensions/means, and the resize kernel operates on
+    actual decoded pixels."""
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs
+    from cartodb_importer_spark.llm.multimodal import decode_features
+
+    rgb = np.zeros((8, 6, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200  # constant red
+    data = codecs.encode_png(rgb)
+    feat = decode_features(data)
+    assert feat[0] == 6.0 and feat[1] == 8.0  # width, height
+    assert feat[2] == 200.0 and feat[3] == 0.0  # mean R, mean G
+
+    small = codecs.resize_nearest(codecs.decode_png(data), 3, 4)
+    assert small.shape == (4, 3, 3) and small[0, 0, 0] == 200

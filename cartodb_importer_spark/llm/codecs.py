@@ -6,6 +6,7 @@ need nothing beyond the stdlib + numpy:
 * BMP (uncompressed BI_RGB, 24/32-bit) — ``struct`` header + numpy rows;
 * PNG (8-bit gray/RGB/palette/alpha, non-interlaced) — zlib inflate +
   per-scanline unfilter (all five PNG filters);
+* GIF (first frame, non-interlaced) — LSB-first LZW + color table;
 * PPM (binary P6) — trivial header + raw RGB;
 * WAV (PCM integer) — stdlib ``wave`` + numpy frombuffer;
 * Y4M (YUV4MPEG2) — text header + raw 4:2:0 frames split on FRAME marks.
@@ -32,14 +33,16 @@ import numpy as np
 
 
 def sniff(payload: bytes) -> str | None:
-    """Best-effort container sniff from magic bytes: 'bmp' | 'ppm' | 'png'
-    | 'wav' | 'y4m' | None (unknown)."""
+    """Best-effort container sniff from magic bytes: 'bmp' | 'ppm' | 'png' |
+    'gif' | 'wav' | 'y4m' | None (unknown)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
@@ -361,3 +364,160 @@ def encode_png(rgb: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------- GIF
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (LSB-first bit packing, clear/EOI codes, code width
+    grows when the table reaches 2^width — no TIFF 'early change')."""
+    CLEAR = 1 << min_code_size
+    EOI = CLEAR + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(CLEAR)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == CLEAR:
+            table = [[i] for i in range(CLEAR)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == EOI:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a non-interlaced GIF87a/89a -> (H, W, 3) uint8 RGB.
+
+    Header + logical screen descriptor, global/local color tables,
+    extension blocks skipped, image data joined across sub-blocks and
+    LZW-decoded (LSB-first variant). Interlaced frames raise ValueError
+    (stub boundary)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            return ct[np.clip(arr, 0, len(ct) - 1)]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> single-frame GIF87a, 256-color adaptive-naive
+    palette (first-seen colors; >256 distinct colors raise). Codes are
+    emitted one pixel per LZW code with periodic clears — valid,
+    uncompressed-style LZW (the standard fixture/encoder trick)."""
+    h, w, _ = rgb.shape
+    flat = rgb.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <= 256 distinct colors")
+    n_pal = max(2, int(len(colors) - 1).bit_length())  # table size exponent
+    pal_size = 1 << max(1, n_pal)
+    pal = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, n_pal)
+    CLEAR = 1 << min_code
+    EOI = CLEAR + 1
+    width = min_code + 1
+
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(CLEAR)
+    budget = (1 << width) - EOI - 1  # codes until the width would grow
+    for i, code in enumerate(inverse):
+        if budget == 0:
+            emit(CLEAR)
+            budget = (1 << width) - EOI - 1
+        emit(int(code))
+        budget -= 1
+    emit(EOI)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (max(1, n_pal) - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code])
+    data = bytes(bits)
+    for off in range(0, len(data), 255):
+        blockbytes = data[off : off + 255]
+        out += bytes([len(blockbytes)]) + blockbytes
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -3,7 +3,7 @@ a typed metadata struct, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 Decode is REAL for formats that need no external library (llm/codecs.py:
-uncompressed BMP, binary PPM, and 8-bit PNG images, PCM WAV audio,
+uncompressed BMP, binary PPM, 8-bit PNG, and GIF images, PCM WAV audio,
 YUV4MPEG2 video) —
 payloads are routed on magic bytes. Formats that genuinely require
 Pillow/ffmpeg (JPEG, MP3, MP4, ...) fall back to the deterministic
@@ -100,7 +100,7 @@ def _pad(feat: list[float]) -> list[float]:
 def decode_features(payload: bytes) -> list[float]:
     """Real feature vector for decodable payloads, stub otherwise.
 
-    * image (BMP/PPM/PNG): [width, height, mean R, mean G, mean B, pixel std]
+    * image (BMP/PPM/PNG/GIF): [width, height, mean R, mean G, mean B, pixel std]
     * audio (WAV):     [n_samples, rate, duration_s, rms, peak, zero-cross rate]
     * video (Y4M):     [width, height, n_frames, mean luma, luma std, fps-ms]
 
@@ -110,11 +110,12 @@ def decode_features(payload: bytes) -> list[float]:
 
     kind = codecs.sniff(payload)
     try:
-        if kind in ("bmp", "ppm", "png"):
+        if kind in ("bmp", "ppm", "png", "gif"):
             rgb = {
                 "bmp": codecs.decode_bmp,
                 "ppm": codecs.decode_ppm,
                 "png": codecs.decode_png,
+                "gif": codecs.decode_gif,
             }[kind](payload)
             h, w = rgb.shape[:2]
             means = rgb.reshape(-1, 3).mean(axis=0)
@@ -202,6 +203,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 rgb = codecs.decode_bmp(data)
             elif kind == "png":
                 rgb = codecs.decode_png(data)
+            elif kind == "gif":
+                rgb = codecs.decode_gif(data)
             elif kind == "ppm":
                 rgb = codecs.decode_ppm(data)
             else:

@@ -553,3 +553,31 @@ def test_multimodal_png_features_and_resize():
 
     small = codecs.resize_nearest(codecs.decode_png(data), 3, 4)
     assert small.shape == (4, 3, 3) and small[0, 0, 0] == 200
+
+
+def test_codec_gif_roundtrip_and_features():
+    """GIF: palette round-trip through the LSB-first LZW codec (with
+    periodic clear codes), extension-block skipping, and the real
+    feature-extraction path."""
+    import struct
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs
+    from cartodb_importer_spark.llm.multimodal import decode_features
+
+    rs = np.random.RandomState(6)
+    pal = rs.randint(0, 256, size=(12, 3)).astype(np.uint8)
+    rgb = pal[rs.randint(0, 12, size=(21, 17))]
+    data = codecs.encode_gif(rgb)
+    assert codecs.sniff(data) == "gif"
+    assert np.array_equal(codecs.decode_gif(data), rgb)
+
+    # GIF89a with a graphic-control extension before the frame
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = b"GIF89a" + data[6:13 + 3 * 16] + ext + data[13 + 3 * 16:]
+    assert np.array_equal(codecs.decode_gif(with_ext), rgb)
+
+    solid = np.full((5, 9, 3), 77, dtype=np.uint8)
+    feat = decode_features(codecs.encode_gif(solid))
+    assert feat[0] == 9.0 and feat[1] == 5.0 and feat[2] == 77.0

@@ -6,11 +6,11 @@ Three decode paths, best available wins:
 1. rasterio/GDAL when importable — any compression/layout;
 2. the pure-Python readers/tiff.py for classic AND BigTIFF containers,
    strip- or tile-organized (uncompressed / deflate / packbits / LZW,
-   predictor 2) — real pixels, real 180x180 windowing, real SRID from
+   predictors 2 and 3) — real pixels, real 180x180 windowing, real SRID from
    the GeoKey directory, no native dependency
    (meta['decoder']='pytiff');
-3. a clearly-marked byte-chunking stub for the rest (JPEG/CCITT, float
-   predictor) in a GDAL-less container (meta['decoder']='stub').
+3. a clearly-marked byte-chunking stub for the rest (JPEG/CCITT) in a
+   GDAL-less container (meta['decoder']='stub').
 """
 
 from __future__ import annotations
@@ -46,8 +46,7 @@ def _read_pytiff(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """GDAL-free real path: decode a classic or BigTIFF strip/tiled
     GeoTIFF with readers/tiff.py and window band 1 into TILE x TILE
     blocks — the same blocking raster2pgsql -k 180x180 performs. Raises
-    for JPEG/CCITT/float-predictor inputs (caller falls back to the
-    stub)."""
+    for JPEG/CCITT inputs (caller falls back to the stub)."""
     from .tiff import decode_tiff
 
     with open(path, "rb") as f:

@@ -11,13 +11,14 @@ the compression schemes that need no native codec:
 * 32773 — PackBits RLE
 
 plus Predictor=2 (horizontal differencing, the usual companion of LZW/
-DEFLATE). GeoTIFF georeferencing is read from ModelPixelScale/
+DEFLATE) and Predictor=3 (TechNote 3 floating-point byte-plane
+differencing). GeoTIFF georeferencing is read from ModelPixelScale/
 ModelTiepoint and the EPSG code from the GeoKey directory
 (GeographicType 2048 / ProjectedCSType 3072 keys).
 
-Anything outside that subset (JPEG/CCITT compression, float predictor)
-raises ValueError so the caller can fall back to the stub — those are
-where GDAL genuinely earns its dependency.
+Anything outside that subset (JPEG/CCITT compression) raises ValueError
+so the caller can fall back to the stub — those are where GDAL genuinely
+earns its dependency.
 """
 
 from __future__ import annotations
@@ -197,6 +198,26 @@ def _undo_predictor(block: np.ndarray, bits: int, spp: int, dt) -> np.ndarray:
     return (wide & ((1 << bits) - 1)).astype(dt)
 
 
+def _undo_float_predictor(
+    raw: bytes, nrows: int, rowsamples: int, itemsize: int, bo: str
+) -> np.ndarray:
+    """Undo TIFF predictor 3 (TechNote 3 floating-point prediction): each
+    row's samples are split into big-endian byte planes (all byte-0s, then
+    all byte-1s, ...) and horizontally byte-differenced. Reverse: wrapping
+    byte cumsum per row, then reassemble planes into big-endian floats."""
+    rowbytes = rowsamples * itemsize
+    arr = np.frombuffer(raw, np.uint8, count=nrows * rowbytes).reshape(
+        nrows, rowbytes
+    )
+    arr = (arr.astype(np.int64).cumsum(axis=1) & 0xFF).astype(np.uint8)
+    planes = arr.reshape(nrows, itemsize, rowsamples)
+    be = np.transpose(planes, (0, 2, 1)).reshape(nrows, rowbytes)
+    floats = np.frombuffer(
+        np.ascontiguousarray(be).tobytes(), dtype=np.dtype(f">f{itemsize}")
+    ).reshape(nrows, rowsamples)
+    return floats.astype(np.dtype(f"{bo}f{itemsize}"))
+
+
 def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     """Strip- OR tile-organized TIFF -> (band-1 2D array, georef metadata).
 
@@ -207,7 +228,7 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     bo = t["__bo__"]
     compression = int(t.get(259, [1])[0])
     predictor = int(t.get(317, [1])[0])
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     width = int(t[256][0])
     height = int(t[257][0])
@@ -240,12 +261,22 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
                 raw = _decompress_strip(
                     data[off : off + tcounts[ti]], compression
                 )
-            tile = np.frombuffer(raw, dtype=dt, count=th * tw * spp)
-            tile = (
-                tile.reshape(th, tw, spp) if spp > 1 else tile.reshape(th, tw)
-            )
-            if predictor == 2:
-                tile = _undo_predictor(tile, bits, spp, dt)
+            if predictor == 3:
+                if dt.kind != "f":
+                    raise ValueError("predictor 3 requires float samples")
+                tile = _undo_float_predictor(
+                    raw, th, tw * spp, dt.itemsize, bo
+                )
+                tile = tile.reshape(th, tw, spp) if spp > 1 else tile
+            else:
+                tile = np.frombuffer(raw, dtype=dt, count=th * tw * spp)
+                tile = (
+                    tile.reshape(th, tw, spp)
+                    if spp > 1
+                    else tile.reshape(th, tw)
+                )
+                if predictor == 2:
+                    tile = _undo_predictor(tile, bits, spp, dt)
             r, c = (ti // across) * th, (ti % across) * tw
             img[r : r + th, c : c + tw] = tile
         img = img[:height, :width]
@@ -269,14 +300,22 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
                 raw = _decompress_strip(
                     data[off : off + counts[si]], compression
                 )
-            strip = np.frombuffer(raw, dtype=dt, count=nrows * width * spp)
-            strip = (
-                strip.reshape(nrows, width, spp)
-                if spp > 1
-                else strip.reshape(nrows, width)
-            )
-            if predictor == 2:
-                strip = _undo_predictor(strip, bits, spp, dt)
+            if predictor == 3:
+                if dt.kind != "f":
+                    raise ValueError("predictor 3 requires float samples")
+                strip = _undo_float_predictor(
+                    raw, nrows, width * spp, dt.itemsize, bo
+                )
+                strip = strip.reshape(nrows, width, spp) if spp > 1 else strip
+            else:
+                strip = np.frombuffer(raw, dtype=dt, count=nrows * width * spp)
+                strip = (
+                    strip.reshape(nrows, width, spp)
+                    if spp > 1
+                    else strip.reshape(nrows, width)
+                )
+                if predictor == 2:
+                    strip = _undo_predictor(strip, bits, spp, dt)
             parts.append(strip)
         img = np.concatenate(parts, axis=0)
     band1 = img[..., 0] if spp > 1 else img
@@ -375,12 +414,31 @@ def encode_tiff_gray(
     kind = {"u": 1, "i": 2, "f": 3}[band.dtype.kind]
     bits = band.dtype.itemsize * 8
     comp_code = _COMPRESSION_CODES[compression]
-    stored = band
-    if predictor == 2:
-        stored = np.concatenate(
-            [band[:, :1], np.diff(band, axis=1)], axis=1
-        )  # wraps in-dtype
-    pixels = stored.astype(stored.dtype.newbyteorder("<")).tobytes()
+    if predictor == 3:
+        # TechNote 3 float prediction: big-endian byte planes per row,
+        # then horizontal byte differencing
+        if band.dtype.kind != "f":
+            raise ValueError("predictor 3 requires float samples")
+        isz = band.dtype.itemsize
+        be = np.frombuffer(
+            band.astype(np.dtype(f">f{isz}")).tobytes(), np.uint8
+        ).reshape(h, w, isz)
+        planes = np.transpose(be, (0, 2, 1)).reshape(h, w * isz)
+        diffed = np.concatenate(
+            [
+                planes[:, :1].astype(np.int16),
+                np.diff(planes.astype(np.int16), axis=1) & 0xFF,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        pixels = diffed.tobytes()
+    else:
+        stored = band
+        if predictor == 2:
+            stored = np.concatenate(
+                [band[:, :1], np.diff(band, axis=1)], axis=1
+            )  # wraps in-dtype
+        pixels = stored.astype(stored.dtype.newbyteorder("<")).tobytes()
     if compression == "deflate":
         import zlib
 
@@ -401,8 +459,8 @@ def encode_tiff_gray(
     entry(258, 3, 1, bits)
     entry(259, 3, 1, comp_code)
     entry(262, 3, 1, 1)       # BlackIsZero
-    if predictor == 2:
-        entry(317, 3, 1, 2)
+    if predictor in (2, 3):
+        entry(317, 3, 1, predictor)
     entry(273, 4, 1, None)    # strip offset (patched below)
     entry(277, 3, 1, 1)
     entry(278, 4, 1, h)

@@ -404,3 +404,25 @@ def test_bigtiff_roundtrip():
     fband = rs.rand(9, 7).astype(np.float32)
     back2, _ = decode_tiff(encode_bigtiff_gray(fband))
     assert np.allclose(back2, fband)
+
+
+def test_tiff_float_predictor3_roundtrip():
+    """TIFF predictor 3 (TechNote 3 floating-point byte-plane
+    differencing) round-trips float32/float64 bands through raw, deflate,
+    and LZW strips."""
+    import numpy as np
+
+    from cartodb_importer_spark.readers.tiff import (
+        decode_tiff, encode_tiff_gray,
+    )
+
+    rs = np.random.RandomState(8)
+    for dtype in (np.float32, np.float64):
+        band = (rs.rand(19, 23) * 1000 - 500).astype(dtype)
+        for comp in (None, "deflate", "lzw"):
+            back, meta = decode_tiff(
+                encode_tiff_gray(band, compression=comp, predictor=3,
+                                 srid=4326)
+            )
+            assert np.array_equal(back, band), (dtype, comp)
+            assert meta["srid"] == 4326

@@ -7,6 +7,8 @@ need nothing beyond the stdlib + numpy:
 * PNG (8-bit gray/RGB/palette/alpha, non-interlaced) — zlib inflate +
   per-scanline unfilter (all five PNG filters);
 * GIF (first frame, non-interlaced) — LSB-first LZW + color table;
+* JPEG (baseline/extended-sequential Huffman, 4:4:4/4:2:2/4:2:0,
+  restart intervals) — llm/jpeg.py, exact float IDCT;
 * PPM (binary P6) — trivial header + raw RGB;
 * WAV (PCM integer) — stdlib ``wave`` + numpy frombuffer;
 * Y4M (YUV4MPEG2) — text header + raw 4:2:0 frames split on FRAME marks.
@@ -34,7 +36,7 @@ import numpy as np
 
 def sniff(payload: bytes) -> str | None:
     """Best-effort container sniff from magic bytes: 'bmp' | 'ppm' | 'png' |
-    'gif' | 'wav' | 'y4m' | None (unknown)."""
+    'gif' | 'jpeg' | 'wav' | 'y4m' | None (unknown)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
@@ -43,6 +45,8 @@ def sniff(payload: bytes) -> str | None:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
@@ -521,3 +525,9 @@ def encode_gif(rgb: np.ndarray) -> bytes:
         out += bytes([len(blockbytes)]) + blockbytes
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------- JPEG
+# implemented in llm/jpeg.py (marker scan + Huffman + IDCT); re-exported
+# here so every consumer routes through one codec namespace.
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402,F401

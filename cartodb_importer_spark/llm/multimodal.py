@@ -3,10 +3,11 @@ a typed metadata struct, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 Decode is REAL for formats that need no external library (llm/codecs.py:
-uncompressed BMP, binary PPM, 8-bit PNG, and GIF images, PCM WAV audio,
+uncompressed BMP, binary PPM, 8-bit PNG, GIF, and baseline JPEG images,
+PCM WAV audio,
 YUV4MPEG2 video) —
 payloads are routed on magic bytes. Formats that genuinely require
-Pillow/ffmpeg (JPEG, MP3, MP4, ...) fall back to the deterministic
+Pillow/ffmpeg (progressive JPEG, MP3, MP4, ...) fall back to the deterministic
 sha-derived stub, clearly marked; swapping the fallback for a real decoder
 is a one-function change and the Spark-side plumbing (schema, Arrow batch
 iteration, partitioning, UDF signatures) does not move.
@@ -100,7 +101,7 @@ def _pad(feat: list[float]) -> list[float]:
 def decode_features(payload: bytes) -> list[float]:
     """Real feature vector for decodable payloads, stub otherwise.
 
-    * image (BMP/PPM/PNG/GIF): [width, height, mean R, mean G, mean B, pixel std]
+    * image (BMP/PPM/PNG/GIF/JPEG): [width, height, mean R, mean G, mean B, pixel std]
     * audio (WAV):     [n_samples, rate, duration_s, rms, peak, zero-cross rate]
     * video (Y4M):     [width, height, n_frames, mean luma, luma std, fps-ms]
 
@@ -110,12 +111,13 @@ def decode_features(payload: bytes) -> list[float]:
 
     kind = codecs.sniff(payload)
     try:
-        if kind in ("bmp", "ppm", "png", "gif"):
+        if kind in ("bmp", "ppm", "png", "gif", "jpeg"):
             rgb = {
                 "bmp": codecs.decode_bmp,
                 "ppm": codecs.decode_ppm,
                 "png": codecs.decode_png,
                 "gif": codecs.decode_gif,
+                "jpeg": codecs.decode_jpeg,
             }[kind](payload)
             h, w = rgb.shape[:2]
             means = rgb.reshape(-1, 3).mean(axis=0)
@@ -205,6 +207,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 rgb = codecs.decode_png(data)
             elif kind == "gif":
                 rgb = codecs.decode_gif(data)
+            elif kind == "jpeg":
+                rgb = codecs.decode_jpeg(data)
             elif kind == "ppm":
                 rgb = codecs.decode_ppm(data)
             else:

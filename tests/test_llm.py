@@ -581,3 +581,72 @@ def test_codec_gif_roundtrip_and_features():
     solid = np.full((5, 9, 3), 77, dtype=np.uint8)
     feat = decode_features(codecs.encode_gif(solid))
     assert feat[0] == 9.0 and feat[1] == 5.0 and feat[2] == 77.0
+
+
+def test_codec_jpeg_real_files_and_roundtrip():
+    """JPEG: real libjpeg-produced fixtures decode (python.jpg is 4:2:0
+    with separate chroma tables — exercises subsampling + table routing;
+    2x2.jpg is a uniform gray stub), and our encoder/decoder pair
+    round-trips smooth content above 30 dB PSNR (quantization noise)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from cartodb_importer_spark.llm import codecs
+    from cartodb_importer_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    fdir = os.path.join(os.path.dirname(__file__), "data")
+    py_jpg = os.path.join(fdir, "python_cpython_testsuite.jpg")
+    if not os.path.exists(py_jpg):
+        pytest.skip("jpeg fixtures absent")
+    rgb = decode_jpeg(open(py_jpg, "rb").read())
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
+    assert rgb.std() > 10  # structured content, not a constant field
+
+    gray = decode_jpeg(
+        open(os.path.join(fdir, "2x2_ipython_testsuite.jpg"), "rb").read()
+    )
+    assert gray.shape == (2, 2, 3)
+    assert np.all(np.abs(gray.astype(int) - 128) <= 2)  # uniform mid-gray
+
+    # pair round-trip on low-frequency content
+    x = np.linspace(0, 1, 48)
+    base = np.outer(np.sin(x * 3), np.cos(x * 2))
+    img = np.clip(
+        np.stack(
+            [base * 100 + 120, base[::-1] * 80 + 100, base * -60 + 140],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    data = encode_jpeg(img)
+    assert codecs.sniff(data) == "jpeg"
+    back = decode_jpeg(data)
+    mse = ((back.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert back.shape == img.shape and psnr > 30.0
+
+    # non-multiple-of-8 dimensions crop correctly
+    odd = img[:41, :35]
+    back2 = decode_jpeg(encode_jpeg(odd))
+    assert back2.shape == (41, 35, 3)
+
+    # progressive JPEG raises (stub boundary): flip SOF0 to SOF2
+    prog = bytearray(data)
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_multimodal_jpeg_features():
+    from cartodb_importer_spark.llm.jpeg import encode_jpeg
+    from cartodb_importer_spark.llm.multimodal import decode_features
+    import numpy as np
+
+    solid = np.full((10, 12, 3), 90, dtype=np.uint8)
+    feat = decode_features(encode_jpeg(solid))
+    assert feat[0] == 12.0 and feat[1] == 10.0
+    assert abs(feat[2] - 90.0) <= 2.0  # mean R within quantization noise

@@ -87,9 +87,10 @@ def media_from_documents(df: DataFrame, payload_col: str = "text") -> DataFrame:
 
 def _decode_image_stub(payload: bytes) -> list[float]:
     """STUB DECODER — deterministic fake feature vector from the payload
-    bytes (sha256-seeded). The fallback for formats that need external
-    libraries (JPEG/PNG/MP3/MP4); the signature (bytes -> list[float] of
-    FEATURE_DIM) is the real contract."""
+    bytes (sha256-seeded). The fallback for formats that genuinely need
+    external libraries (progressive JPEG, MP3, MP4) and for non-media
+    payloads; the signature (bytes -> list[float] of FEATURE_DIM) is the
+    real contract."""
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 

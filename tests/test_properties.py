@@ -142,3 +142,35 @@ def test_bmp_ppm_tiff_roundtrip_property(h, w, dtype):
         rgb = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
         assert np.array_equal(C.decode_bmp(C.encode_bmp(rgb)), rgb)
         assert np.array_equal(C.decode_ppm(C.encode_ppm(rgb)), rgb)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_gif_roundtrip_property(h, w, npal):
+    """Lossless image codecs added r04: PNG round-trips any uint8 RGB;
+    GIF round-trips any paletted image; float TIFF predictor 3
+    round-trips exactly."""
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs as C
+    from cartodb_importer_spark.readers.tiff import (
+        decode_tiff, encode_tiff_gray,
+    )
+
+    rs = np.random.RandomState(h * 31 + w * 7 + npal)
+    rgb = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    assert np.array_equal(C.decode_png(C.encode_png(rgb)), rgb)
+
+    pal = rs.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+    indexed = pal[rs.randint(0, npal, size=(h, w))]
+    assert np.array_equal(C.decode_gif(C.encode_gif(indexed)), indexed)
+
+    band = (rs.rand(h, w) * 2000 - 1000).astype(np.float32)
+    back, _ = decode_tiff(
+        encode_tiff_gray(band, compression="deflate", predictor=3)
+    )
+    assert np.array_equal(back, band)

@@ -4,9 +4,9 @@ The container has no Pillow/torchaudio/ffmpeg, but several real formats
 need nothing beyond the stdlib + numpy:
 
 * BMP (uncompressed BI_RGB, 24/32-bit) — ``struct`` header + numpy rows;
-* PNG (8-bit gray/RGB/palette/alpha, non-interlaced) — zlib inflate +
-  per-scanline unfilter (all five PNG filters);
-* GIF (first frame, non-interlaced) — LSB-first LZW + color table;
+* PNG (8-bit gray/RGB/palette/alpha, incl. Adam7 interlace) — zlib
+  inflate + per-scanline unfilter (all five PNG filters);
+* GIF (first frame, incl. interlaced) — LSB-first LZW + color table;
 * JPEG (baseline/extended-sequential Huffman, 4:4:4/4:2:2/4:2:0,
   restart intervals) — llm/jpeg.py, exact float IDCT;
 * PPM (binary P6) — trivial header + raw RGB;
@@ -252,15 +252,62 @@ def encode_y4m(frames: list[np.ndarray], fps: int = 25) -> bytes:
 # ---------------------------------------------------------------------- PNG
 
 
+#: Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, off: int, h: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of ``h`` scanlines of ``stride`` bytes
+    starting at ``off``; returns (h x stride uint8 array, bytes read)."""
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int32)
+        off += stride + 1
+        if ftype == 0:
+            out = line
+        elif ftype == 2:  # Up
+            out = (line + prev) & 0xFF
+        else:
+            out = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = out[i - bpp] if i >= bpp else 0  # left (recon)
+                b = prev[i]  # up (recon)
+                if ftype == 1:  # Sub
+                    out[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    out[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        img[y] = out.astype(np.uint8)
+        prev = out
+    return img, off
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG -> (H, W, 3) uint8 RGB array.
+    """8-bit PNG -> (H, W, 3) uint8 RGB array.
 
     Pure stdlib+numpy: chunk walk, zlib-inflated IDAT, per-scanline
     unfilter (None/Sub/Up/Average/Paeth per the PNG spec §9), color types
     0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA);
     alpha is dropped, gray broadcast to RGB — matching decode_bmp's
-    contract. 16-bit depth and Adam7 interlace raise ValueError (the
-    declared stub boundary, like JPEG)."""
+    contract. Adam7 interlace decodes pass-by-pass (each pass is its own
+    filtered sub-image scattered on the pass grid). 16-bit depth raises
+    ValueError (the declared stub boundary)."""
     import struct
     import zlib
 
@@ -286,7 +333,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
@@ -295,41 +342,23 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {color}")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-
-    img = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
     bpp = channels  # bytes per pixel at 8-bit depth
-    for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=off + 1
-        ).astype(np.int32)
-        if ftype == 0:
-            out = line
-        elif ftype == 2:  # Up
-            out = (line + prev) & 0xFF
-        else:
-            out = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = out[i - bpp] if i >= bpp else 0  # left (recon)
-                b = prev[i]  # up (recon)
-                if ftype == 1:  # Sub
-                    out[i] = (line[i] + a) & 0xFF
-                elif ftype == 3:  # Average
-                    out[i] = (line[i] + ((a + b) >> 1)) & 0xFF
-                elif ftype == 4:  # Paeth
-                    c = prev[i - bpp] if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    out[i] = (line[i] + pred) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter {ftype}")
-        img[y] = out.astype(np.uint8)
-        prev = out
+
+    if interlace == 0:
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG pixel data")
+        img, _ = _png_unfilter(raw, 0, h, stride, bpp)
+    else:
+        img = np.zeros((h, stride), dtype=np.uint8)
+        full = img.reshape(h, w, channels)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw * channels, bpp)
+            full[ys::ystep, xs::xstep] = sub.reshape(ph, pw, channels)
 
     px = img.reshape(h, w, channels)
     if color == 3:
@@ -417,12 +446,12 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """First frame of a non-interlaced GIF87a/89a -> (H, W, 3) uint8 RGB.
+    """First frame of a GIF87a/89a -> (H, W, 3) uint8 RGB.
 
     Header + logical screen descriptor, global/local color tables,
     extension blocks skipped, image data joined across sub-blocks and
-    LZW-decoded (LSB-first variant). Interlaced frames raise ValueError
-    (stub boundary)."""
+    LZW-decoded (LSB-first variant); interlaced frames deinterlace via
+    the 4-pass row order."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -447,8 +476,6 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 n = 2 << (ipacked & 0x07)
                 ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF unsupported")
             if ct is None:
                 raise ValueError("GIF frame without a color table")
             min_code = payload[pos]
@@ -462,6 +489,16 @@ def decode_gif(payload: bytes) -> np.ndarray:
             if len(idx) < w * h:
                 raise ValueError("truncated GIF pixel data")
             arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:
+                # interlaced: rows stored in 4 passes (every 8th from 0,
+                # every 8th from 4, every 4th from 2, every 2nd from 1)
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                deinterlaced = np.empty_like(arr)
+                deinterlaced[order] = arr
+                arr = deinterlaced
             return ct[np.clip(arr, 0, len(ct) - 1)]
         elif block == 0x3B:  # trailer
             break

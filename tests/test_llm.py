@@ -650,3 +650,54 @@ def test_multimodal_jpeg_features():
     feat = decode_features(encode_jpeg(solid))
     assert feat[0] == 12.0 and feat[1] == 10.0
     assert abs(feat[2] - 90.0) <= 2.0  # mean R within quantization noise
+
+
+def test_codec_png_adam7_and_gif_interlace():
+    """Interlace support: Adam7 PNG (7 filtered sub-images scattered on
+    the pass grid) and interlaced GIF (4-pass row order) both decode to
+    the original image across awkward sizes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs
+
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    def build_adam7(rgb):
+        h, w, _ = rgb.shape
+        raw = bytearray()
+        for xs, ys, xst, yst in ADAM7:
+            sub = rgb[ys::yst, xs::xst]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.reshape(-1).tobytes()
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rs = np.random.RandomState(12)
+    for (h, w) in [(13, 11), (1, 1), (2, 3), (8, 8), (16, 9)]:
+        rgb = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(codecs.decode_png(build_adam7(rgb)), rgb), (h, w)
+
+    # interlaced GIF: permute rows into the 4-pass storage order and set
+    # the interlace flag in the image descriptor
+    pal = rs.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    img = pal[rs.randint(0, 8, size=(13, 9))]
+    order = np.concatenate([
+        np.arange(0, 13, 8), np.arange(4, 13, 8),
+        np.arange(2, 13, 4), np.arange(1, 13, 2),
+    ])
+    data = bytearray(codecs.encode_gif(img[order]))
+    p = bytes(data).find(b"\x2c")
+    data[p + 9] |= 0x40
+    assert np.array_equal(codecs.decode_gif(bytes(data)), img)

@@ -16,7 +16,7 @@ need nothing beyond the stdlib + numpy:
 These make decode / feature-extract / resize / frame-sample REAL end to
 end for payloads in these formats (multimodal.py routes on magic bytes and
 falls back to the deterministic stub only for formats that genuinely need
-external libraries — JPEG, MP3, MP4, ...).
+external libraries — progressive JPEG, MP3, MP4, ...).
 
 All decoders take ``bytes`` and return plain numpy/python values: they run
 inside Arrow-batched ``mapInPandas`` workers, so per-call overhead

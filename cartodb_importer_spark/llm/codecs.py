@@ -307,12 +307,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     alpha is dropped, gray broadcast to RGB — matching decode_bmp's
     contract. Adam7 interlace decodes pass-by-pass (each pass is its own
     filtered sub-image scattered on the pass grid). 16-bit depth raises
-    ValueError (the declared stub boundary)."""
+    ValueError (the declared stub boundary); truncated/corrupt payloads
+    also surface as ValueError, never IndexError/zlib.error."""
     import struct
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
+    try:
+        return _decode_png_inner(payload)
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"truncated/malformed PNG: {e}") from e
+
+
+def _decode_png_inner(payload: bytes) -> np.ndarray:
+    import struct
+    import zlib
     pos = 8
     ihdr = None
     plte = None
@@ -451,10 +461,19 @@ def decode_gif(payload: bytes) -> np.ndarray:
     Header + logical screen descriptor, global/local color tables,
     extension blocks skipped, image data joined across sub-blocks and
     LZW-decoded (LSB-first variant); interlaced frames deinterlace via
-    the 4-pass row order."""
+    the 4-pass row order. A frame smaller than or offset within the
+    logical screen composes onto a background-color canvas at its
+    left/top position. Truncated payloads raise ValueError."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated/malformed GIF: {e}") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
+    sw, sh, packed, bgidx, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -469,7 +488,9 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += 1 + payload[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
-            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
             pos += 10
             ct = gct
             if ipacked & 0x80:
@@ -499,7 +520,21 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 deinterlaced = np.empty_like(arr)
                 deinterlaced[order] = arr
                 arr = deinterlaced
-            return ct[np.clip(arr, 0, len(ct) - 1)]
+            frame = ct[np.clip(arr, 0, len(ct) - 1)]
+            if (left, top) == (0, 0) and (w, h) == (sw, sh):
+                return frame
+            # compose onto the logical screen at the frame's position
+            # (optimizers emit partial first frames)
+            bg = (
+                gct[min(bgidx, len(gct) - 1)]
+                if gct is not None
+                else np.zeros(3, np.uint8)
+            )
+            canvas = np.broadcast_to(
+                bg, (max(sh, top + h), max(sw, left + w), 3)
+            ).copy()
+            canvas[top : top + h, left : left + w] = frame
+            return canvas[:sh, :sw] if sh and sw else canvas
         elif block == 0x3B:  # trailer
             break
         else:
@@ -568,3 +603,14 @@ def encode_gif(rgb: np.ndarray) -> bytes:
 # implemented in llm/jpeg.py (marker scan + Huffman + IDCT); re-exported
 # here so every consumer routes through one codec namespace.
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402,F401
+
+#: one shared image-decoder dispatch, keyed by sniff() result — every
+#: consumer (feature extraction, resize, future ops) routes through this
+#: single mapping so a new format lands everywhere at once.
+IMAGE_DECODERS = {
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "png": decode_png,
+    "gif": decode_gif,
+    "jpeg": decode_jpeg,
+}

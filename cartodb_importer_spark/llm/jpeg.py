@@ -134,6 +134,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i += 1
             continue
         m = d[i + 1]
+        if m == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
@@ -201,6 +204,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(comps) not in (1, 3):
         raise ValueError("CMYK/multi-spectral JPEG unsupported")
     smap, data_pos = scan
+    if set(smap) != {c[0] for c in comps}:
+        # spec-legal non-interleaved form: several single-component scans
+        # (cjpeg -scans). Decoding needs per-scan MCU geometry — out of
+        # scope; fail with the documented boundary error, never KeyError.
+        raise ValueError("non-interleaved multi-scan JPEG unsupported")
+    if len(comps) == 1:
+        # single-component scans always use 1x1 MCUs regardless of the
+        # declared sampling factors (T.81 A.2.2)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

@@ -112,14 +112,8 @@ def decode_features(payload: bytes) -> list[float]:
 
     kind = codecs.sniff(payload)
     try:
-        if kind in ("bmp", "ppm", "png", "gif", "jpeg"):
-            rgb = {
-                "bmp": codecs.decode_bmp,
-                "ppm": codecs.decode_ppm,
-                "png": codecs.decode_png,
-                "gif": codecs.decode_gif,
-                "jpeg": codecs.decode_jpeg,
-            }[kind](payload)
+        if kind in codecs.IMAGE_DECODERS:
+            rgb = codecs.IMAGE_DECODERS[kind](payload)
             h, w = rgb.shape[:2]
             means = rgb.reshape(-1, 3).mean(axis=0)
             return _pad(
@@ -168,8 +162,9 @@ def decode_features(payload: bytes) -> list[float]:
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches out.
     The iterator shape means constant memory per task regardless of
-    partition size — the 100 TB contract. Decode is real for BMP/PPM/WAV/
-    Y4M payloads (decode_features), stub for others."""
+    partition size — the 100 TB contract. Decode is real for every
+    codecs.IMAGE_DECODERS format (BMP/PPM/PNG/GIF/baseline-JPEG) plus
+    WAV/Y4M (decode_features), stub for others."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -191,9 +186,9 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: filters to kind='image', decodes BMP/PPM payloads,
-    nearest-neighbor-resizes them, re-encodes as PPM, and updates the
-    metadata struct. Non-decodable payloads pass through byte-identical
+    """Image resize: filters to kind='image', decodes every
+    codecs.IMAGE_DECODERS format, nearest-neighbor-resizes, re-encodes as
+    PPM, and updates the metadata struct. Non-decodable payloads pass through byte-identical
     with the requested dimensions recorded (the stub contract) — swap the
     fallback branch for Pillow when available."""
 
@@ -202,18 +197,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
         kind = codecs.sniff(data)
         try:
-            if kind == "bmp":
-                rgb = codecs.decode_bmp(data)
-            elif kind == "png":
-                rgb = codecs.decode_png(data)
-            elif kind == "gif":
-                rgb = codecs.decode_gif(data)
-            elif kind == "jpeg":
-                rgb = codecs.decode_jpeg(data)
-            elif kind == "ppm":
-                rgb = codecs.decode_ppm(data)
-            else:
+            if kind not in codecs.IMAGE_DECODERS:
                 return data
+            rgb = codecs.IMAGE_DECODERS[kind](data)
             return codecs.encode_ppm(codecs.resize_nearest(rgb, width, height))
         except Exception:  # noqa: BLE001 — same fallback contract:
             # non-decodable payloads pass through byte-identical

@@ -236,6 +236,8 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     bits = int(t.get(258, [8])[0])
     fmt = int(t.get(339, [1])[0])
     dt = _dtype(bits, fmt, bo)
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError("predictor 3 requires float samples")
 
     if 322 in t or 324 in t:
         # Tiled layout (tags 322/323/324/325): fixed-size tiles in
@@ -262,8 +264,6 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
                     data[off : off + tcounts[ti]], compression
                 )
             if predictor == 3:
-                if dt.kind != "f":
-                    raise ValueError("predictor 3 requires float samples")
                 tile = _undo_float_predictor(
                     raw, th, tw * spp, dt.itemsize, bo
                 )
@@ -301,8 +301,6 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
                     data[off : off + counts[si]], compression
                 )
             if predictor == 3:
-                if dt.kind != "f":
-                    raise ValueError("predictor 3 requires float samples")
                 strip = _undo_float_predictor(
                     raw, nrows, width * spp, dt.itemsize, bo
                 )

@@ -701,3 +701,73 @@ def test_codec_png_adam7_and_gif_interlace():
     p = bytes(data).find(b"\x2c")
     data[p + 9] |= 0x40
     assert np.array_equal(codecs.decode_gif(bytes(data)), img)
+
+
+def test_codec_review_fixes_jpeg_gif_png():
+    """Second review pass fixes: 0xFF fill bytes before markers parse;
+    non-interleaved multi-scan raises the documented ValueError;
+    single-component frames with >1 sampling factors decode; GIF frames
+    offset within the logical screen compose at their position; truncated
+    PNG/GIF raise ValueError, not IndexError/zlib.error."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cartodb_importer_spark.llm import codecs
+    from cartodb_importer_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((10, 8, 3), 130, dtype=np.uint8)
+    data = encode_jpeg(img)
+
+    # fill byte before SOF0 (T.81 B.1.1.2)
+    idx = data.find(b"\xff\xc0")
+    padded = data[:idx] + b"\xff" + data[idx:]
+    assert decode_jpeg(padded).shape == (10, 8, 3)
+
+    # SOS listing fewer components than the frame -> documented boundary
+    # (walk markers: a raw find() can hit 0xFFDA inside a DHT body)
+    sos = 2
+    while True:
+        m = data[sos + 1]
+        seg_len = struct.unpack(">H", data[sos + 2 : sos + 4])[0]
+        if m == 0xDA:
+            break
+        sos += 2 + seg_len
+    ln = struct.unpack(">H", data[sos + 2 : sos + 4])[0]
+    one_comp_sos = (
+        b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    broken = data[:sos] + one_comp_sos + data[sos + 2 + ln :]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(broken)
+
+    # grayscale frame declaring 2x2 sampling still decodes as 1x1 MCUs
+    gray = decode_jpeg(
+        open("tests/data/2x2_ipython_testsuite.jpg", "rb").read()
+    )
+    assert gray.shape == (2, 2, 3)
+
+    # GIF frame offset inside a larger logical screen composes in place
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    fidx = np.ones((2, 3), dtype=np.uint8)
+    fidx[0, 0] = 0  # keep both colors so np.unique preserves palette 0
+    frame = pal[fidx]
+    g = bytearray(codecs.encode_gif(frame))
+    # widen the logical screen to 6x5 and move the frame to (2, 1)
+    g[6:8] = struct.pack("<H", 6)
+    g[8:10] = struct.pack("<H", 5)
+    p = bytes(g).find(b"\x2c")
+    g[p + 1 : p + 5] = struct.pack("<HH", 2, 1)
+    out = codecs.decode_gif(bytes(g))
+    assert out.shape == (5, 6, 3)
+    assert np.array_equal(out[1:3, 2:5], frame)
+    assert tuple(out[0, 0]) == (10, 20, 30)  # background color 0
+
+    # truncation -> ValueError (cut into the IDAT stream itself)
+    png = codecs.encode_png(np.zeros((6, 6, 3), np.uint8))
+    with pytest.raises(ValueError):
+        codecs.decode_png(png[: len(png) // 2])
+    gif = codecs.encode_gif(frame)
+    with pytest.raises(ValueError):
+        codecs.decode_gif(gif[: len(gif) - 6])

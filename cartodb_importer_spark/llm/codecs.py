@@ -4,7 +4,7 @@ The container has no Pillow/torchaudio/ffmpeg, but several real formats
 need nothing beyond the stdlib + numpy:
 
 * BMP (uncompressed BI_RGB, 24/32-bit) — ``struct`` header + numpy rows;
-* PNG (8-bit gray/RGB/palette/alpha, incl. Adam7 interlace) — zlib
+* PNG (8/16-bit gray/RGB/palette/alpha, incl. Adam7 interlace) — zlib
   inflate + per-scanline unfilter (all five PNG filters);
 * GIF (first frame, incl. interlaced) — LSB-first LZW + color table;
 * JPEG (baseline/extended-sequential Huffman, 4:4:4/4:2:2/4:2:0,
@@ -306,9 +306,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA);
     alpha is dropped, gray broadcast to RGB — matching decode_bmp's
     contract. Adam7 interlace decodes pass-by-pass (each pass is its own
-    filtered sub-image scattered on the pass grid). 16-bit depth raises
-    ValueError (the declared stub boundary); truncated/corrupt payloads
-    also surface as ValueError, never IndexError/zlib.error."""
+    filtered sub-image scattered on the pass grid); 16-bit samples decode
+    through the same byte-level filters and emit their high byte.
+    Truncated/corrupt payloads surface as ValueError, never
+    IndexError/zlib.error."""
     import struct
     import zlib
 
@@ -343,16 +344,21 @@ def _decode_png_inner(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not valid")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    bpp = channels  # bytes per pixel at 8-bit depth
+    sb = depth // 8  # bytes per sample
+    stride = w * channels * sb
+    # PNG filters operate on BYTES with bpp = bytes per pixel, so the
+    # same unfilter covers 16-bit samples
+    bpp = channels * sb
 
     if interlace == 0:
         if len(raw) < h * (stride + 1):
@@ -360,17 +366,23 @@ def _decode_png_inner(payload: bytes) -> np.ndarray:
         img, _ = _png_unfilter(raw, 0, h, stride, bpp)
     else:
         img = np.zeros((h, stride), dtype=np.uint8)
-        full = img.reshape(h, w, channels)
+        full = img.reshape(h, w, channels * sb)
         off = 0
         for xs, ys, xstep, ystep in _ADAM7:
             pw = (w - xs + xstep - 1) // xstep
             ph = (h - ys + ystep - 1) // ystep
             if pw <= 0 or ph <= 0:
                 continue
-            sub, off = _png_unfilter(raw, off, ph, pw * channels, bpp)
-            full[ys::ystep, xs::xstep] = sub.reshape(ph, pw, channels)
+            sub, off = _png_unfilter(raw, off, ph, pw * channels * sb, bpp)
+            full[ys::ystep, xs::xstep] = sub.reshape(ph, pw, channels * sb)
 
-    px = img.reshape(h, w, channels)
+    if sb == 2:
+        # big-endian 16-bit samples -> 8-bit via the high byte (the
+        # decode_bmp uint8-RGB contract; exact values for the common
+        # v*257 scaling encoders use)
+        px = img.reshape(h, w, channels, 2)[:, :, :, 0].copy()
+    else:
+        px = img.reshape(h, w, channels)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

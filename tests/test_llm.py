@@ -771,3 +771,46 @@ def test_codec_review_fixes_jpeg_gif_png():
     gif = codecs.encode_gif(frame)
     with pytest.raises(ValueError):
         codecs.decode_gif(gif[: len(gif) - 6])
+
+
+def test_codec_png_16bit():
+    """16-bit PNG: byte-level filters cover the wider samples unchanged;
+    output is the high byte of each big-endian sample (uint8 contract)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    def build16(px16, color_type, channels, filters):
+        h, w = px16.shape[:2]
+        flatrows = px16.reshape(h, w * channels).astype(">u2")
+        raw = bytearray()
+        prev = np.zeros(w * channels * 2, np.int32)
+        for y in range(h):
+            line = np.frombuffer(
+                flatrows[y].tobytes(), np.uint8
+            ).astype(np.int32)
+            if filters[y % len(filters)] == 0:
+                raw += b"\x00" + line.astype(np.uint8).tobytes()
+            else:  # Up
+                raw += b"\x02" + ((line - prev) & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rs = np.random.RandomState(5)
+    rgb16 = rs.randint(0, 65536, size=(9, 7, 3)).astype(np.uint16)
+    back = codecs.decode_png(build16(rgb16, 2, 3, (0, 2)))
+    assert np.array_equal(back, (rgb16 >> 8).astype(np.uint8))
+    g16 = rs.randint(0, 65536, size=(5, 6)).astype(np.uint16)
+    back2 = codecs.decode_png(build16(g16[..., None], 0, 1, (2,)))
+    assert np.array_equal(back2[:, :, 0], (g16 >> 8).astype(np.uint8))

@@ -27,62 +27,115 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: semantics. Names already green in any CORRECTNESS_r*.json are filtered
 #: out at call time, so stale pins can never waste a sweep slot.
 _PRIORITY = (
-    # set ops — zero driver verdicts for a core SQL area
-    "setop_orderby_limit",
-    "setop_union_all",
-    "setop_union_by_name",
-    "setop_intersect",
-    "setop_except_all",
-    "setop_distinct",
-    "setop_drop_duplicates_subset",
-    "setop_intersect_all",
-    # windows (window_rolling_median already green r03)
-    "window_topk_per_group",
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_range_frame",
-    "window_ntile",
-    "window_first_last",
-    "window_percent_rank",
-    "window_cume_dist_nth",
-    "window_gaps_islands",
-    "window_ratio_to_report",
-    "window_drawdown",
-    "window_distinct_count",
-    "window_rolling_corr",
-    "window_longest_streak",
-    # streaming (batch-checked twins of the structured-streaming operators)
-    "stream_tumbling_hourly",
-    "stream_sliding_hourly",
-    "stream_session_windows",
-    "stream_dedup",
-    "stream_late_data_filter",
-    "stream_resample_ffill",
-    "stream_resample_interp",
-    "stream_interval_join",
-    # UDF surface
-    "udf_python_row",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_apply_in_pandas",
-    "udf_apply_in_arrow",
-    "udf_pandas_iterator",
-    "udtf_sentence_split",
-    # graph — iterative plans, historically the divergence-prone class
-    "graph_pagerank",
-    "graph_common_neighbors",
-    "graph_khop_reach",
-    # pipeline semantics (the reference's own O10-O13/O22 contracts)
-    "pipeline_sanitize_columns",
-    "pipeline_type_inference",
-    "pipeline_georef_point",
-    "pipeline_geojson_geom",
-    "pipeline_georef_discovery",
-    "pipeline_diacritic_fold",
-    "pipeline_profile_columns",
-    "pipeline_referential_audit",
-    "pipeline_benford_profile",
+    # r05 rotation: the 106 never-driver-verified names (VERDICT r4 item 1),
+    # llm family first (51), then agg (17), events (15), geo (13),
+    # reshape (7), scalar (2), pipeline (1). Already-green names are
+    # filtered at call time, so this list self-retires as rounds land.
+    "llm_span_dedup",
+    "llm_gopher_filter",
+    "llm_tfidf_top_terms",
+    "llm_bloom_decontaminate",
+    "llm_kmeans_fixed",
+    "llm_ivf_topk",
+    "llm_lsh_topk",
+    "llm_corpus_pipeline",
+    "llm_near_dedup",
+    "llm_dedup_clusters",
+    "llm_dedup_exact",
+    "llm_normalized_dedup",
+    "llm_minhash_signature",
+    "llm_minhash_pairs",
+    "llm_minhash_jaccard_est",
+    "llm_jaccard_pairs",
+    "llm_simhash",
+    "llm_simhash_hamming",
+    "llm_containment_pairs",
+    "llm_dup_ngram_fraction",
+    "llm_embedding_near_dup",
+    "llm_cosine_topk",
+    "llm_cosine_topk_per_label",
+    "llm_euclidean_topk",
+    "llm_knn_classify",
+    "llm_semantic_outliers",
+    "llm_label_centroids",
+    "llm_vector_norms",
+    "llm_embedding_standardize",
+    "llm_embedding_quantize",
+    "llm_embedding_pca",
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_fingerprint",
+    "llm_pattern_stats",
+    "llm_repetition_ratio",
+    "llm_pii_redact",
+    "llm_token_count",
+    "llm_top_bigrams",
+    "llm_bigram_lm_score",
+    "llm_chunk_documents",
+    "llm_sequence_packing",
+    "llm_inverted_index",
+    "llm_bm25_search",
+    "llm_rrf_fusion",
+    "llm_hash_sample",
+    "llm_train_test_split",
+    "llm_stratified_sample",
+    "llm_weighted_sample",
+    "llm_domain_mix_sample",
+    "agg_count_if",
+    "agg_bitwise",
+    "agg_incremental_rollup",
+    "agg_mad",
+    "agg_log_histogram",
+    "agg_winsorized_stats",
+    "agg_struct_json_collect",
+    "agg_decile_lift",
+    "agg_mom_growth",
+    "agg_abc_pareto",
+    "agg_share_of_parent",
+    "agg_chi2_independence",
+    "agg_salted_skew",
+    "agg_cms_frequency",
+    "agg_hll_sketch_merge",
+    "agg_kmv_distinct",
+    "agg_kmv_setops",
+    "events_anomaly_zscore",
+    "events_rate_limit",
+    "events_markov_transitions",
+    "events_ab_ttest",
+    "events_path_analysis",
+    "events_concurrency",
+    "events_funnel_latency",
+    "events_attribution",
+    "events_dau_wau",
+    "events_cusum_changepoint",
+    "events_funnel_windowed",
+    "events_seasonality_dow",
+    "events_decay_feature",
+    "events_user_entropy",
+    "events_linear_attribution",
+    "geo_point_accessors",
+    "geo_bbox_filter",
+    "geo_haversine",
+    "geo_polygon_metrics",
+    "geo_point_in_polygon",
+    "geo_polygon_holes",
+    "geo_geodesic_area",
+    "geo_lcc_reproject",
+    "geo_spatial_join_blocked",
+    "geo_zorder_key",
+    "geo_albers_roundtrip",
+    "geo_polar_roundtrip",
+    "geo_nearest_station",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "reshape_explode",
+    "reshape_upsert_latest",
+    "reshape_global_index",
+    "reshape_scd2_build",
+    "reshape_snapshot_diff",
+    "scalar_date_arith",
+    "scalar_string_extended",
     "pipeline_skew_diagnostics",
 )
 

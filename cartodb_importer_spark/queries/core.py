@@ -66,12 +66,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: selective dimension filter, fact join, top-k.
-    ``customer`` is small relative to the facts -> broadcast it so the
-    orders/lineitem join is the only shuffle."""
+    No forced broadcast on ``customer`` — it scales linearly with SF, so a
+    hard hint would OOM at 100x; AQE picks broadcast-hash while it is
+    small and falls back to shuffle join when it is not."""
     t = Tables(spark, sf_dir)
     cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     joined = (
-        t.orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        t.orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
@@ -103,8 +104,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style multi-join. All dimensions (supplier, nation, region,
-    customer) broadcast; the single large shuffle is orders|><|lineitem."""
+    """TPC-H Q5-style multi-join. Hints only on the bounded dimensions
+    (nation=25, region=5); supplier/customer scale with SF, so their join
+    strategy is left to AQE — broadcast while small, shuffle at 100x."""
     t = Tables(spark, sf_dir)
     dims = (
         t.supplier.join(
@@ -116,9 +118,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            t.customer.select("c_custkey", "c_nationkey"),
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -175,7 +177,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        t.lineitem.join(F.broadcast(thresholds), "l_partkey")
+        t.lineitem.join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -197,7 +199,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-style market share: one nation's revenue fraction per year
-    — conditional aggregation over a broadcast-dimension join."""
+    — conditional aggregation over dimension joins. Only nation (25 rows)
+    carries a broadcast hint; supplier scales with SF so AQE decides."""
     t = Tables(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
@@ -206,12 +209,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                t.supplier.join(
-                    F.broadcast(t.nation),
-                    F.col("s_nationkey") == F.col("n_nationkey"),
-                ).select("s_suppkey", "n_name")
-            ),
+            t.supplier.join(
+                F.broadcast(t.nation),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey", "n_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
     )
@@ -269,7 +270,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(t.part.select("p_partkey", "p_type")),
+            t.part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
@@ -300,7 +301,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#4") & (F.col("p_size") >= 10)
     ).select("p_partkey", "p_brand", "p_type")
     return (
-        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -322,7 +323,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     a post-join filter."""
     t = Tables(spark, sf_dir)
     j = t.lineitem.join(
-        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+        t.part, F.col("l_partkey") == F.col("p_partkey")
     )
     q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
     pred = (
@@ -400,9 +401,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style bilateral trade volume: revenue flowing between a
     nation pair, per year, in both directions. The same dimension table
-    (nation) joins twice under different roles — both broadcast; the only
-    shuffle is the lineitem|><|orders fact join. Semantics origin: engine
-    surface (SURVEY §2.3 joins); no reference analogue by construction."""
+    (nation) joins twice under different roles — nation itself (25 rows)
+    is hinted; the customer/supplier maps scale with SF so AQE picks their
+    strategy. Semantics origin: engine surface (SURVEY §2.3 joins); no
+    reference analogue by construction."""
     t = Tables(spark, sf_dir)
     cust_nation = (
         t.customer.join(
@@ -423,8 +425,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
     return joined.groupBy(
@@ -453,21 +455,22 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-style product-line profit by supplier nation and year,
     restricted to parts whose name matches a substring. The part filter is
-    applied BEFORE the broadcast so the hash table only carries matching
-    keys (testdata has no partsupp/supplycost; revenue stands in for
-    profit). Engine surface per SURVEY §2.3."""
+    applied BEFORE the join so a broadcast hash table, when AQE picks one,
+    only carries matching keys — no forced hint, since part scales with SF
+    (testdata has no partsupp/supplycost; revenue stands in for profit).
+    Engine surface per SURVEY §2.3."""
     t = Tables(spark, sf_dir)
     parts = t.part.filter(F.col("p_name").contains("red")).select("p_partkey")
     supp = t.supplier.join(
         F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", F.col("n_name").alias("nation"))
     joined = (
-        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             t.orders.select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return joined.groupBy("nation", F.year("o_orderdate").alias("o_year")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -582,7 +585,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rev", F.max("total_rev").over(Window.partitionBy())
     ).filter(F.col("total_rev") == F.col("max_rev"))
     return (
-        t.supplier.join(F.broadcast(best), F.col("s_suppkey") == F.col("l_suppkey"))
+        t.supplier.join(best, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -605,7 +608,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style large-volume orders: group-then-filter (HAVING) over
     the fact join, top-k by price. The per-order quantity rollup happens on
     lineitem ALONE first (smallest possible shuffle payload: two columns),
-    then survivors — a tiny set — broadcast-join back to orders/customer."""
+    then survivors join back to orders/customer — AQE broadcasts the
+    survivor set while small; no forced hint, since it scales with SF."""
     t = Tables(spark, sf_dir)
     big = (
         t.lineitem.groupBy("l_orderkey")
@@ -613,7 +617,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 300)
     )
     return (
-        t.orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        t.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
             t.customer.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -651,13 +655,14 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-style nested-IN: suppliers who moved an above-average
     (1.1x mean — scale-free, so the predicate stays selective from sf0.001
     to 100 TB) quantity of matching parts. The IN-subquery becomes a
-    left-semi join against a pre-aggregated (tiny, broadcast) qualifying
-    set; the scalar mean is a 1-row broadcast, not a driver collect."""
+    left-semi join against a pre-aggregated qualifying set (AQE-broadcast
+    while small — it scales with supplier count, so no forced hint); the
+    scalar mean is a 1-row broadcast, not a driver collect."""
     t = Tables(spark, sf_dir)
     blue_parts = t.part.filter(F.col("p_name").contains("blue")).select("p_partkey")
     per_supp = (
         t.lineitem.join(
-            F.broadcast(blue_parts), F.col("l_partkey") == F.col("p_partkey")
+            blue_parts, F.col("l_partkey") == F.col("p_partkey")
         )
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
@@ -669,7 +674,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return t.supplier.join(
-        F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "semi"
+        qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -736,7 +741,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_late.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            t.supplier.select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -781,10 +786,8 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("unit_cost") == F.col("best_cost"))
     return (
         best.join(
-            F.broadcast(
-                t.part.filter(F.col("p_size") == 15).select(
-                    "p_partkey", "p_brand"
-                )
+            t.part.filter(F.col("p_size") == 15).select(
+                "p_partkey", "p_brand"
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )

@@ -214,6 +214,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # declared sampling factors (T.81 A.2.2)
         comps = [(comps[0][0], 1, 1, comps[0][3])]
 
+    # every table the scan references must have been defined by a DQT/DHT
+    # marker — a structurally valid stream missing one must fail with the
+    # module's documented ValueError contract, not a bare KeyError
+    for cid, _, _, tq in comps:
+        if tq not in qt:
+            raise ValueError("JPEG missing DQT table")
+        if (0, smap[cid][0]) not in huff or (1, smap[cid][1]) not in huff:
+            raise ValueError("JPEG missing DHT table")
+
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)

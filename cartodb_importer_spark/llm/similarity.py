@@ -374,9 +374,12 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding",
                  out_col: str = "nvec") -> DataFrame:
     """Attach the unit-norm vector (pure JVM expression). PQ codebooks are
     trained on normalized vectors so ADC L2 ranking is monotone with
-    cosine (cos = 1 - d2/2 on the unit sphere). Zero-norm vectors are
-    dropped (x/0 would emit NaN arrays that silently poison codebook
-    k-means)."""
+    cosine (cos = 1 - d2/2 on the unit sphere). ROW-PRESERVING: a
+    zero-norm vector gets a NULL ``out_col`` instead of being silently
+    dropped (x/0 would emit NaN arrays that poison codebook k-means;
+    a vanished row would desync any caller aligning output to input).
+    Callers that need unit vectors filter ``out_col IS NOT NULL``
+    explicitly."""
     v = F.col(vec_col).cast("array<double>")
     n = F.sqrt(
         F.aggregate(
@@ -385,8 +388,13 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding",
     )
     return (
         df.withColumn("_l2n", n)
-        .filter(F.col("_l2n") > 0.0)
-        .withColumn(out_col, F.transform(v, lambda x: x / F.col("_l2n")))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_l2n") > 0.0,
+                F.transform(v, lambda x: x / F.col("_l2n")),
+            ),
+        )
         .drop("_l2n")
     )
 

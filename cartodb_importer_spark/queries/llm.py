@@ -2770,7 +2770,9 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     real embedding manifolds quantize far better)."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    normed = S.l2_normalize(emb).persist()
+    # zero-norm vectors get NULL nvec (row-preserving contract) — they
+    # cannot be quantized, so exclude them from codebook training here
+    normed = S.l2_normalize(emb).filter(F.col("nvec").isNotNull()).persist()
     books = S.train_pq_codebooks(normed, m=4, k=16)
     codes = S.assign_pq_codes(normed, books).select(
         "vec_id", *[f"pq_{j}" for j in range(4)]

@@ -9,6 +9,8 @@ for inference (a single map-side-combined max), then the typed scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import naming
@@ -29,9 +31,13 @@ def read_csv(
     quote: str | None = None,
     sanitize: bool = True,
     infer: bool = True,
+    workdir: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (typed DataFrame, metadata). Column names are sanitized per
-    O10 (blank headers -> unknow_name_<n>, reserved escapes)."""
+    O10 (blank headers -> unknow_name_<n>, reserved escapes). ``workdir``
+    is where any staged rewrite (BOM-stripped copy for headerless
+    utf-8-sig files) lands, so the importer's normal workdir cleanup
+    removes it; without one, a self-deleting temp dir is used."""
     import csv as csvmod
     import io
 
@@ -55,7 +61,14 @@ def read_csv(
     # must RE-BALANCE — the scanned window's total quote count must be
     # even — before odd lines are believed to be genuine multiline
     # records. A lone unterminated quote stays a one-row parse error,
-    # exactly as before this sniff existed.
+    # exactly as before this sniff existed. The 200k-line cap may only
+    # STOP the scan at a point where the running quote total is even —
+    # i.e. outside a quoted field. Breaking mid-field would leave the
+    # window's parity odd and silently disable multiLine for a genuinely
+    # multiline file; instead we scan on until the open field closes (a
+    # truly unbalanced file scans to EOF, which is the lone case where
+    # the full pass is unavoidable to distinguish "stray quote" from
+    # "still inside a record").
     any_odd = False
     total_quotes = 0
     with open(path, encoding=encoding, errors="replace") as f:
@@ -64,7 +77,7 @@ def read_csv(
             total_quotes += c
             if c % 2 == 1:
                 any_odd = True
-            if i >= 200_000:
+            if i >= 200_000 and total_quotes % 2 == 0:
                 break
     multiline = any_odd and total_quotes % 2 == 0
 
@@ -107,16 +120,22 @@ def read_csv(
     # first cell — stage a BOM-stripped copy for Spark to read instead.
     spark_encoding = "UTF-8" if encoding == "utf-8-sig" else encoding
     if not has_header and encoding == "utf-8-sig":
-        import tempfile
+        with open(path, "rb") as src:
+            bom = src.read(3)
+            if bom == b"\xef\xbb\xbf":
+                # stream-copy (never a whole-file driver read) into the
+                # import workdir so normal workdir cleanup removes it
+                import shutil
+                import tempfile
 
-        raw = open(path, "rb").read()
-        if raw.startswith(b"\xef\xbb\xbf"):
-            stripped = tempfile.NamedTemporaryFile(
-                mode="wb", suffix=".csv", delete=False
-            )
-            stripped.write(raw[3:])
-            stripped.close()
-            path = stripped.name
+                if workdir is None:
+                    workdir = tempfile.mkdtemp(prefix="cartodb_csv_nobom_")
+                target = os.path.join(
+                    workdir, os.path.basename(path) + ".nobom.csv"
+                )
+                with open(target, "wb") as dst:
+                    shutil.copyfileobj(src, dst, 1024 * 1024)
+                path = target
     df = spark.read.csv(
         path,
         header=has_header,  # when true, skip line 1; names come from `schema`

@@ -156,7 +156,7 @@ def route(
             break
 
     if ext == ".csv":
-        df, meta = read_csv(spark, path)
+        df, meta = read_csv(spark, path, workdir=workdir)
     elif ext in (".xls", ".xlsx", ".ods"):
         df, meta = read_excel(spark, path)
     elif ext in (".json", ".js", ".geojson"):

@@ -63,12 +63,32 @@ def plan_csv_ingest(
         "enforceSchema": "true",
         "mode": "PERMISSIVE",
     }
+    # Headerless utf-8-sig zone: the batch reader stages a BOM-stripped
+    # copy, but the stream reads ORIGINAL landed files with header=false
+    # + UTF-8, so each file's first cell would keep a leading U+FEFF.
+    # Flag it (private key, popped before .options()) so the stream plan
+    # strips it per-row — a pure column expression, not a per-file copy.
+    if meta["encoding"] == "utf-8-sig" and not meta["has_header"]:
+        options["_stripLeadingBom"] = "true"
     # infer over everything currently landed (distributed agg, one job)
+    read_opts = {k: v for k, v in options.items() if not k.startswith("_")}
     union = (
-        spark.read.options(**options).schema(schema).csv(seed).toDF(*names)
+        spark.read.options(**read_opts).schema(schema).csv(seed).toDF(*names)
     )
+    union = _strip_leading_bom(union, options)
     types = infer_column_types(union)
     return schema, types, options
+
+
+def _strip_leading_bom(df: DataFrame, options: dict[str, str]) -> DataFrame:
+    """Remove a file-leading U+FEFF from the first column (headerless
+    utf-8-sig landing zones) as a pure column expression."""
+    if options.get("_stripLeadingBom") != "true" or not df.columns:
+        return df
+    from pyspark.sql import functions as F
+
+    first = df.columns[0]
+    return df.withColumn(first, F.regexp_replace(F.col(first), "^\\uFEFF", ""))
 
 
 def stream_import_csv(
@@ -99,12 +119,14 @@ def stream_import_csv(
         schema = schema or planned_schema
         types = types or planned_types
         options = options or planned_opts
+    read_opts = {k: v for k, v in options.items() if not k.startswith("_")}
     raw = (
         spark.readStream.schema(schema)
-        .options(**options)
+        .options(**read_opts)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .csv(directory)
     )
+    raw = _strip_leading_bom(raw, options)
     typed = apply_inferred_types(raw, types)
     geo = georeference_points(typed)
     return stream_to_catalog(

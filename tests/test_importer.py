@@ -508,3 +508,25 @@ def test_csv_headerless_bom_stripped(spark, tmp_path):
     assert meta["has_header"] is False
     rows = sorted(r["field_1"] for r in df.collect())
     assert rows == [1, 2]  # inferred integer — BOM would force varchar
+
+
+def test_csv_multiline_sniff_cap_stops_outside_quoted_field(spark, tmp_path):
+    """ADVICE r4: the sniff's 200k-line cap must not end mid-quoted-field —
+    that would leave the scanned window's quote total odd and silently
+    disable multiLine for a genuinely multiline file. The scan may only
+    stop at an even running total (outside any quoted field)."""
+    from cartodb_importer_spark.readers.csv import read_csv
+
+    lines = ["id,note"] + [f"{i},fine" for i in range(199_999)]
+    # a real multiline record whose opening quote sits right at the cap
+    # and whose closing quote lands well after it
+    lines.append('199999,"spans')
+    lines += ["the cap"] * 50
+    lines.append('and closes here"')
+    lines.append("200000,tail")
+    p = tmp_path / "big_multiline.csv"
+    p.write_text("\n".join(lines) + "\n")
+    df, meta = read_csv(spark, str(p))
+    assert meta["multiline"] is True
+    assert df.filter("id = '199999'").count() == 1
+    assert df.filter("id = '200000'").count() == 1

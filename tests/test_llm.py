@@ -814,3 +814,54 @@ def test_codec_png_16bit():
     g16 = rs.randint(0, 65536, size=(5, 6)).astype(np.uint16)
     back2 = codecs.decode_png(build16(g16[..., None], 0, 1, (2,)))
     assert np.array_equal(back2[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+
+def test_jpeg_missing_tables_raise_valueerror():
+    """ADVICE r4: a structurally valid JPEG whose scan references an
+    undefined DQT/DHT table must fail with the module's documented
+    ValueError contract, never a bare KeyError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cartodb_importer_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    data = encode_jpeg(np.full((16, 16, 3), 128, np.uint8))
+
+    def strip(marker: int) -> bytes:
+        out = bytearray(data[:2])  # SOI
+        i = 2
+        while i < len(data):
+            if data[i] != 0xFF:
+                out += data[i:]
+                break
+            m = data[i + 1]
+            if m == 0xDA:  # SOS: header + entropy data to EOF
+                out += data[i:]
+                break
+            ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if m != marker:
+                out += data[i : i + 2 + ln]
+            i += 2 + ln
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="DHT"):
+        decode_jpeg(strip(0xC4))
+    with pytest.raises(ValueError, match="DQT"):
+        decode_jpeg(strip(0xDB))
+
+
+def test_l2_normalize_preserves_zero_norm_rows(spark):
+    """ADVICE r4: l2_normalize is row-preserving — a zero-norm vector
+    yields a NULL nvec instead of silently vanishing."""
+    from cartodb_importer_spark.llm import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    out = S.l2_normalize(df)
+    assert out.count() == 2
+    rows = {r["vec_id"]: r["nvec"] for r in out.collect()}
+    assert rows[2] is None
+    assert rows[1] == [0.6, 0.8]

@@ -601,3 +601,30 @@ def test_continuous_csv_import_semicolon_dialect(spark, tmp_path):
     rows = {r["name"]: r["qty"] for r in got.collect()}
     assert rows == {"bolt": 5, "nut": 7}
     assert dict(got.dtypes)["qty"] == "int"
+
+
+def test_continuous_csv_import_headerless_bom(spark, tmp_path):
+    """ADVICE r4: a headerless utf-8-sig landing zone streams the ORIGINAL
+    files (the batch planner's BOM-stripped staging copy never enters the
+    stream), so without the per-row strip each file's first cell keeps a
+    leading U+FEFF and the numeric cast nulls it out."""
+    import os
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+    from cartodb_importer_spark.streaming.ingest import stream_import_csv
+
+    land = tmp_path / "landing"
+    os.makedirs(land)
+    (land / "a.csv").write_bytes(b"\xef\xbb\xbf10,5\n20,7\n")
+    (land / "b.csv").write_bytes(b"\xef\xbb\xbf30,9\n")
+    catalog = LocalCatalog(str(tmp_path / "wh"))
+    q = stream_import_csv(
+        spark, str(land), catalog, "bom_zone", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = catalog.read(spark, "bom_zone")
+    rows = {r["field_1"]: r["field_2"] for r in got.collect()}
+    # every file's FIRST row must parse numeric — a surviving BOM would
+    # null field_1 for 10 and 30
+    assert rows == {10: 5, 20: 7, 30: 9}
+    assert dict(got.dtypes)["field_1"] == "int"

@@ -486,3 +486,63 @@ def pipeline_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(20)
     )
+
+
+# ------------------------------------------------- continuous importer twin
+
+
+@query(
+    "pipeline_continuous_ingest",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER)            AS nation_key,
+           n_name                                  AS name,
+           CAST(n_nationkey * 1.5 - 10 AS DOUBLE)  AS latitude,
+           CAST(n_nationkey * 2.0 - 20 AS DOUBLE)  AS longitude,
+           'POINT(' || CAST(CAST(n_nationkey * 2.0 - 20 AS DOUBLE) AS VARCHAR)
+            || ' '  || CAST(CAST(n_nationkey * 1.5 - 10 AS DOUBLE) AS VARCHAR)
+            || ')'                                 AS the_geom
+    FROM nation
+    """,
+)
+def pipeline_continuous_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled batch-twin of the continuous CSV importer
+    (streaming/ingest.py; reference contract importer.rb:480-560 +
+    :296-333): materialize the 25-row nation dim as a two-file CSV
+    landing zone with messy headers and synthetic lat/lon columns, run
+    the REAL streaming path end to end — dialect sniff, O10 header
+    sanitization, one-time §2.2 lattice planning, availableNow stream,
+    O12/O13 georeferencing, idempotent catalog append — and return the
+    landed table. The oracle reproduces the type lattice (key->int,
+    lat/lon->double) and the WKT build from the nation view. Bounded by
+    construction: the landing zone is the 25-row dimension, never a
+    fact table; at scale the same code watches a directory the upstream
+    jobs drop into."""
+    import os
+    import tempfile
+
+    from ..sinks.catalog import LocalCatalog
+    from ..streaming.ingest import stream_import_csv
+
+    t = Tables(spark, sf_dir)
+    rows = sorted(
+        t.nation.select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    work = tempfile.mkdtemp(prefix="cartodb_ingest_twin_")
+    land = os.path.join(work, "landing")
+    os.makedirs(land)
+    header = "Nation Key,Name,Latitude,Longitude\n"
+    for fname, chunk in (("a.csv", rows[:13]), ("b.csv", rows[13:])):
+        with open(os.path.join(land, fname), "w") as f:
+            f.write(header)
+            for r in chunk:
+                k = r["n_nationkey"]
+                f.write(f"{k},{r['n_name']},{k * 1.5 - 10},{k * 2.0 - 20}\n")
+    catalog = LocalCatalog(os.path.join(work, "wh"))
+    q = stream_import_csv(
+        spark, land, catalog, "nation_zone", os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    # __batch_id is the sink's idempotent-replay bookkeeping column, not
+    # part of the imported table contract
+    return catalog.read(spark, "nation_zone").drop("__batch_id")

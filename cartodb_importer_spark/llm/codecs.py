@@ -7,8 +7,8 @@ need nothing beyond the stdlib + numpy:
 * PNG (8/16-bit gray/RGB/palette/alpha, incl. Adam7 interlace) — zlib
   inflate + per-scanline unfilter (all five PNG filters);
 * GIF (first frame, incl. interlaced) — LSB-first LZW + color table;
-* JPEG (baseline/extended-sequential Huffman, 4:4:4/4:2:2/4:2:0,
-  restart intervals) — llm/jpeg.py, exact float IDCT;
+* JPEG (baseline/extended-sequential AND progressive Huffman,
+  4:4:4/4:2:2/4:2:0, restart intervals) — llm/jpeg.py, exact float IDCT;
 * PPM (binary P6) — trivial header + raw RGB;
 * WAV (PCM integer) — stdlib ``wave`` + numpy frombuffer;
 * Y4M (YUV4MPEG2) — text header + raw 4:2:0 frames split on FRAME marks.
@@ -16,7 +16,7 @@ need nothing beyond the stdlib + numpy:
 These make decode / feature-extract / resize / frame-sample REAL end to
 end for payloads in these formats (multimodal.py routes on magic bytes and
 falls back to the deterministic stub only for formats that genuinely need
-external libraries — progressive JPEG, MP3, MP4, ...).
+external libraries — MP3, MP4, arithmetic-coded JPEG, ...).
 
 All decoders take ``bytes`` and return plain numpy/python values: they run
 inside Arrow-batched ``mapInPandas`` workers, so per-call overhead

@@ -1,22 +1,30 @@
-"""Pure-Python baseline JPEG decoder (stdlib + numpy).
+"""Pure-Python baseline + progressive JPEG decoder (stdlib + numpy).
 
-Covers the overwhelmingly common web/camera encoding: baseline and
-extended-sequential Huffman DCT (SOF0/SOF1), 8-bit samples, grayscale or
-YCbCr with 4:4:4 / 4:2:2 / 4:2:0 (any h/v factors up to 2), restart
-intervals, and 0xFF byte stuffing. Progressive (SOF2), arithmetic coding,
-12-bit precision, and CMYK raise ValueError — the multimodal pipeline's
-declared stub boundary.
+Covers the overwhelmingly common web/camera encodings: baseline and
+extended-sequential Huffman DCT (SOF0/SOF1), progressive Huffman DCT
+(SOF2: spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs, interleaved and single-component scans),
+8-bit samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 (any h/v
+factors up to 2), restart intervals, and 0xFF byte stuffing. Arithmetic
+coding, hierarchical/lossless frames, 12-bit precision, and CMYK raise
+ValueError — the multimodal pipeline's declared stub boundary.
 
 Design notes. Marker scan collects quantization tables (natural order),
 Huffman tables (length-prefix dict: (nbits, code) -> symbol), the frame
-geometry, and the scan's component->table mapping. Entropy decoding walks
-MCUs; each 8x8 block is Huffman-decoded into zigzagged coefficients,
+geometry, and each scan's header (component->table map + Ss/Se/Ah/Al
+spectral/approximation parameters, tables snapshotted per scan since DHT
+may be redefined between scans). Baseline entropy decoding walks MCUs;
+each 8x8 block is Huffman-decoded into zigzagged coefficients,
 dequantized, un-zigzagged, and inverse-DCT'd with the exact separable
 float DCT-III matrix (C.T @ block @ C) — libjpeg's fixed-point IDCTs
 differ from this by at most ±1-2 levels, well inside quantization noise.
-Chroma planes upsample by pixel replication. Per-call Python cost is fine:
-calls run inside Arrow-batched ``mapInPandas`` workers over binary
-columns, and images are fixture-scale in this container.
+Progressive decoding accumulates per-block coefficient arrays across
+scans (T.81 §G.2: DC first = diff<<Al, DC refine = one raw bit, AC first
+= run/size with EOBRUN block skips, AC refine = correction-bit walk),
+then dequantizes + IDCTs once at EOI. Chroma planes upsample by pixel
+replication. Per-call Python cost is fine: calls run inside Arrow-batched
+``mapInPandas`` workers over binary columns, and images are
+fixture-scale in this container.
 """
 
 from __future__ import annotations
@@ -67,13 +75,13 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # marker: stop feeding real bits (pad with zeros)
+                else:
+                    # any real marker (RSTn, EOI, the next scan's
+                    # SOS/DHT, ...) ends this entropy segment: stop
+                    # feeding real bits and pad with zeros
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
                     continue
-                else:
-                    raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -118,8 +126,26 @@ def _extend(v: int, ssss: int) -> int:
     return v - (1 << ssss) + 1 if v < (1 << (ssss - 1)) else v
 
 
+def _skip_entropy(d: bytes, pos: int) -> int:
+    """Index of the first marker terminating an entropy-coded segment
+    (skips 0xFF00 stuffing and RSTn)."""
+    while pos < len(d) - 1:
+        if d[pos] == 0xFF:
+            nxt = d[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return len(d)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale broadcast)."""
+    """Baseline or progressive JPEG -> (H, W, 3) uint8 RGB (grayscale
+    broadcast)."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -127,6 +153,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    prog_scans: list[tuple] = []
     i = 2
     scan = None
     while i < len(d) - 1:
@@ -175,16 +203,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         p += 1
                     code <<= 1
                 huff[(tc, th)] = tbl
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext sequential / progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("12-bit JPEG unsupported")
+            progressive = m == 0xC2
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG frame 0xff{m:02x} unsupported")
         elif m == 0xDD:
@@ -195,12 +224,43 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tables = body[1 + 2 * c], body[2 + 2 * c]
                 smap[cid] = (tables >> 4, tables & 0x0F)
-            scan = (smap, i + 2 + ln)
-            break
+            if not progressive:
+                scan = (smap, i + 2 + ln)
+                break
+            # progressive: spectral selection + successive approximation
+            ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            # snapshot the tables this scan resolves to — DHT may legally
+            # be redefined between scans
+            scomps = []
+            for cid, (td, ta) in smap.items():
+                dc_tbl = huff.get((0, td))
+                ac_tbl = huff.get((1, ta))
+                if ss == 0 and ah == 0 and dc_tbl is None:
+                    raise ValueError("JPEG missing DHT table")
+                if ss > 0 and ac_tbl is None:
+                    raise ValueError("JPEG missing DHT table")
+                scomps.append((cid, dc_tbl, ac_tbl))
+            data_pos = i + 2 + ln
+            prog_scans.append(
+                (scomps, ss, se, ah, al, data_pos, restart_interval)
+            )
+            i = _skip_entropy(d, data_pos)
+            continue
         i += 2 + ln
-    if frame is None or scan is None:
+    if frame is None or (scan is None and not prog_scans):
         raise ValueError("JPEG missing SOF/SOS")
     height, width, comps = frame
+    if progressive:
+        if len(comps) not in (1, 3):
+            raise ValueError("CMYK/multi-spectral JPEG unsupported")
+        if len(comps) == 1:
+            comps = [(comps[0][0], 1, 1, comps[0][3])]
+        for _, _, _, tq in comps:
+            if tq not in qt:
+                raise ValueError("JPEG missing DQT table")
+        planes = _decode_progressive(d, height, width, comps, prog_scans, qt)
+        return _planes_to_rgb(planes, comps, height, width)
     if len(comps) not in (1, 3):
         raise ValueError("CMYK/multi-spectral JPEG unsupported")
     smap, data_pos = scan
@@ -273,7 +333,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # upsample to full resolution and color-convert
+    return _planes_to_rgb(planes, comps, height, width)
+
+
+def _planes_to_rgb(
+    planes: dict, comps: list, height: int, width: int
+) -> np.ndarray:
+    """Upsample component planes to full resolution and color-convert."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for cid, hs, vs, _ in comps:
         p = planes[cid]
@@ -287,6 +355,181 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(
+    d: bytes,
+    height: int,
+    width: int,
+    comps: list,
+    scans: list,
+    qt: dict,
+) -> dict:
+    """T.81 §G.2 progressive decoding: accumulate per-block zigzag
+    coefficient arrays across the scan sequence, then dequantize + IDCT
+    once. Returns {cid: pixel plane} at each component's resolution."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    geom = {}  # cid -> (hs, vs, blocks_w, blocks_h non-interleaved)
+    coef = {}
+    for cid, hs, vs, _ in comps:
+        comp_w = (width * hs + hmax - 1) // hmax
+        comp_h = (height * vs + vmax - 1) // vmax
+        bw = (comp_w + 7) // 8
+        bh = (comp_h + 7) // 8
+        geom[cid] = (hs, vs, bw, bh)
+        # MCU-padded grid so interleaved scans can write edge padding
+        coef[cid] = np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
+
+    for scomps, ss, se, ah, al, pos, ri in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("bad progressive scan: DC scan with Se != 0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("bad progressive scan: interleaved AC scan")
+        reader = _BitReader(d, pos)
+        state = {"eobrun": 0}
+        preds = {cid: 0 for cid, *_ in scomps}
+
+        def _restart():
+            reader.restart()
+            state["eobrun"] = 0
+            for c in preds:
+                preds[c] = 0
+
+        if len(scomps) == 1:
+            cid, dc_tbl, ac_tbl = scomps[0]
+            _, _, bw, bh = geom[cid]
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and n and n % ri == 0:
+                        _restart()
+                    _decode_prog_block(
+                        reader, coef[cid][by, bx], ss, se, ah, al,
+                        dc_tbl, ac_tbl, preds, cid, state,
+                    )
+                    n += 1
+        else:
+            byid = {c[0]: c for c in comps}
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and n and n % ri == 0:
+                        _restart()
+                    for cid, dc_tbl, ac_tbl in scomps:
+                        _, hs, vs, _ = byid[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                _decode_prog_block(
+                                    reader,
+                                    coef[cid][my * vs + by, mx * hs + bx],
+                                    ss, se, ah, al, dc_tbl, ac_tbl,
+                                    preds, cid, state,
+                                )
+                    n += 1
+
+    # dequantize + IDCT, vectorized per component
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        qzz = qt[tq].reshape(-1)[ZIGZAG].astype(np.int64)
+        zz = coef[cid] * qzz  # (BH, BW, 64) zigzag order
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[:, :, ZIGZAG] = zz
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ux,ijuv,vy->ijxy", _C, blocks, _C) + 128.0
+        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return planes
+
+
+def _decode_prog_block(
+    reader: "_BitReader",
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tbl: dict | None,
+    ac_tbl: dict | None,
+    preds: dict,
+    cid: int,
+    state: dict,
+) -> None:
+    """Decode one block's contribution for one progressive scan (G.2):
+    four cases by (band, first-vs-refinement)."""
+    if ss == 0:
+        if ah == 0:  # DC first
+            ssss = _huff_decode(reader, dc_tbl)
+            diff = _extend(reader.bits(ssss), ssss) if ssss else 0
+            preds[cid] += diff
+            blk[0] = preds[cid] << al
+        else:  # DC refinement: one raw bit
+            if reader.bit():
+                blk[0] |= 1 << al
+        return
+    if ah == 0:  # AC first
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _extend(reader.bits(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    break
+                k += 16  # ZRL
+        return
+    # AC refinement (jdphuff-style correction-bit walk)
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                s = p1 if reader.bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = s
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and reader.bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
 
 
 # --------------------------------------------------------------- encoder
@@ -487,3 +730,193 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
         + dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
         + sof + sos + bw.flush() + b"\xff\xd9"
     )
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _dct_quantized(rgb: np.ndarray):
+    """(H, W, 3) -> per-component (mcuy, mcux, 64) quantized zigzag
+    coefficient arrays (4:4:4, Annex K tables) — shared front half of the
+    encoders."""
+    h, w, _ = rgb.shape
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    out = []
+    for ci, p in enumerate((y, cb, cr)):
+        q = _QL if ci == 0 else _QC
+        padded = np.empty((mcuy * 8, mcux * 8))
+        padded[:h, :w] = p
+        padded[h:, :w] = p[-1:, :]
+        padded[:, w:] = padded[:, w - 1 : w]
+        blocks = (
+            padded.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coeffs = np.einsum("xu,ijuv,yv->ijxy", _C, blocks, _C)
+        zz = np.round(coeffs / q).astype(np.int64).reshape(mcuy, mcux, 64)[
+            :, :, ZIGZAG.argsort().argsort()
+        ] if False else None
+        # zigzag reorder: natural (8,8) flattened -> zigzag positions
+        natf = np.round(coeffs / q).astype(np.int64).reshape(mcuy, mcux, 64)
+        zz = natf[:, :, ZIGZAG]
+        out.append(zz)
+    return h, w, mcuy, mcux, out
+
+
+def _shift_to_zero(v: int, al: int) -> int:
+    """Point transform for AC coefficients: divide by 2^Al truncating
+    toward zero (G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> progressive 4:4:4 JPEG exercising the full G.2
+    scan taxonomy: interleaved DC first at Al=1, interleaved DC
+    refinement, per-component AC first scans with a split spectral band
+    for luma (Ss 1-5 then 6-63) at Al=1, and matching AC refinement
+    scans at Al=0. Uses the Annex K tables, which lack the EOBn symbols
+    for runs > 1, so every AC scan ends blocks with plain EOB (EOBRUN=1)
+    — spec-legal, and the decoder handles longer runs from other
+    encoders independently."""
+    h, w, mcuy, mcux, zz = _dct_quantized(rgb)
+    dc_l, ac_l = _enc_table(_DC_L), _enc_table(_AC_L)
+    dc_c, ac_c = _enc_table(_DC_C), _enc_table(_AC_C)
+    dc_tabs = [dc_l, dc_c, dc_c]
+    ac_tabs = [ac_l, ac_c, ac_c]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(
+            0xDB, bytes([tid]) + bytes(int(x) for x in q.reshape(-1)[ZIGZAG])
+        )
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    def sos(comp_tabs: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_tabs)])
+        for cid, td, ta in comp_tabs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += dqt(0, _QL) + dqt(1, _QC)
+    out += dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
+    out += dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+
+    # scan 1: DC first, all components interleaved, Al=1
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                v = int(zz[ci][my, mx, 0]) >> 1  # DC point transform: >>Al
+                diff = v - preds[ci]
+                preds[ci] = v
+                ssss, raw = _magnitude(diff)
+                code, n = dc_tabs[ci][ssss]
+                bw_.write(code, n)
+                if ssss:
+                    bw_.write(raw, ssss)
+    out += bw_.flush()
+
+    # scan 2: DC refinement, Al=0 — one raw bit per block
+    out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                bw_.write(int(zz[ci][my, mx, 0]) & 1, 1)
+    out += bw_.flush()
+
+    # AC first scans at Al=1 (luma split into two spectral bands)
+    bands = [(0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)]
+    for ci, ss, se in bands:
+        out += sos([(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 0, 1)
+        bw_ = _BitWriter()
+        act = ac_tabs[ci]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = zz[ci][my, mx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = _shift_to_zero(int(blk[k]), 1)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, n = act[0xF0]
+                        bw_.write(code, n)
+                        run -= 16
+                    s, raw = _magnitude(v)
+                    code, n = act[(run << 4) | s]
+                    bw_.write(code, n)
+                    bw_.write(raw, s)
+                    run = 0
+                if run:
+                    code, n = act[0x00]  # EOB (EOBRUN=1)
+                    bw_.write(code, n)
+        out += bw_.flush()
+
+    # AC refinement scans at Al=0 (jcphuff-style correction-bit walk)
+    for ci, ss, se in bands:
+        out += sos([(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 1, 0)
+        bw_ = _BitWriter()
+        act = ac_tabs[ci]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = zz[ci][my, mx]
+                absv = [abs(int(blk[k])) for k in range(ss, se + 1)]
+                eob = -1  # index (relative) of last newly-nonzero coef
+                for idx, a in enumerate(absv):
+                    if a == 1:
+                        eob = idx
+                run = 0
+                pending: list[int] = []
+                for idx, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and idx <= eob:
+                        code, n = act[0xF0]
+                        bw_.write(code, n)
+                        run -= 16
+                        for bit in pending:
+                            bw_.write(bit, 1)
+                        pending = []
+                    if a > 1:
+                        pending.append(a & 1)  # correction bit
+                        continue
+                    # newly nonzero (|v| == 1): symbol, sign, buffered bits
+                    code, n = act[(run << 4) | 1]
+                    bw_.write(code, n)
+                    bw_.write(1 if int(blk[ss + idx]) > 0 else 0, 1)
+                    for bit in pending:
+                        bw_.write(bit, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:
+                    code, n = act[0x00]  # EOB (EOBRUN=1)
+                    bw_.write(code, n)
+                    for bit in pending:
+                        bw_.write(bit, 1)
+        out += bw_.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

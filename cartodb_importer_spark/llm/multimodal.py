@@ -3,11 +3,11 @@ a typed metadata struct, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 Decode is REAL for formats that need no external library (llm/codecs.py:
-uncompressed BMP, binary PPM, 8-bit PNG, GIF, and baseline JPEG images,
-PCM WAV audio,
+uncompressed BMP, binary PPM, 8-bit PNG, GIF, and baseline + progressive
+JPEG images, PCM WAV audio,
 YUV4MPEG2 video) —
 payloads are routed on magic bytes. Formats that genuinely require
-Pillow/ffmpeg (progressive JPEG, MP3, MP4, ...) fall back to the deterministic
+Pillow/ffmpeg (MP3, MP4, arithmetic-coded JPEG, ...) fall back to the deterministic
 sha-derived stub, clearly marked; swapping the fallback for a real decoder
 is a one-function change and the Spark-side plumbing (schema, Arrow batch
 iteration, partitioning, UDF signatures) does not move.
@@ -88,7 +88,7 @@ def media_from_documents(df: DataFrame, payload_col: str = "text") -> DataFrame:
 def _decode_image_stub(payload: bytes) -> list[float]:
     """STUB DECODER — deterministic fake feature vector from the payload
     bytes (sha256-seeded). The fallback for formats that genuinely need
-    external libraries (progressive JPEG, MP3, MP4) and for non-media
+    external libraries (MP3, MP4, arithmetic-coded JPEG) and for non-media
     payloads; the signature (bytes -> list[float] of FEATURE_DIM) is the
     real contract."""
     digest = hashlib.sha256(payload).digest()

@@ -633,11 +633,13 @@ def test_codec_jpeg_real_files_and_roundtrip():
     back2 = decode_jpeg(encode_jpeg(odd))
     assert back2.shape == (41, 35, 3)
 
-    # progressive JPEG raises (stub boundary): flip SOF0 to SOF2
+    # flipping SOF0->SOF2 on a baseline stream makes a MALFORMED
+    # progressive file (interleaved scan with Se=63); the decoder must
+    # reject it, not misdecode
     prog = bytearray(data)
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="progressive scan"):
         decode_jpeg(bytes(prog))
 
 
@@ -865,3 +867,118 @@ def test_l2_normalize_preserves_zero_norm_rows(spark):
     rows = {r["vec_id"]: r["nvec"] for r in out.collect()}
     assert rows[2] is None
     assert rows[1] == [0.6, 0.8]
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """VERDICT r4 item 3: progressive (SOF2) decode. The progressive
+    encoder exercises the full G.2 scan taxonomy (interleaved DC first at
+    Al=1, DC refinement, split-band AC first scans, AC refinement with
+    correction-bit walks); decoding its output must be bit-identical to
+    decoding the baseline encoding of the same image (same quantized
+    coefficients either way), and well above 30 dB vs the original."""
+    import numpy as np
+
+    from cartodb_importer_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(48, 48, 3), (41, 35, 3), (17, 9, 3)]:
+        hh, ww, _ = shape
+        xs = np.linspace(0, 1, ww)[None, :]
+        ys = np.linspace(0, 1, hh)[:, None]
+        base = np.sin(ys * 3) * np.cos(xs * 2)
+        smooth = np.clip(
+            np.stack(
+                [base * 100 + 120, base * 80 + 100, base * -60 + 140],
+                axis=2,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        prog = encode_jpeg_progressive(smooth)
+        assert prog[:2] == b"\xff\xd8" and b"\xff\xc2" in prog
+        pb = decode_jpeg(prog)
+        bb = decode_jpeg(encode_jpeg(smooth))
+        assert np.array_equal(pb, bb), shape
+        mse = ((pb.astype(float) - smooth.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255.0**2 / mse) > 30.0
+
+    # worst-case content (noise) still decodes identically
+    noise = rng.integers(0, 256, (32, 24, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(noise)),
+        decode_jpeg(encode_jpeg(noise)),
+    )
+
+
+def test_jpeg_progressive_eobrun_spanning_blocks():
+    """EOB runs covering MULTIPLE blocks (libjpeg emits EOBRUN up to
+    32767; our Annex-K-table encoder never does) — hand-built grayscale
+    3-block stream: AC first scan ends block 1 with EOBRUN=2 (skipping
+    blocks 2-3), then an AC refinement scan whose EOBRUN=3 covers all
+    blocks via correction-bit tail walks."""
+    import struct
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # quant table: all ones (identity dequant), zigzag order
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    # DC table 0: two 1-bit codes -> symbols 0x00 (ssss=0), 0x02
+    dht_dc = seg(
+        0xC4,
+        bytes([0x00])
+        + bytes([2] + [0] * 15)
+        + bytes([0x00, 0x02]),
+    )
+    # AC table 0: two 2-bit codes -> symbols 0x11 (r=1,s=1), 0x10 (EOBn r=1)
+    dht_ac = seg(
+        0xC4,
+        bytes([0x10])
+        + bytes([0, 2] + [0] * 14)
+        + bytes([0x11, 0x10]),
+    )
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+
+    def bits_to_bytes(bitstr):
+        bitstr = bitstr + "1" * (-len(bitstr) % 8)
+        return bytes(
+            int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8)
+        )
+
+    # scan 1: DC first, Al=0 — all three blocks DC=0 (symbol 0x00 = '0')
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    dc_data = bits_to_bytes("0" * 3)
+    # scan 2: AC first, Ss=1 Se=63 Al=1. Canonical codes: sym 0x11
+    # -> '00', sym 0x10 -> '01'. Block 1: 0x11 (r=1,s=1), value bit '1'
+    # (=+1 -> coef 1<<1 = 2 at zigzag k=2), then 0x10 (EOBn r=1) + ext
+    # bit '1' -> EOBRUN = (1<<1)-1+1 = 2: skips blocks 2 and 3 entirely.
+    sos_ac1 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    ac1_data = bits_to_bytes("00" + "1" + "01" + "1")
+    # scan 3: AC refinement Ah=1 Al=0: sym 0x10 ('01') + ext bit '1' ->
+    # EOBRUN = (1<<1)+1 = 3 covers all blocks; tail walk reads ONE
+    # correction bit (block 1's nonzero coef at k=2): '1' -> coef 2->3
+    sos_ac2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    ac2_data = bits_to_bytes("01" + "1" + "1")
+
+    stream = (
+        b"\xff\xd8" + dqt + dht_dc + dht_ac + sof
+        + sos_dc + dc_data + sos_ac1 + ac1_data + sos_ac2 + ac2_data
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(stream)
+    assert img.shape == (8, 24, 3)
+    # blocks 2 and 3 never received coefficients: uniform mid-gray
+    assert np.all(img[:, 8:16] == 128) and np.all(img[:, 16:24] == 128)
+    # block 1 carries AC energy at zigzag k=2 (natural (1,0)): a vertical
+    # cosine — rows differ, refined magnitude 3
+    assert img[:, :8].std() > 0
+    col = img[:, 0, 0].astype(float)
+    assert col[0] != col[7]

@@ -16,9 +16,19 @@ differencing). GeoTIFF georeferencing is read from ModelPixelScale/
 ModelTiepoint and the EPSG code from the GeoKey directory
 (GeographicType 2048 / ProjectedCSType 3072 keys).
 
-Anything outside that subset (JPEG/CCITT compression) raises ValueError
-so the caller can fall back to the stub — those are where GDAL genuinely
-earns its dependency.
+plus (r05):
+
+* 2 / 3 / 4 — CCITT Group 3/4 fax (Modified Huffman 1D rows, T.4 with
+  EOL + 1D/2D flag rows, T.6 pure-2D MMR) for bilevel rasters, with the
+  standard T.4 white/black terminating + makeup + extended-makeup code
+  tables (validated against JDK ImageIO-written fixtures);
+* 7     — new-style JPEG-in-TIFF: each strip/tile is a JPEG stream
+  (abbreviated streams merged with the JPEGTables tag 347), decoded by
+  the engine's own baseline+progressive decoder (llm/jpeg.py).
+
+Anything outside that subset (old-style JPEG compression 6, JBIG, ...)
+raises ValueError so the caller can fall back to the stub — those are
+where GDAL genuinely earns its dependency.
 """
 
 from __future__ import annotations
@@ -34,6 +44,7 @@ _TYPES = {
     3: ("H", 2),   # SHORT
     4: ("I", 4),   # LONG
     5: ("II", 8),  # RATIONAL
+    7: ("B", 1),   # UNDEFINED (raw bytes, e.g. JPEGTables)
     8: ("h", 2),   # SSHORT
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
@@ -172,6 +183,274 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# ------------------------------------------------- CCITT G3/G4 (T.4/T.6)
+# Standard T.4 Modified Huffman run-length codes: {bitstring: run}.
+
+_MH_WHITE = {
+    "00110101": 0, "000111": 1, "0111": 2, "1000": 3, "1011": 4,
+    "1100": 5, "1110": 6, "1111": 7, "10011": 8, "10100": 9,
+    "00111": 10, "01000": 11, "001000": 12, "000011": 13, "110100": 14,
+    "110101": 15, "101010": 16, "101011": 17, "0100111": 18,
+    "0001100": 19, "0001000": 20, "0010111": 21, "0000011": 22,
+    "0000100": 23, "0101000": 24, "0101011": 25, "0010011": 26,
+    "0100100": 27, "0011000": 28, "00000010": 29, "00000011": 30,
+    "00011010": 31, "00011011": 32, "00010010": 33, "00010011": 34,
+    "00010100": 35, "00010101": 36, "00010110": 37, "00010111": 38,
+    "00101000": 39, "00101001": 40, "00101010": 41, "00101011": 42,
+    "00101100": 43, "00101101": 44, "00000100": 45, "00000101": 46,
+    "00001010": 47, "00001011": 48, "01010010": 49, "01010011": 50,
+    "01010100": 51, "01010101": 52, "00100100": 53, "00100101": 54,
+    "01011000": 55, "01011001": 56, "01011010": 57, "01011011": 58,
+    "01001010": 59, "01001011": 60, "00110010": 61, "00110011": 62,
+    "00110100": 63,
+    # makeup
+    "11011": 64, "10010": 128, "010111": 192, "0110111": 256,
+    "00110110": 320, "00110111": 384, "01100100": 448, "01100101": 512,
+    "01101000": 576, "01100111": 640, "011001100": 704, "011001101": 768,
+    "011010010": 832, "011010011": 896, "011010100": 960,
+    "011010101": 1024, "011010110": 1088, "011010111": 1152,
+    "011011000": 1216, "011011001": 1280, "011011010": 1344,
+    "011011011": 1408, "010011000": 1472, "010011001": 1536,
+    "010011010": 1600, "011000": 1664, "010011011": 1728,
+}
+_MH_BLACK = {
+    "0000110111": 0, "010": 1, "11": 2, "10": 3, "011": 4, "0011": 5,
+    "0010": 6, "00011": 7, "000101": 8, "000100": 9, "0000100": 10,
+    "0000101": 11, "0000111": 12, "00000100": 13, "00000111": 14,
+    "000011000": 15, "0000010111": 16, "0000011000": 17,
+    "0000001000": 18, "00001100111": 19, "00001101000": 20,
+    "00001101100": 21, "00000110111": 22, "00000101000": 23,
+    "00000010111": 24, "00000011000": 25, "000011001010": 26,
+    "000011001011": 27, "000011001100": 28, "000011001101": 29,
+    "000001101000": 30, "000001101001": 31, "000001101010": 32,
+    "000001101011": 33, "000011010010": 34, "000011010011": 35,
+    "000011010100": 36, "000011010101": 37, "000011010110": 38,
+    "000011010111": 39, "000001101100": 40, "000001101101": 41,
+    "000011011010": 42, "000011011011": 43, "000001010100": 44,
+    "000001010101": 45, "000001010110": 46, "000001010111": 47,
+    "000001100100": 48, "000001100101": 49, "000001010010": 50,
+    "000001010011": 51, "000000100100": 52, "000000110111": 53,
+    "000000111000": 54, "000000100111": 55, "000000101000": 56,
+    "000001011000": 57, "000001011001": 58, "000000101011": 59,
+    "000000101100": 60, "000001011010": 61, "000001100110": 62,
+    "000001100111": 63,
+    # makeup
+    "0000001111": 64, "000011001000": 128, "000011001001": 192,
+    "000001011011": 256, "000000110011": 320, "000000110100": 384,
+    "000000110101": 448, "0000001101100": 512, "0000001101101": 576,
+    "0000001001010": 640, "0000001001011": 704, "0000001001100": 768,
+    "0000001001101": 832, "0000001110010": 896, "0000001110011": 960,
+    "0000001110100": 1024, "0000001110101": 1088, "0000001110110": 1152,
+    "0000001110111": 1216, "0000001010010": 1280, "0000001010011": 1344,
+    "0000001010100": 1408, "0000001010101": 1472, "0000001011010": 1536,
+    "0000001011011": 1600, "0000001100100": 1664, "0000001100101": 1728,
+}
+# extended makeups (T.4 Table 3b, shared by both colors)
+_MH_EXT = {
+    "00000001000": 1792, "00000001100": 1856, "00000001101": 1920,
+    "000000010010": 1984, "000000010011": 2048, "000000010100": 2112,
+    "000000010101": 2176, "000000010110": 2240, "000000010111": 2304,
+    "000000011100": 2368, "000000011101": 2432, "000000011110": 2496,
+    "000000011111": 2560,
+}
+_MH_WHITE.update(_MH_EXT)
+_MH_BLACK.update(_MH_EXT)
+
+#: decode dicts keyed (nbits, code) like the JPEG tables
+_MH_TABLES = []
+for _tbl in (_MH_WHITE, _MH_BLACK):
+    _MH_TABLES.append(
+        {(len(k), int(k, 2)): v for k, v in _tbl.items()}
+    )
+
+
+class _FaxBits:
+    """MSB-first bit reader for CCITT entropy data (no byte unstuffing)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+
+    def bit(self) -> int:
+        byte = self.bitpos >> 3
+        if byte >= len(self.data):
+            raise ValueError("CCITT stream truncated")
+        b = (self.data[byte] >> (7 - (self.bitpos & 7))) & 1
+        self.bitpos += 1
+        return b
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def exhausted(self) -> bool:
+        return self.bitpos >= 8 * len(self.data)
+
+
+def _mh_code(bits: _FaxBits, color: int) -> int:
+    """Decode one T.4 run-length code for the given color (0=white)."""
+    table = _MH_TABLES[color]
+    code = 0
+    for length in range(1, 15):
+        code = (code << 1) | bits.bit()
+        run = table.get((length, code))
+        if run is not None:
+            return run
+    raise ValueError("bad CCITT run-length code")
+
+
+def _mh_run(bits: _FaxBits, color: int) -> int:
+    """Full run: zero or more makeup codes (>=64) then a terminator."""
+    total = 0
+    while True:
+        run = _mh_code(bits, color)
+        total += run
+        if run < 64:
+            return total
+
+
+def _fax_row_1d(bits: _FaxBits, width: int) -> np.ndarray:
+    """One Modified-Huffman 1D row: alternating white/black runs."""
+    row = np.zeros(width, np.uint8)
+    pos = 0
+    color = 0
+    while pos < width:
+        run = _mh_run(bits, color)
+        if color:
+            row[pos : pos + run] = 1
+        pos += run
+        color ^= 1
+    if pos != width:
+        raise ValueError("CCITT 1D row overruns width")
+    return row
+
+
+def _transitions(row: np.ndarray) -> list[int]:
+    """Changing-element positions (color differs from pixel to the left;
+    row starts from imaginary white)."""
+    prev = np.concatenate(([0], row[:-1]))
+    return np.nonzero(row != prev)[0].tolist()
+
+
+def _fax_row_2d(bits: _FaxBits, width: int, ref: list[int]) -> np.ndarray:
+    """One 2D-coded row (T.4 2D / T.6 MMR) against reference transitions."""
+    row = np.zeros(width, np.uint8)
+    a0 = -1
+    color = 0
+    while a0 < width:
+        # locate b1: first reference transition > a0 whose index parity
+        # matches the current color (even = white->black starts)
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+
+        # mode code (T.4 table 4): V0=1, VR1=011, VL1=010, H=001,
+        # P=0001, VR2=000011, VL2=000010, VR3=0000011, VL3=0000010
+        if bits.bit():
+            mode = ("V", 0)
+        elif bits.bit():
+            mode = ("V", 1) if bits.bit() else ("V", -1)
+        elif bits.bit():
+            mode = ("H", 0)
+        elif bits.bit():
+            mode = ("P", 0)
+        elif bits.bit():
+            mode = ("V", 2) if bits.bit() else ("V", -2)
+        elif bits.bit():
+            mode = ("V", 3) if bits.bit() else ("V", -3)
+        else:
+            raise ValueError(
+                "CCITT extension/uncompressed mode unsupported"
+            )
+
+        start = max(a0, 0)
+        if mode[0] == "P":
+            if color:
+                row[start:b2] = 1
+            a0 = b2
+        elif mode[0] == "H":
+            r1 = _mh_run(bits, color)
+            r2 = _mh_run(bits, color ^ 1)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width:
+                raise ValueError("CCITT horizontal run overruns width")
+            if color:
+                row[start:a1] = 1
+            else:
+                row[a1:a2] = 1
+            a0 = a2
+        else:
+            a1 = b1 + mode[1]
+            if a1 < 0 or a1 > width:
+                raise ValueError("CCITT vertical run out of range")
+            if color:
+                row[start:a1] = 1
+            a0 = a1
+            color ^= 1
+    return row
+
+
+def _ccitt_eol(bits: _FaxBits) -> None:
+    """Consume fill bits + an EOL (>=11 zeros then a 1)."""
+    zeros = 0
+    while True:
+        if bits.bit():
+            if zeros < 11:
+                raise ValueError("bad CCITT EOL")
+            return
+        zeros += 1
+        if zeros > 64 + 11:
+            raise ValueError("CCITT fill run too long")
+
+
+def _ccitt_decode(
+    raw: bytes, width: int, nrows: int, compression: int, t4_options: int
+) -> np.ndarray:
+    """CCITT strip -> (nrows, width) uint8 with file-bit semantics
+    (0 = white under PhotometricInterpretation 0)."""
+    bits = _FaxBits(raw)
+    rows = []
+    ref = [width, width]
+    for _ in range(nrows):
+        if compression == 2:
+            # Modified Huffman: every row starts byte-aligned, 1D
+            bits.align()
+            row = _fax_row_1d(bits, width)
+        elif compression == 3:
+            _ccitt_eol(bits)
+            if t4_options & 1:  # 2D mode: EOL carries a 1D/2D flag bit
+                row = (
+                    _fax_row_1d(bits, width)
+                    if bits.bit()
+                    else _fax_row_2d(bits, width, ref)
+                )
+            else:
+                row = _fax_row_1d(bits, width)
+        else:  # 4: T.6 MMR, pure 2D, no EOLs
+            row = _fax_row_2d(bits, width, ref)
+        rows.append(row)
+        ref = _transitions(row) + [width, width]
+    return np.stack(rows)
+
+
+def _jpeg_strip(raw: bytes, tables: bytes | None) -> np.ndarray:
+    """Compression-7 strip/tile: a JPEG stream, abbreviated streams
+    merged with the JPEGTables tag payload. Returns (H, W, 3) uint8."""
+    from ..llm.jpeg import decode_jpeg
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("JPEG-in-TIFF strip missing SOI")
+    if tables and len(tables) > 4:
+        # tables stream: SOI + table segments + EOI; splice strip body in
+        head = tables[2:]
+        if head.endswith(b"\xff\xd9"):
+            head = head[:-2]
+        raw = b"\xff\xd8" + head + raw[2:]
+    return decode_jpeg(raw)
+
+
 def _decompress_strip(raw: bytes, compression: int) -> bytes:
     if compression == 1:
         return raw
@@ -235,11 +514,58 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     spp = int(t.get(277, [1])[0])
     bits = int(t.get(258, [8])[0])
     fmt = int(t.get(339, [1])[0])
-    dt = _dtype(bits, fmt, bo)
-    if predictor == 3 and dt.kind != "f":
+    dt = _dtype(bits, fmt, bo) if bits >= 8 else None
+    if predictor == 3 and (dt is None or dt.kind != "f"):
         raise ValueError("predictor 3 requires float samples")
 
-    if 322 in t or 324 in t:
+    band1 = None
+    if compression in (2, 3, 4):
+        # CCITT fax: bilevel, strip-organized; the 2D reference line
+        # resets at each strip boundary
+        offsets = t.get(273)
+        counts = t.get(279)
+        if offsets is None or counts is None:
+            raise ValueError("CCITT TIFF missing strip offsets/counts")
+        rows_per_strip = int(t.get(278, [height])[0])
+        t4opts = int(
+            t.get(292 if compression == 3 else 293, [0])[0]
+        )
+        if compression == 4 and t4opts & 2:
+            raise ValueError("CCITT T.6 uncompressed mode unsupported")
+        parts = []
+        for si, off in enumerate(offsets):
+            nrows = min(rows_per_strip, height - si * rows_per_strip)
+            raw = data[off : off + counts[si]]
+            parts.append(
+                _ccitt_decode(raw, width, nrows, compression, t4opts)
+            )
+        band1 = np.concatenate(parts, axis=0)
+        if int(t.get(262, [0])[0]) == 1:  # BlackIsZero: invert file bits
+            band1 = (1 - band1).astype(np.uint8)
+    elif compression == 7:
+        tables = t.get(347)
+        tbytes = bytes(tables) if tables else None
+        if 322 in t or 324 in t:
+            tw, th = int(t[322][0]), int(t[323][0])
+            toffsets, tcounts = t[324], t[325]
+            across = (width + tw - 1) // tw
+            down = (height + th - 1) // th
+            img = np.zeros((down * th, across * tw), np.uint8)
+            for ti, off in enumerate(toffsets):
+                rgb = _jpeg_strip(data[off : off + tcounts[ti]], tbytes)
+                r, c = (ti // across) * th, (ti % across) * tw
+                img[r : r + th, c : c + tw] = rgb[:th, :tw, 0]
+            band1 = img[:height, :width]
+        else:
+            offsets, counts = t[273], t[279]
+            rows_per_strip = int(t.get(278, [height])[0])
+            parts = []
+            for si, off in enumerate(offsets):
+                nrows = min(rows_per_strip, height - si * rows_per_strip)
+                rgb = _jpeg_strip(data[off : off + counts[si]], tbytes)
+                parts.append(rgb[:nrows, :width, 0])
+            band1 = np.concatenate(parts, axis=0)
+    elif 322 in t or 324 in t:
         # Tiled layout (tags 322/323/324/325): fixed-size tiles in
         # row-major order, right/bottom edge tiles padded to full size.
         tw = int(t[322][0])
@@ -316,7 +642,8 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
                     strip = _undo_predictor(strip, bits, spp, dt)
             parts.append(strip)
         img = np.concatenate(parts, axis=0)
-    band1 = img[..., 0] if spp > 1 else img
+    if band1 is None:
+        band1 = img[..., 0] if spp > 1 else img
 
     srid = 0
     geokeys = t.get(34735)

@@ -36,7 +36,8 @@ import numpy as np
 
 def sniff(payload: bytes) -> str | None:
     """Best-effort container sniff from magic bytes: 'bmp' | 'ppm' | 'png' |
-    'gif' | 'jpeg' | 'wav' | 'y4m' | None (unknown)."""
+    'gif' | 'jpeg' | 'wav' | 'aiff' | 'au' | 'avi' | 'y4m' | None
+    (unknown)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
@@ -49,6 +50,12 @@ def sniff(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if payload[:4] == b".snd":
+        return "au"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     return None
@@ -187,6 +194,185 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------- AIFF / AU
+
+
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rate field)."""
+    import struct as _st
+
+    se, mant = _st.unpack(">HQ", b[:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF (FORM/COMM/SSND, big-endian integer PCM) -> (float32 samples
+    in [-1, 1] shaped (n, channels), sample_rate). Compressed AIFC
+    variants raise ValueError."""
+    import struct as _st
+
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF stream")
+    nch = bits = rate = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        ln = _st.unpack(">I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + ln]
+        if cid == b"COMM":
+            nch, _nfr, bits = _st.unpack(">hIh", body[:8])
+            rate = int(round(_f80_to_float(body[8:18])))
+            if len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
+                raise ValueError(
+                    f"compressed AIFC {body[18:22]!r} unsupported"
+                )
+        elif cid == b"SSND":
+            off, _blk = _st.unpack(">II", body[:8])
+            data = body[8 + off :]
+        i += 8 + ln + (ln & 1)  # chunks pad to even
+    if nch is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    if bits == 8:
+        x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, ">i2").astype(np.float32) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(data, ">i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported AIFF sample width {bits}")
+    n = (len(x) // nch) * nch
+    return x[:n].reshape(-1, nch), rate
+
+
+_MULAW_BIAS = 0x84
+
+
+def _mulaw_to_linear(u8: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law byte -> 16-bit linear sample (vectorized)."""
+    u = (~u8.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    sample = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return np.where(sign != 0, -sample, sample).astype(np.int16)
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT .au -> (float32 samples in [-1, 1] shaped (n, channels),
+    sample_rate). Encodings: 1 = G.711 mu-law, 2 = 8-bit linear,
+    3 = 16-bit linear BE, 6 = float32 BE."""
+    import struct as _st
+
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU stream")
+    off, size, enc, rate, nch = _st.unpack(">IIIII", payload[4:24])
+    end = off + size if size != 0xFFFFFFFF else len(payload)
+    data = payload[off:end]
+    if enc == 1:
+        x = _mulaw_to_linear(np.frombuffer(data, np.uint8)).astype(
+            np.float32
+        ) / 32768.0
+    elif enc == 2:
+        x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    elif enc == 3:
+        x = np.frombuffer(data, ">i2").astype(np.float32) / 32768.0
+    elif enc == 6:
+        x = np.frombuffer(data, ">f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    n = (len(x) // nch) * nch
+    return x[:n].reshape(-1, nch), rate
+
+
+# ------------------------------------------------------------ AVI (MJPEG)
+
+
+def iter_avi_mjpeg_frames(payload: bytes):
+    """Motion-JPEG AVI -> yields (frame_idx, ts_ms, rgb ndarray) per video
+    frame. RIFF walk: dwMicroSecPerFrame from avih, JPEG frames from the
+    movi list's 00dc/00db chunks (decoded by llm/jpeg.py). Non-MJPEG
+    codecs raise ValueError at the first undecodable frame."""
+    import struct as _st
+
+    from .jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    us_per_frame = 40000  # 25 fps default if avih is absent
+
+    def walk(start: int, end: int):
+        nonlocal us_per_frame
+        i = start
+        idx = 0
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            ln = _st.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"LIST":
+                ltype = payload[i + 8 : i + 12]
+                if ltype in (b"hdrl", b"movi", b"strl"):
+                    yield from walk(i + 12, i + 8 + ln)
+            elif cid == b"avih":
+                us_per_frame = max(
+                    1, _st.unpack("<I", payload[i + 8 : i + 12])[0]
+                )
+            elif cid[2:4] in (b"dc", b"db"):
+                frame = payload[i + 8 : i + 8 + ln]
+                if frame[:2] != b"\xff\xd8":
+                    raise ValueError("non-MJPEG AVI frame")
+                yield frame
+            i += 8 + ln + (ln & 1)
+
+    idx = 0
+    for frame in walk(12, len(payload)):
+        yield idx, idx * us_per_frame // 1000, decode_jpeg(frame)
+        idx += 1
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Minimal MJPEG AVI writer (fixture counterpart): avih + one vids
+    stream + movi with one 00dc JPEG chunk per frame."""
+    import struct as _st
+
+    from .jpeg import encode_jpeg
+
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + _st.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = _st.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, len(jpegs), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + _st.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                     0, len(jpegs), 0, 0, 0, 0)
+    )
+    strf = _st.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0
+    )
+    strf = strf[:16] + b"MJPG" + strf[20:]  # biCompression fourcc
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + _st.pack("<I", len(riff_body)) + riff_body
 
 
 # ---------------------------------------------------------------------- Y4M

@@ -103,8 +103,8 @@ def decode_features(payload: bytes) -> list[float]:
     """Real feature vector for decodable payloads, stub otherwise.
 
     * image (BMP/PPM/PNG/GIF/JPEG): [width, height, mean R, mean G, mean B, pixel std]
-    * audio (WAV):     [n_samples, rate, duration_s, rms, peak, zero-cross rate]
-    * video (Y4M):     [width, height, n_frames, mean luma, luma std, fps-ms]
+    * audio (WAV/AIFF/AU): [n_samples, rate, duration_s, rms, peak, zero-cross rate]
+    * video (Y4M/MJPEG-AVI): [width, height, n_frames, mean luma, luma std, fps-ms]
 
     Dimensions beyond the real features are zero-padded to FEATURE_DIM so
     the output schema is uniform across formats."""
@@ -120,8 +120,13 @@ def decode_features(payload: bytes) -> list[float]:
                 [float(w), float(h), *[float(m) for m in means],
                  float(rgb.std())]
             )
-        if kind == "wav":
-            x, rate = codecs.decode_wav(payload)
+        if kind in ("wav", "aiff", "au"):
+            decoder = {
+                "wav": codecs.decode_wav,
+                "aiff": codecs.decode_aiff,
+                "au": codecs.decode_au,
+            }[kind]
+            x, rate = decoder(payload)
             mono = x.mean(axis=1)
             zc = float((mono[:-1] * mono[1:] < 0).mean()) if len(mono) > 1 else 0.0
             return _pad(
@@ -149,6 +154,24 @@ def decode_features(payload: bytes) -> list[float]:
                     float(stack.mean()),
                     float(stack.std()),
                     float(1000.0 / fps),
+                ]
+            )
+        if kind == "avi":
+            got = list(codecs.iter_avi_mjpeg_frames(payload))
+            import numpy as _np
+
+            lumas = [rgb.mean(axis=2) for _, _, rgb in got]
+            stack = _np.stack(lumas) if lumas else _np.zeros((1, 1, 1))
+            step_ms = (got[1][1] - got[0][1]) if len(got) > 1 else 0.0
+            hh2, w2 = (lumas[0].shape if lumas else (0, 0))
+            return _pad(
+                [
+                    float(w2),
+                    float(hh2),
+                    float(len(got)),
+                    float(stack.mean()),
+                    float(stack.std()),
+                    float(step_ms),
                 ]
             )
     except Exception:  # noqa: BLE001 — fallback boundary by contract:
@@ -230,10 +253,11 @@ def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled frame
-    (media_id, frame_idx, ts_ms, frame binary). Y4M payloads decode for
-    real — frames are the actual luma planes, sampled at >= every_ms
-    spacing; other containers fall back to deterministic byte slices (the
-    stub contract, swap for ffmpeg/pyav when available)."""
+    (media_id, frame_idx, ts_ms, frame binary). Y4M and MJPEG-AVI
+    payloads decode for real — frames are the actual luma planes, sampled
+    at >= every_ms spacing; other containers fall back to deterministic
+    byte slices (the stub contract, swap for ffmpeg/pyav when
+    available)."""
     schema = st.StructType(
         [
             st.StructField("media_id", st.LongType()),
@@ -246,11 +270,20 @@ def sample_video_frames(
     def _frames_of(data: bytes):
         from . import codecs
 
-        if codecs.sniff(data) == "y4m":
+        kind = codecs.sniff(data)
+        if kind in ("y4m", "avi"):
             try:
+                frame_iter = (
+                    codecs.iter_y4m_frames(data)
+                    if kind == "y4m"
+                    else (
+                        (i, ts, rgb.mean(axis=2).astype("uint8"))
+                        for i, ts, rgb in codecs.iter_avi_mjpeg_frames(data)
+                    )
+                )
                 out = []
                 next_ts = 0
-                for idx, ts_ms, y in codecs.iter_y4m_frames(data):
+                for idx, ts_ms, y in frame_iter:
                     if ts_ms >= next_ts:
                         out.append((idx, ts_ms, y.tobytes()))
                         next_ts = ts_ms + every_ms

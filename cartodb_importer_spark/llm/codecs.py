@@ -264,10 +264,19 @@ def _mulaw_to_linear(u8: np.ndarray) -> np.ndarray:
     return np.where(sign != 0, -sample, sample).astype(np.int16)
 
 
+def _alaw_to_linear(u8: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte -> 16-bit linear sample (vectorized)."""
+    a = u8.astype(np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = ((a & 0x0F) << 4) + 8
+    t = np.where(seg > 0, (t + 0x100) << np.maximum(seg - 1, 0), t)
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
 def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
     """Sun/NeXT .au -> (float32 samples in [-1, 1] shaped (n, channels),
     sample_rate). Encodings: 1 = G.711 mu-law, 2 = 8-bit linear,
-    3 = 16-bit linear BE, 6 = float32 BE."""
+    3 = 16-bit linear BE, 6 = float32 BE, 27 = G.711 A-law."""
     import struct as _st
 
     if payload[:4] != b".snd":
@@ -285,6 +294,10 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(data, ">i2").astype(np.float32) / 32768.0
     elif enc == 6:
         x = np.frombuffer(data, ">f4").astype(np.float32)
+    elif enc == 27:
+        x = _alaw_to_linear(np.frombuffer(data, np.uint8)).astype(
+            np.float32
+        ) / 32768.0
     else:
         raise ValueError(f"unsupported AU encoding {enc}")
     n = (len(x) // nch) * nch
@@ -668,6 +681,108 @@ def decode_gif(payload: bytes) -> np.ndarray:
         return _decode_gif_inner(payload)
     except (IndexError, struct.error) as e:
         raise ValueError(f"truncated/malformed GIF: {e}") from e
+
+
+def iter_gif_frames(payload: bytes):
+    """Animated GIF -> yields (frame_idx, ts_ms, rgb canvas ndarray) per
+    frame, composing each frame onto the logical screen with Graphic
+    Control Extension semantics: per-frame delay (hundredths of a
+    second), transparency index, and disposal methods 0/1 (leave),
+    2 (restore background), 3 (restore previous). Single-frame GIFs
+    yield once at ts 0."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, bgidx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    bg = (
+        gct[min(bgidx, len(gct) - 1)].copy()
+        if gct is not None
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    delay_ms = 0
+    transparent = None
+    disposal = 0
+    ts = 0
+    idx_out = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            subs = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                subs.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:  # Graphic Control Extension
+                gce = subs[0]
+                flags = gce[0]
+                delay_ms = struct.unpack("<H", gce[1:3])[0] * 10
+                disposal = (flags >> 2) & 0x07
+                transparent = gce[3] if flags & 1 else None
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(b"".join(chunks), min_code)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                deinterlaced = np.empty_like(arr)
+                deinterlaced[order] = arr
+                arr = deinterlaced
+            before = canvas.copy() if disposal == 3 else None
+            rgbf = ct[np.clip(arr, 0, len(ct) - 1)]
+            region = canvas[top : top + h, left : left + w]
+            if transparent is not None:
+                mask = arr != transparent
+                region[mask] = rgbf[: region.shape[0], : region.shape[1]][
+                    mask[: region.shape[0], : region.shape[1]]
+                ]
+            else:
+                region[...] = rgbf[: region.shape[0], : region.shape[1]]
+            yield idx_out, ts, canvas.copy()
+            ts += delay_ms
+            idx_out += 1
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg
+            elif disposal == 3 and before is not None:
+                canvas = before
+            delay_ms = 0
+            transparent = None
+            disposal = 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
 
 
 def _decode_gif_inner(payload: bytes) -> np.ndarray:

@@ -253,11 +253,11 @@ def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled frame
-    (media_id, frame_idx, ts_ms, frame binary). Y4M and MJPEG-AVI
-    payloads decode for real — frames are the actual luma planes, sampled
-    at >= every_ms spacing; other containers fall back to deterministic
-    byte slices (the stub contract, swap for ffmpeg/pyav when
-    available)."""
+    (media_id, frame_idx, ts_ms, frame binary). Y4M, MJPEG-AVI, and
+    animated-GIF payloads decode for real — frames are the actual luma
+    planes, sampled at >= every_ms spacing; other containers fall back
+    to deterministic byte slices (the stub contract, swap for
+    ffmpeg/pyav when available)."""
     schema = st.StructType(
         [
             st.StructField("media_id", st.LongType()),
@@ -271,14 +271,18 @@ def sample_video_frames(
         from . import codecs
 
         kind = codecs.sniff(data)
-        if kind in ("y4m", "avi"):
+        if kind in ("y4m", "avi", "gif"):
             try:
+                rgb_iters = {
+                    "avi": codecs.iter_avi_mjpeg_frames,
+                    "gif": codecs.iter_gif_frames,
+                }
                 frame_iter = (
                     codecs.iter_y4m_frames(data)
                     if kind == "y4m"
                     else (
                         (i, ts, rgb.mean(axis=2).astype("uint8"))
-                        for i, ts, rgb in codecs.iter_avi_mjpeg_frames(data)
+                        for i, ts, rgb in rgb_iters[kind](data)
                     )
                 )
                 out = []

@@ -915,7 +915,11 @@ def encode_gif(rgb: np.ndarray) -> bytes:
 # ---------------------------------------------------------------- JPEG
 # implemented in llm/jpeg.py (marker scan + Huffman + IDCT); re-exported
 # here so every consumer routes through one codec namespace.
-from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402,F401
+from .jpeg import (  # noqa: E402,F401
+    decode_jpeg,
+    decode_jpeg_oriented,
+    encode_jpeg,
+)
 
 #: one shared image-decoder dispatch, keyed by sniff() result — every
 #: consumer (feature extraction, resize, future ops) routes through this
@@ -925,5 +929,8 @@ IMAGE_DECODERS = {
     "ppm": decode_ppm,
     "png": decode_png,
     "gif": decode_gif,
-    "jpeg": decode_jpeg,
+    # Exif-aware: the pipeline sees images as a browser would display
+    # them (orientation 274 applied); raw decode stays available as
+    # decode_jpeg
+    "jpeg": decode_jpeg_oriented,
 }

@@ -920,3 +920,68 @@ def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ------------------------------------------------------- Exif orientation
+
+
+def jpeg_exif_orientation(payload: bytes) -> int:
+    """Exif Orientation (tag 274) from the APP1 segment, 1 if absent or
+    unreadable. The APP1 body after the 'Exif\\0\\0' signature is a TIFF
+    byte stream — parsed by readers/tiff.py's IFD walker."""
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        return 1
+    i = 2
+    while i < len(d) - 3:
+        if d[i] != 0xFF:
+            break
+        m = d[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m in (0xDA, 0xD9):
+            break
+        ln = struct.unpack(">H", d[i + 2 : i + 4])[0]
+        if m == 0xE1 and d[i + 4 : i + 10] == b"Exif\x00\x00":
+            from ..readers.tiff import parse_tiff
+
+            try:
+                tags = parse_tiff(d[i + 10 : i + 2 + ln])
+                val = tags.get(274)
+                if val and 1 <= int(val[0]) <= 8:
+                    return int(val[0])
+            except Exception:  # noqa: BLE001 — malformed Exif is "no Exif"
+                return 1
+            return 1
+        i += 2 + ln
+    return 1
+
+
+def apply_exif_orientation(rgb: np.ndarray, orientation: int) -> np.ndarray:
+    """Map a decoded image to display orientation (Exif tag 274
+    semantics, orientations 1-8)."""
+    if orientation == 2:
+        return rgb[:, ::-1]
+    if orientation == 3:
+        return rgb[::-1, ::-1]
+    if orientation == 4:
+        return rgb[::-1, :]
+    if orientation == 5:
+        return np.transpose(rgb, (1, 0, 2))
+    if orientation == 6:
+        return np.transpose(rgb, (1, 0, 2))[:, ::-1]
+    if orientation == 7:
+        return np.transpose(rgb, (1, 0, 2))[::-1, ::-1]
+    if orientation == 8:
+        return np.transpose(rgb, (1, 0, 2))[::-1, :]
+    return rgb
+
+
+def decode_jpeg_oriented(payload: bytes) -> np.ndarray:
+    """decode_jpeg + Exif orientation applied — what a browser shows.
+    This is the image-pipeline entry point (codecs.IMAGE_DECODERS);
+    decode_jpeg itself stays raw-sensor order."""
+    return apply_exif_orientation(
+        decode_jpeg(payload), jpeg_exif_orientation(payload)
+    )

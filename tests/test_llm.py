@@ -1108,3 +1108,58 @@ def test_codec_animated_gif_frames(spark):
     assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (2, 400)]
     luma2 = np.frombuffer(bytes(rows[1]["frame"]), np.uint8)
     assert abs(int(luma2.mean()) - 67) <= 1
+
+
+def test_jpeg_exif_orientation():
+    """Exif orientation (APP1 tag 274): parsed via the TIFF IFD walker
+    and applied by the pipeline's image entry point; raw decode_jpeg
+    stays sensor-order."""
+    import struct
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs
+    from cartodb_importer_spark.llm.jpeg import (
+        apply_exif_orientation,
+        decode_jpeg,
+        decode_jpeg_oriented,
+        encode_jpeg,
+        jpeg_exif_orientation,
+    )
+
+    # top half dark, bottom half light, taller than wide
+    img = np.zeros((32, 16, 3), np.uint8)
+    img[16:] = 220
+    base = encode_jpeg(img)
+    assert jpeg_exif_orientation(base) == 1
+
+    def with_orientation(data: bytes, o: int) -> bytes:
+        tiff = (
+            b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 274, 3, 1) + struct.pack("<HH", o, 0)
+            + struct.pack("<I", 0)
+        )
+        app1 = b"Exif\x00\x00" + tiff
+        seg = b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+        return data[:2] + seg + data[2:]
+
+    rot = with_orientation(base, 6)
+    assert jpeg_exif_orientation(rot) == 6
+    raw = decode_jpeg(rot)
+    oriented = decode_jpeg_oriented(rot)
+    assert raw.shape == (32, 16, 3)
+    assert oriented.shape == (16, 32, 3)  # rotated 90 degrees CW
+    # CW rotation moves the dark top to the RIGHT half
+    assert oriented[:, 24:].mean() < 60 and oriented[:, :8].mean() > 160
+    # the shared dispatch is Exif-aware
+    assert codecs.IMAGE_DECODERS["jpeg"] is decode_jpeg_oriented
+
+    # all 8 orientations round-trip shape sanity + involution checks
+    a = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    for o in range(1, 9):
+        out = apply_exif_orientation(a, o)
+        assert out.shape in ((2, 4, 3), (4, 2, 3))
+    assert np.array_equal(
+        apply_exif_orientation(apply_exif_orientation(a, 3), 3), a
+    )

@@ -2870,3 +2870,40 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, int(c)) for i, (l, r, c) in enumerate(learned)],
         "rank int, left string, right string, pair_count bigint",
     )
+
+
+@query(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END                         AS kind,
+           sha256(text)                                  AS sha256,
+           CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS b0,
+           CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS b1,
+           CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) AS b2
+    FROM documents
+    """,
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the REAL Arrow-batched
+    mapInPandas path (llm/multimodal.py): documents' bytes stand in as
+    media payloads; text payloads route to the deterministic
+    sha256-seeded stub decoder, which the oracle reproduces exactly
+    (byte k of sha256 = feature[k] * 255). Value-checks the full
+    pipeline — payload construction, kind assignment, batch iteration,
+    digest, and feature layout — not just row counts. Scale: one
+    mapInPandas pass, no shuffle; constant memory per task via the
+    batch iterator."""
+    from ..llm import multimodal as M
+
+    t = Tables(spark, sf_dir)
+    feats = M.extract_features(M.media_from_documents(t.documents))
+    return feats.select(
+        "media_id",
+        "kind",
+        "sha256",
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("b0"),
+        F.round(F.element_at("feature", 2) * 255).cast("int").alias("b1"),
+        F.round(F.element_at("feature", 3) * 255).cast("int").alias("b2"),
+    )

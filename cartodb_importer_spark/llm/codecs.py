@@ -58,6 +58,16 @@ def sniff(payload: bytes) -> str | None:
         return "au"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
+    if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5"):
+        return "pnm"
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        return "ras"
+    if payload[:2] == b"\x01\xda":
+        return "sgi"
+    if payload[:4] == b"\x76\x2f\x31\x01":
+        return "exr"
+    if payload[:7] == b"#define":
+        return "xbm"
     return None
 
 
@@ -79,7 +89,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
+    if not (
+        (compression == 0 and bpp in (24, 32))
+        or (compression == 3 and bpp == 32 and hdr_size >= 56)
+    ):
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     flipped = height > 0
     height = abs(height)
@@ -91,6 +104,23 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     px = rows.reshape(height, width, nch)
     if flipped:
         px = px[::-1]
+    if compression == 3:
+        # BI_BITFIELDS: per-channel masks live in the V4/V5 header
+        # (file offset 54); extract by mask shift instead of assuming
+        # BGRA byte order
+        masks = struct.unpack_from("<III", payload, 54)
+        words = px.view("<u4")[:, :, 0]
+        out = np.empty((height, width, 3), np.uint8)
+        for ci, m in enumerate(masks):
+            if m == 0:
+                raise ValueError("BMP bitfields with empty channel mask")
+            shift = (m & -m).bit_length() - 1
+            span = m >> shift
+            chan = (words & m) >> shift
+            if span != 255:  # scale non-8-bit channels to 0-255
+                chan = (chan * 255) // span
+            out[:, :, ci] = chan.astype(np.uint8)
+        return out
     # BGR(A) -> RGB
     return np.ascontiguousarray(px[..., 2::-1])
 
@@ -194,6 +224,261 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# ------------------------------------------- PNM / RAS / SGI / XBM / EXR
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Netpbm P1-P6 -> (H, W, 3) uint8 RGB. P1/P4 bitmaps render 1 as
+    black (PBM convention); P2/P5 grayscale broadcasts; maxval != 255
+    rescales."""
+    magic = payload[:2]
+    if magic == b"P6":
+        return decode_ppm(payload)
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5"):
+        raise ValueError("not a PNM payload")
+
+    # tokenizer that skips whitespace + '#' comments
+    pos = 2
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                pos = payload.index(b"\n", pos)
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        return payload[start:pos]
+
+    w, h = int(token()), int(token())
+    bitmap = magic in (b"P1", b"P4")
+    maxval = 1 if bitmap else int(token())
+    if magic in (b"P1", b"P2", b"P3"):  # ASCII variants
+        if magic == b"P1":
+            body = b"".join(payload[pos:].split())
+            vals = np.frombuffer(body, np.uint8, w * h) - ord("0")
+        else:
+            n = w * h * (3 if magic == b"P3" else 1)
+            vals = np.array(
+                payload[pos:].split()[:n], dtype=np.int64
+            )
+    elif magic == b"P4":
+        pos += 1  # single whitespace after header
+        rowbytes = (w + 7) // 8
+        packed = np.frombuffer(payload, np.uint8, rowbytes * h, pos)
+        vals = np.unpackbits(packed.reshape(h, rowbytes), axis=1)[
+            :, :w
+        ].reshape(-1)
+    else:  # P5
+        pos += 1
+        if maxval < 256:
+            vals = np.frombuffer(payload, np.uint8, w * h, pos)
+        else:
+            vals = np.frombuffer(payload, ">u2", w * h, pos)
+    if bitmap:
+        gray = ((1 - vals.astype(np.int64)) * 255).astype(np.uint8)
+        return np.repeat(gray.reshape(h, w, 1), 3, axis=2)
+    vals = vals.astype(np.int64)
+    if maxval != 255:
+        vals = vals * 255 // maxval
+    if magic == b"P3":
+        return vals.astype(np.uint8).reshape(h, w, 3)
+    return np.repeat(vals.astype(np.uint8).reshape(h, w, 1), 3, axis=2)
+
+
+def decode_ras(payload: bytes) -> np.ndarray:
+    """Sun Raster -> (H, W, 3) uint8 RGB. Depths 24/32, types 1
+    (RT_STANDARD, BGR order) and 3 (RT_FORMAT_RGB), optional RLE (type
+    2), palette maps skipped."""
+    if payload[:4] != b"\x59\xa6\x6a\x95":
+        raise ValueError("not a Sun Raster payload")
+    _, w, h, depth, _length, typ, _mt, ml = struct.unpack(">8I", payload[:32])
+    if depth not in (24, 32) or typ not in (1, 2, 3):
+        raise ValueError(f"unsupported RAS depth={depth} type={typ}")
+    data = payload[32 + ml :]
+    if typ == 2:  # RLE: 0x80 esc, count, value (count 0 = literal 0x80)
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            b = data[i]
+            if b == 0x80:
+                cnt = data[i + 1]
+                if cnt == 0:
+                    out.append(0x80)
+                    i += 2
+                else:
+                    out += bytes([data[i + 2]]) * (cnt + 1)
+                    i += 3
+            else:
+                out.append(b)
+                i += 1
+        data = bytes(out)
+    nch = depth // 8
+    stride = (w * nch + 1) & ~1  # rows pad to 16 bits
+    rows = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)[
+        :, : w * nch
+    ].reshape(h, w, nch)
+    if depth == 32:
+        # first byte is pad/alpha; remaining three are BGR (type 1) or
+        # RGB (type 3)
+        rgb = rows[:, :, 1:4] if typ == 3 else rows[:, :, 3:0:-1]
+    else:
+        rgb = rows if typ == 3 else rows[:, :, ::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_sgi(payload: bytes) -> np.ndarray:
+    """SGI image (.sgi/.rgb) -> (H, W, 3) uint8 RGB. 8-bit channels,
+    verbatim or RLE storage; rows are bottom-up; alpha dropped."""
+    magic, storage, bpc, _dim, xs, ys, zs = struct.unpack(
+        ">HBBHHH H", payload[:12]
+    )
+    if magic != 474:
+        raise ValueError("not an SGI image payload")
+    if bpc != 1:
+        raise ValueError("16-bit SGI channels unsupported")
+    img = np.zeros((ys, xs, zs), np.uint8)
+    if storage == 1:  # RLE
+        tablen = ys * zs
+        starts = np.frombuffer(payload, ">u4", tablen, 512)
+        lens = np.frombuffer(payload, ">u4", tablen, 512 + 4 * tablen)
+        for z in range(zs):
+            for y in range(ys):
+                i = int(starts[z * ys + y])
+                end = i + int(lens[z * ys + y])
+                row = bytearray()
+                while i < end:
+                    b = payload[i]
+                    i += 1
+                    cnt = b & 0x7F
+                    if cnt == 0:
+                        break
+                    if b & 0x80:
+                        row += payload[i : i + cnt]
+                        i += cnt
+                    else:
+                        row += bytes([payload[i]]) * cnt
+                        i += 1
+                img[ys - 1 - y, :, z] = np.frombuffer(
+                    bytes(row[:xs]), np.uint8
+                )
+    else:  # verbatim: channel planes, bottom-up rows
+        planes = np.frombuffer(payload, np.uint8, xs * ys * zs, 512).reshape(
+            zs, ys, xs
+        )
+        img = planes.transpose(1, 2, 0)[::-1]
+    if zs >= 3:
+        return np.ascontiguousarray(img[:, :, :3])
+    return np.repeat(img[:, :, :1], 3, axis=2)
+
+
+def decode_xbm(payload: bytes) -> np.ndarray:
+    """X11 bitmap (C source text) -> (H, W, 3) uint8 RGB; set bits (LSB
+    first per byte) render black, matching the PBM convention."""
+    import re
+
+    text = payload.decode("ascii", "replace")
+    mw = re.search(r"_width\s+(\d+)", text)
+    mh = re.search(r"_height\s+(\d+)", text)
+    if not mw or not mh:
+        raise ValueError("XBM missing width/height defines")
+    w, h = int(mw.group(1)), int(mh.group(1))
+    vals = [int(v, 16) for v in re.findall(r"0[xX][0-9a-fA-F]+", text)]
+    rowbytes = (w + 7) // 8
+    arr = np.array(vals[: rowbytes * h], np.uint8).reshape(h, rowbytes)
+    bits = np.unpackbits(arr, axis=1, bitorder="little")[:, :w]
+    gray = ((1 - bits.astype(np.int64)) * 255).astype(np.uint8)
+    return np.repeat(gray.reshape(h, w, 1), 3, axis=2)
+
+
+def decode_exr(payload: bytes) -> np.ndarray:
+    """OpenEXR (uncompressed scanlines, HALF/FLOAT channels) -> float32
+    (H, W, C) array with channels in alphabetical attribute order (the
+    EXR convention, e.g. A,B,G,R). Compressed EXR raises ValueError."""
+    if payload[:4] != b"\x76\x2f\x31\x01":
+        raise ValueError("not an EXR payload")
+    i = 8
+    attrs: dict[str, tuple[str, bytes]] = {}
+    while payload[i] != 0:
+        j = payload.index(b"\x00", i)
+        name = payload[i:j].decode()
+        k = payload.index(b"\x00", j + 1)
+        typ = payload[j + 1 : k].decode()
+        sz = struct.unpack("<I", payload[k + 1 : k + 5])[0]
+        attrs[name] = (typ, payload[k + 5 : k + 5 + sz])
+        i = k + 5 + sz
+    i += 1
+    if attrs["compression"][1][0] != 0:
+        raise ValueError(
+            f"compressed EXR (method {attrs['compression'][1][0]}) unsupported"
+        )
+    ch = attrs["channels"][1]
+    chans = []
+    p = 0
+    while ch[p] != 0:
+        q = ch.index(b"\x00", p)
+        ptype = struct.unpack("<I", ch[q + 1 : q + 5])[0]
+        if ptype not in (1, 2):  # HALF / FLOAT
+            raise ValueError("UINT EXR channels unsupported")
+        chans.append((ch[p:q].decode(), ptype))
+        p = q + 17
+    x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    offs = struct.unpack(f"<{h}Q", payload[i : i + 8 * h])
+    img = np.zeros((h, w, len(chans)), np.float32)
+    for entry in offs:
+        y = struct.unpack("<i", payload[entry : entry + 4])[0]
+        row = payload[entry + 8 :]
+        off = 0
+        for ci, (_nm, pt) in enumerate(chans):
+            dt, size = ("<f2", 2) if pt == 1 else ("<f4", 4)
+            img[y - y0, :, ci] = np.frombuffer(row, dt, w, off)
+            off += size * w
+    return img
+
+
+def decode_exr_rgb(payload: bytes) -> np.ndarray:
+    """EXR -> (H, W, 3) uint8 via the R/G/B channels scaled from the
+    [0, 1] range (the imghdr fixture stores v/255 directly)."""
+    img = decode_exr(payload)
+    ch = {}
+    i = 8
+    # channel names in alphabetical order, matching decode_exr columns
+    names = _exr_channel_names(payload)
+    for idx, nm in enumerate(names):
+        ch[nm] = img[:, :, idx]
+    if not {"R", "G", "B"} <= set(ch):
+        gray = np.clip(img[:, :, 0] * 255.0, 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    rgb = np.stack([ch["R"], ch["G"], ch["B"]], axis=2)
+    return np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+
+
+def _exr_channel_names(payload: bytes) -> list[str]:
+    i = 8
+    while payload[i] != 0:
+        j = payload.index(b"\x00", i)
+        name = payload[i:j].decode()
+        k = payload.index(b"\x00", j + 1)
+        sz = struct.unpack("<I", payload[k + 1 : k + 5])[0]
+        body = payload[k + 5 : k + 5 + sz]
+        if name == "channels":
+            names = []
+            p = 0
+            while body[p] != 0:
+                q = body.index(b"\x00", p)
+                names.append(body[p:q].decode())
+                p = q + 17
+            return names
+        i = k + 5 + sz
+    return []
 
 
 # --------------------------------------------------------------- AIFF / AU
@@ -927,6 +1212,11 @@ from .jpeg import (  # noqa: E402,F401
 IMAGE_DECODERS = {
     "bmp": decode_bmp,
     "ppm": decode_ppm,
+    "pnm": decode_pnm,
+    "ras": decode_ras,
+    "sgi": decode_sgi,
+    "xbm": decode_xbm,
+    "exr": decode_exr_rgb,
     "png": decode_png,
     "gif": decode_gif,
     # Exif-aware: the pipeline sees images as a browser would display

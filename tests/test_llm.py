@@ -1163,3 +1163,64 @@ def test_jpeg_exif_orientation():
     assert np.array_equal(
         apply_exif_orientation(apply_exif_orientation(a, 3), 3), a
     )
+
+
+def test_codec_cross_format_cpython_fixtures():
+    """Cross-format validation on the CPython test suite's imghdr logo
+    (the SAME 16x16 image in 9 containers, all real encoder outputs):
+    every new decoder must reproduce the PNG decode exactly — BMP
+    (32bpp BI_BITFIELDS V5 header), Sun Raster (RT_FORMAT_RGB 32-bit),
+    SGI (RLE, bottom-up, RGBA), uncompressed half-float EXR — while the
+    PGM matches Rec.601 luma within rounding and the PBM/XBM bilevel
+    pair are bit-identical to each other."""
+    import os
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs as C
+
+    fdir = os.path.join(os.path.dirname(__file__), "data")
+
+    def load(ext):
+        return open(
+            os.path.join(fdir, f"cpython_imghdr_python.{ext}"), "rb"
+        ).read()
+
+    png = C.decode_png(load("png"))
+    assert np.array_equal(C.decode_ppm(load("ppm")), png)
+    for ext, kind in [("bmp", "bmp"), ("ras", "ras"), ("sgi", "sgi"),
+                      ("exr", "exr")]:
+        data = load(ext)
+        assert C.sniff(data) == kind, ext
+        assert np.array_equal(C.IMAGE_DECODERS[kind](data), png), ext
+
+    pgm = load("pgm")
+    assert C.sniff(pgm) == "pnm"
+    gray = C.decode_pnm(pgm)[:, :, 0].astype(float)
+    luma = np.round(
+        0.299 * png[:, :, 0].astype(float)
+        + 0.587 * png[:, :, 1]
+        + 0.114 * png[:, :, 2]
+    )
+    assert np.abs(gray - luma).max() <= 4.0
+
+    pbm, xbm = load("pbm"), load("xbm")
+    assert C.sniff(pbm) == "pnm" and C.sniff(xbm) == "xbm"
+    assert np.array_equal(C.decode_pnm(pbm), C.decode_xbm(xbm))
+
+    # ascii PNM variants round-trip against their binary twins
+    bits = (C.decode_pnm(pbm)[:, :, 0] == 0).astype(int)  # 1 = black
+    h, w = bits.shape
+    p1 = (f"P1\n{w} {h}\n" + "\n".join(
+        " ".join(str(v) for v in row) for row in bits
+    )).encode()
+    assert np.array_equal(C.decode_pnm(p1), C.decode_pnm(pbm))
+    g8 = C.decode_pnm(pgm)[:, :, 0]
+    p2 = (f"P2\n{w} {h}\n255\n" + "\n".join(
+        " ".join(str(int(v)) for v in row) for row in g8
+    )).encode()
+    assert np.array_equal(C.decode_pnm(p2), C.decode_pnm(pgm))
+    p3 = (f"P3\n{w} {h}\n255\n" + "\n".join(
+        " ".join(str(int(v)) for v in px) for row in png for px in row
+    )).encode()
+    assert np.array_equal(C.decode_pnm(p3), png)

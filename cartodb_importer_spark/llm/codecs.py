@@ -68,6 +68,8 @@ def sniff(payload: bytes) -> str | None:
         return "exr"
     if payload[:7] == b"#define":
         return "xbm"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -1209,8 +1211,11 @@ from .jpeg import (  # noqa: E402,F401
 #: one shared image-decoder dispatch, keyed by sniff() result — every
 #: consumer (feature extraction, resize, future ops) routes through this
 #: single mapping so a new format lands everywhere at once.
+from ..readers.tiff import decode_tiff_rgb  # noqa: E402
+
 IMAGE_DECODERS = {
     "bmp": decode_bmp,
+    "tiff": decode_tiff_rgb,
     "ppm": decode_ppm,
     "pnm": decode_pnm,
     "ras": decode_ras,

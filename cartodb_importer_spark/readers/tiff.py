@@ -497,7 +497,7 @@ def _undo_float_predictor(
     return floats.astype(np.dtype(f"{bo}f{itemsize}"))
 
 
-def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
+def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
     """Strip- OR tile-organized TIFF -> (band-1 2D array, georef metadata).
 
     metadata keys: srid (int, 0 if absent), pixel_scale (x, y) or None,
@@ -644,6 +644,9 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
         img = np.concatenate(parts, axis=0)
     if band1 is None:
         band1 = img[..., 0] if spp > 1 else img
+        full = img
+    else:
+        full = band1
 
     srid = 0
     geokeys = t.get(34735)
@@ -659,7 +662,11 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
         "pixel_scale": tuple(t[33550][:2]) if 33550 in t else None,
         "tiepoint": tuple(t[33922][:6]) if 33922 in t else None,
         "samples_per_pixel": spp,
+        "photometric": int(t.get(262, [0])[0]),
+        "compression": compression,
     }
+    if _full:
+        return full, meta
     return band1, meta
 
 
@@ -981,3 +988,29 @@ def encode_bigtiff_gray(band: np.ndarray, srid: int = 0) -> bytes:
     out.extend(extra)
     out.append(pixels)
     return b"".join(out)
+
+
+def decode_tiff_rgb(data: bytes) -> np.ndarray:
+    """TIFF -> (H, W, 3) uint8 RGB for the image pipeline: RGB(A) keeps
+    the first three samples, grayscale broadcasts, bilevel fax renders
+    white=255 under either photometric; alpha is dropped. Non-8-bit
+    samples raise ValueError (the raster path, not the image path,
+    serves scientific dtypes)."""
+    img, meta = decode_tiff(data, _full=True)
+    if meta["compression"] in (2, 3, 4):
+        bits = img.astype(np.uint8)
+        if meta["photometric"] == 0:  # WhiteIsZero file bits
+            bits = 1 - bits
+        gray = (bits * 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    if img.dtype != np.uint8:
+        raise ValueError(f"non-8-bit TIFF image ({img.dtype}) unsupported")
+    if img.ndim == 3 and img.shape[2] >= 3:
+        rgb = img[:, :, :3]
+        if meta["photometric"] == 0:
+            rgb = 255 - rgb
+        return np.ascontiguousarray(rgb)
+    gray = img if img.ndim == 2 else img[:, :, 0]
+    if meta["photometric"] == 0:
+        gray = 255 - gray
+    return np.repeat(gray[:, :, None], 3, axis=2)

@@ -1224,3 +1224,32 @@ def test_codec_cross_format_cpython_fixtures():
         " ".join(str(int(v)) for v in px) for row in png for px in row
     )).encode()
     assert np.array_equal(C.decode_pnm(p3), png)
+
+
+def test_codec_tiff_in_image_pipeline():
+    """TIFF joins the shared image dispatch: the CPython RGBA fixture
+    reproduces the PNG decode exactly (alpha dropped), and a CCITT G4
+    bilevel fax renders white=255 through the same entry point."""
+    import os
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs as C
+
+    fdir = os.path.join(os.path.dirname(__file__), "data")
+    png = C.decode_png(
+        open(os.path.join(fdir, "cpython_imghdr_python.png"), "rb").read()
+    )
+    tif = open(
+        os.path.join(fdir, "cpython_imghdr_python.tiff"), "rb"
+    ).read()
+    assert C.sniff(tif) == "tiff"
+    assert np.array_equal(C.IMAGE_DECODERS["tiff"](tif), png)
+
+    g4 = open(os.path.join(fdir, "ccitt_g4.tif"), "rb").read()
+    rgb = C.IMAGE_DECODERS["tiff"](g4)
+    exp = np.frombuffer(
+        open(os.path.join(fdir, "ccitt_expected.raw"), "rb").read(),
+        np.uint8,
+    ).reshape(64, 97)
+    assert np.array_equal(rgb[:, :, 0], exp * 255)

@@ -200,11 +200,17 @@ def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (float32 samples in [-1, 1] shaped (n, channels),
     sample_rate). Integer PCM widths 1/2/4 bytes via stdlib ``wave``."""
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        rate = wf.getframerate()
-        nch = wf.getnchannels()
-        width = wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, RuntimeError) as e:
+        # stdlib wave raises bare RuntimeError on corrupt chunk sizes —
+        # normalize every parse failure to the module's ValueError
+        # contract
+        raise ValueError(f"malformed WAV: {e}") from e
     if width == 1:  # unsigned 8-bit
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif width == 2:
@@ -229,6 +235,20 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 # ------------------------------------------- PNM / RAS / SGI / XBM / EXR
+
+#: decoded-image size ceiling: dims come from untrusted payload headers,
+#: so every decoder validates w*h*channels before allocating (a fuzzed
+#: SGI header once requested a 59 TiB array)
+_MAX_DECODE_ELEMS = 1 << 27  # 128M samples ~= a 6500x6500 RGBA image
+
+
+def _check_dims(w: int, h: int, channels: int = 3) -> None:
+    if w <= 0 or h <= 0 or channels <= 0:
+        raise ValueError(f"bad image dimensions {w}x{h}x{channels}")
+    if w * h * channels > _MAX_DECODE_ELEMS:
+        raise ValueError(
+            f"image dimensions {w}x{h}x{channels} exceed decode ceiling"
+        )
 
 
 def decode_pnm(payload: bytes) -> np.ndarray:
@@ -260,6 +280,7 @@ def decode_pnm(payload: bytes) -> np.ndarray:
         return payload[start:pos]
 
     w, h = int(token()), int(token())
+    _check_dims(w, h)
     bitmap = magic in (b"P1", b"P4")
     maxval = 1 if bitmap else int(token())
     if magic in (b"P1", b"P2", b"P3"):  # ASCII variants
@@ -304,6 +325,7 @@ def decode_ras(payload: bytes) -> np.ndarray:
     _, w, h, depth, _length, typ, _mt, ml = struct.unpack(">8I", payload[:32])
     if depth not in (24, 32) or typ not in (1, 2, 3):
         raise ValueError(f"unsupported RAS depth={depth} type={typ}")
+    _check_dims(w, h, depth // 8)
     data = payload[32 + ml :]
     if typ == 2:  # RLE: 0x80 esc, count, value (count 0 = literal 0x80)
         out = bytearray()
@@ -346,6 +368,7 @@ def decode_sgi(payload: bytes) -> np.ndarray:
         raise ValueError("not an SGI image payload")
     if bpc != 1:
         raise ValueError("16-bit SGI channels unsupported")
+    _check_dims(xs, ys, max(zs, 1))
     img = np.zeros((ys, xs, zs), np.uint8)
     if storage == 1:  # RLE
         tablen = ys * zs
@@ -392,6 +415,7 @@ def decode_xbm(payload: bytes) -> np.ndarray:
     if not mw or not mh:
         raise ValueError("XBM missing width/height defines")
     w, h = int(mw.group(1)), int(mh.group(1))
+    _check_dims(w, h)
     vals = [int(v, 16) for v in re.findall(r"0[xX][0-9a-fA-F]+", text)]
     rowbytes = (w + 7) // 8
     arr = np.array(vals[: rowbytes * h], np.uint8).reshape(h, rowbytes)
@@ -433,6 +457,7 @@ def decode_exr(payload: bytes) -> np.ndarray:
         p = q + 17
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
+    _check_dims(w, h, max(len(chans), 1))
     offs = struct.unpack(f"<{h}Q", payload[i : i + 8 * h])
     img = np.zeros((h, w, len(chans)), np.float32)
     for entry in offs:
@@ -910,9 +935,14 @@ def encode_png(rgb: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------- GIF
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, limit: int | None = None
+) -> list[int]:
     """GIF-variant LZW (LSB-first bit packing, clear/EOI codes, code width
-    grows when the table reaches 2^width — no TIFF 'early change')."""
+    grows when the table reaches 2^width — no TIFF 'early change').
+    ``limit`` caps the output length (the caller's frame pixel count):
+    LZW output can be quadratic in input size, so a corrupt stream would
+    otherwise decode far past any plausible frame."""
     CLEAR = 1 << min_code_size
     EOI = CLEAR + 1
     width = min_code_size + 1
@@ -948,6 +978,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             entry = prev + prev[:1]
             table.append(entry)
         out.extend(entry)
+        if limit is not None and len(out) >= limit:
+            return out[:limit]
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
@@ -980,6 +1012,7 @@ def iter_gif_frames(payload: bytes):
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, bgidx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    _check_dims(max(sw, 1), max(sh, 1))
     pos = 13
     gct = None
     if packed & 0x80:
@@ -1018,6 +1051,7 @@ def iter_gif_frames(payload: bytes):
             left, top, w, h, ipacked = struct.unpack_from(
                 "<HHHHB", payload, pos + 1
             )
+            _check_dims(max(left + w, 1), max(top + h, 1))
             pos += 10
             ct = gct
             if ipacked & 0x80:
@@ -1034,7 +1068,7 @@ def iter_gif_frames(payload: bytes):
                 chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
             pos += 1
-            idx = _gif_lzw_decode(b"".join(chunks), min_code)
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
             if len(idx) < w * h:
                 raise ValueError("truncated GIF pixel data")
             arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
@@ -1074,6 +1108,7 @@ def iter_gif_frames(payload: bytes):
 
 def _decode_gif_inner(payload: bytes) -> np.ndarray:
     sw, sh, packed, bgidx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    _check_dims(max(sw, 1), max(sh, 1))
     pos = 13
     gct = None
     if packed & 0x80:
@@ -1091,6 +1126,7 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
             left, top, w, h, ipacked = struct.unpack_from(
                 "<HHHHB", payload, pos + 1
             )
+            _check_dims(max(left + w, 1), max(top + h, 1))
             pos += 10
             ct = gct
             if ipacked & 0x80:
@@ -1106,7 +1142,7 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
                 ln = payload[pos]
                 chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
-            idx = _gif_lzw_decode(b"".join(chunks), min_code)
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
             if len(idx) < w * h:
                 raise ValueError("truncated GIF pixel data")
             arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)

@@ -251,6 +251,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or (scan is None and not prog_scans):
         raise ValueError("JPEG missing SOF/SOS")
     height, width, comps = frame
+    # dims come from an untrusted header: a corrupt SOF claiming
+    # 65535x65535 would loop over ~67M MCUs of garbage before failing
+    if not (0 < height * width <= 1 << 26):
+        raise ValueError(f"JPEG dimensions {width}x{height} exceed decode ceiling")
     if progressive:
         if len(comps) not in (1, 3):
             raise ValueError("CMYK/multi-spectral JPEG unsupported")

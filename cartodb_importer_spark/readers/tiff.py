@@ -64,6 +64,10 @@ def _read_ifd_values(
     if code is None:
         return None
     total = size * count
+    if total > len(data):
+        # a corrupt count field (u32/u64 garbage) would otherwise build
+        # a gigabyte-scale struct format string below
+        return None
     buf = raw[:total] if total <= inline else None
     if buf is None:
         offset = struct.unpack(bo + ("I" if inline == 4 else "Q"), raw)[0]
@@ -99,9 +103,11 @@ def parse_tiff(data: bytes) -> dict:
             base = ifd_off + 8 + i * 20
             tag, ftype = struct.unpack_from(bo + "HH", data, base)
             count = struct.unpack_from(bo + "Q", data, base + 4)[0]
-            tags[tag] = _read_ifd_values(
+            val = _read_ifd_values(
                 data, bo, ftype, count, data[base + 12 : base + 20], 8
             )
+            if val is not None:  # unparseable entry = absent tag
+                tags[tag] = val
         return tags
     if magic != 42:
         raise ValueError("not a TIFF (bad magic)")
@@ -110,9 +116,11 @@ def parse_tiff(data: bytes) -> dict:
     for i in range(n):
         base = ifd_off + 2 + i * 12
         tag, ftype, count = struct.unpack_from(bo + "HHI", data, base)
-        tags[tag] = _read_ifd_values(
+        val = _read_ifd_values(
             data, bo, ftype, count, data[base + 8 : base + 12], 4
         )
+        if val is not None:  # unparseable entry = absent tag
+            tags[tag] = val
     return tags
 
 
@@ -313,7 +321,13 @@ def _fax_row_1d(bits: _FaxBits, width: int) -> np.ndarray:
     row = np.zeros(width, np.uint8)
     pos = 0
     color = 0
+    # zero-length runs are legal, but a malformed stream alternating
+    # them forever must terminate: bound the mode-code count per row
+    budget = 4 * width + 64
     while pos < width:
+        budget -= 1
+        if budget <= 0:
+            raise ValueError("CCITT 1D row does not converge")
         run = _mh_run(bits, color)
         if color:
             row[pos : pos + run] = 1
@@ -336,7 +350,11 @@ def _fax_row_2d(bits: _FaxBits, width: int, ref: list[int]) -> np.ndarray:
     row = np.zeros(width, np.uint8)
     a0 = -1
     color = 0
+    budget = 4 * width + 64  # malformed-stream progress bound
     while a0 < width:
+        budget -= 1
+        if budget <= 0:
+            raise ValueError("CCITT 2D row does not converge")
         # locate b1: first reference transition > a0 whose index parity
         # matches the current color (even = white->black starts)
         i = 0
@@ -509,9 +527,17 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
     predictor = int(t.get(317, [1])[0])
     if predictor not in (1, 2, 3):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if 256 not in t or 257 not in t:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
     width = int(t[256][0])
     height = int(t[257][0])
     spp = int(t.get(277, [1])[0])
+    # untrusted header guard: per-row decode loops (CCITT, RLE) would
+    # otherwise chew through billions of phantom pixels before failing
+    if not (0 < width * height * max(spp, 1) <= 1 << 28):
+        raise ValueError(
+            f"TIFF dimensions {width}x{height}x{spp} exceed decode ceiling"
+        )
     bits = int(t.get(258, [8])[0])
     fmt = int(t.get(339, [1])[0])
     dt = _dtype(bits, fmt, bo) if bits >= 8 else None

@@ -1253,3 +1253,70 @@ def test_codec_tiff_in_image_pipeline():
         np.uint8,
     ).reshape(64, 97)
     assert np.array_equal(rgb[:, :, 0], exp * 255)
+
+
+def test_codec_fuzz_clean_failures():
+    """Robustness contract: every registered decoder either decodes or
+    raises a catchable parse error on corrupted input — never an
+    unbounded loop or an exotic exception the multimodal fallback
+    boundary wouldn't expect. Deterministic corpus: random bytes with
+    valid magics spliced in, plus bit-flipped versions of every real
+    fixture in tests/data."""
+    import glob
+    import os
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs as C
+
+    allowed = (ValueError, struct.error, EOFError, IndexError, KeyError,
+               OverflowError, zlib.error)
+    rng = np.random.default_rng(99)
+
+    def poke(data: bytes) -> None:
+        kind = C.sniff(data)
+        decoders = dict(C.IMAGE_DECODERS)
+        decoders.update(
+            {"wav": C.decode_wav, "aiff": C.decode_aiff, "au": C.decode_au}
+        )
+        if kind in decoders:
+            try:
+                decoders[kind](data)
+            except allowed:
+                pass
+        if kind == "avi":
+            try:
+                list(C.iter_avi_mjpeg_frames(data))
+            except allowed:
+                pass
+        if kind == "gif":
+            try:
+                list(C.iter_gif_frames(data))
+            except allowed:
+                pass
+
+    magics = [
+        b"BM", b"P6", b"P4\n", b"P5\n", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+        b"\xff\xd8\xff", b"RIFF\x20\x00\x00\x00WAVE",
+        b"RIFF\x20\x00\x00\x00AVI ", b"FORM\x00\x00\x00\x20AIFF",
+        b".snd", b"\x59\xa6\x6a\x95", b"\x01\xda\x01\x01",
+        b"\x76\x2f\x31\x01", b"II*\x00", b"MM\x00*",
+    ]
+    for magic in magics:
+        for _ in range(6):
+            poke(magic + rng.integers(0, 256, 80, dtype=np.uint8).tobytes())
+
+    fdir = os.path.join(os.path.dirname(__file__), "data")
+    for path in sorted(glob.glob(os.path.join(fdir, "*"))):
+        if os.path.isdir(path):
+            continue
+        data = bytearray(open(path, "rb").read())
+        if not data:
+            continue
+        for _ in range(3):
+            mutated = bytearray(data)
+            for pos in rng.integers(0, len(data), 5):
+                mutated[pos] ^= 1 << int(rng.integers(0, 8))
+            poke(bytes(mutated))

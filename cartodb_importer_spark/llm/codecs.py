@@ -52,6 +52,8 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
     if payload[:4] == b".snd":
@@ -1248,8 +1250,11 @@ from .jpeg import (  # noqa: E402,F401
 #: consumer (feature extraction, resize, future ops) routes through this
 #: single mapping so a new format lands everywhere at once.
 from ..readers.tiff import decode_tiff_rgb  # noqa: E402
+from .webp import decode_webp, encode_webp_lossless  # noqa: E402,F401
 
 IMAGE_DECODERS = {
+    # lossless (VP8L) decodes; lossy VP8 raises -> multimodal stub
+    "webp": decode_webp,
     "bmp": decode_bmp,
     "tiff": decode_tiff_rgb,
     "ppm": decode_ppm,

@@ -1320,3 +1320,194 @@ def test_codec_fuzz_clean_failures():
             for pos in rng.integers(0, len(data), 5):
                 mutated[pos] ^= 1 << int(rng.integers(0, 8))
             poke(bytes(mutated))
+
+
+def test_codec_webp_lossless_roundtrips():
+    """VP8L lossless WebP: own-pair bit-exact round-trips across the
+    paths the encoder can exercise — literals, distance-1 LZ77 runs,
+    color cache, subtract-green, and color-indexing with every sub-byte
+    bundling level (2/4/16/256 colors). The CPython test-suite .webp is
+    LOSSY VP8 and must be rejected with the documented boundary error,
+    not misdecoded."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from cartodb_importer_spark.llm import codecs as C
+    from cartodb_importer_spark.llm.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(21)
+    noise = rng.integers(0, 256, (33, 27, 3)).astype(np.uint8)
+    runs = np.zeros((24, 40, 3), np.uint8)
+    runs[:12] = 100
+    runs[12:] = [10, 200, 30]
+    for img in (noise, runs):
+        for kwargs in (
+            {},
+            {"use_subtract_green": False},
+            {"cache_bits": 1},
+        ):
+            data = encode_webp_lossless(img, **kwargs)
+            assert C.sniff(data) == "webp"
+            assert np.array_equal(decode_webp(data), img), kwargs
+
+    for n_colors in (2, 4, 16, 150):
+        colors = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+        img = colors[rng.integers(0, n_colors, (14, 19))]
+        data = encode_webp_lossless(img, use_palette=True)
+        assert np.array_equal(decode_webp(data), img), n_colors
+
+    lossy = open(
+        os.path.join(
+            os.path.dirname(__file__), "data", "cpython_imghdr_python.webp"
+        ),
+        "rb",
+    ).read()
+    assert C.sniff(lossy) == "webp"
+    with pytest.raises(ValueError, match="lossy|VP8L"):
+        decode_webp(lossy)
+
+
+def test_webp_predictor_and_color_transform_formulas():
+    """RFC 9649 inverse-transform formulas pinned directly: predictor
+    modes (Select tie-break to T on equality, ClampAddSubtractFull/Half
+    clamping) and the cross-color deltas ((int8 elem * int8 chan) >> 5,
+    blue receiving both green and red contributions)."""
+    import numpy as np
+
+    from cartodb_importer_spark.llm.webp import (
+        _apply_color_inverse,
+        _predict,
+    )
+
+    L = np.array([255, 10, 250, 100], np.uint8)
+    T = np.array([255, 20, 4, 90], np.uint8)
+    TL = np.array([255, 12, 200, 95], np.uint8)
+    TR = np.array([255, 30, 8, 80], np.uint8)
+    assert list(_predict(1, L, T, TL, TR)) == list(L)
+    assert list(_predict(7, L, T, TL, TR)) == [255, 15, 127, 95]  # avg2
+    # ClampAddSubtractFull: clip(L + T - TL)
+    assert list(_predict(12, L, T, TL, TR)) == [255, 18, 54, 95]
+    # ClampAddSubtractHalf: clip(avg + (avg - TL)//2)
+    avg = (L.astype(int) + T.astype(int)) // 2
+    exp = np.clip(avg + (avg - TL.astype(int)) // 2, 0, 255)
+    assert list(_predict(13, L, T, TL, TR)) == list(exp)
+    # Select: prediction p = L+T-TL; pick the neighbor closer to p
+    sel = _predict(11, L, T, TL, TR)
+    p = L.astype(int) + T.astype(int) - TL.astype(int)
+    pl = np.abs(p - L).sum()
+    pt = np.abs(p - T).sum()
+    assert list(sel) == list(L if pl < pt else T)
+
+    # cross-color: g2r=16 means red += (16 * int8(g)) >> 5
+    pix = np.zeros((1, 1, 4), np.uint8)
+    pix[0, 0] = (255, 100, 64, 50)  # a, r, g, b
+    elems = np.array([[16]], np.uint32)  # g2r=16, g2b=0, r2b=0
+    out = _apply_color_inverse(pix, elems, 0)
+    assert out[0, 0, 1] == (100 + ((16 * 64) >> 5)) % 256
+    elems = np.array([[16 << 8]], np.uint32)  # g2b only
+    out = _apply_color_inverse(pix, elems, 0)
+    assert out[0, 0, 3] == (50 + ((16 * 64) >> 5)) % 256
+    # negative transform byte: int8(0xF0) = -16
+    elems = np.array([[0xF0]], np.uint32)
+    out = _apply_color_inverse(pix, elems, 0)
+    assert out[0, 0, 1] == (100 + ((-16 * 64) >> 5)) % 256
+
+
+def test_webp_predictor_transform_stream():
+    """Hand-built VP8L stream with a predictor transform (one 8x8 block,
+    mode 2 = 'top'): residuals literal-coded; the decoder must add the
+    T prediction down each column (first pixel black+alpha, first row
+    L, first column T per RFC 9649 edge rules)."""
+    import numpy as np
+
+    from cartodb_importer_spark.llm.webp import (
+        _emit_prefix_code,
+        _LsbWriter,
+        decode_webp,
+    )
+    import struct
+
+    h = w = 4
+    img = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        img[y] = [10 * (y + 1), 7 * (y + 1), 3 * (y + 1)]
+
+    # forward-compute residuals under the decoder's documented rules
+    argb = np.zeros((h, w, 4), np.uint16)  # a r g b
+    argb[:, :, 0] = 255
+    argb[:, :, 1] = img[:, :, 0]
+    argb[:, :, 2] = img[:, :, 1]
+    argb[:, :, 3] = img[:, :, 2]
+    res = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], np.uint16)
+            elif y == 0:
+                pred = argb[0, x - 1]
+            elif x == 0:
+                pred = argb[y - 1, 0]
+            else:
+                pred = argb[y - 1, x]  # mode 2: T
+            res[y, x] = (argb[y, x] - pred) & 0xFF
+
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # predictor
+    bw.write(1, 3)  # size_bits = 1 + 2 = 3 -> single 8x8 block
+    # mode subimage 1x1: no cache, literal pixel with green=2
+    bw.write(0, 1)
+    pg = _emit_prefix_code(bw, {2: 1}, 256 + 24)
+    pr = _emit_prefix_code(bw, {0: 1}, 256)
+    pb = _emit_prefix_code(bw, {0: 1}, 256)
+    pa = _emit_prefix_code(bw, {0: 1}, 256)
+    _ = _emit_prefix_code(bw, {}, 40)
+
+    def put(codes, sym):
+        code, ln = codes[sym]
+        for k in range(ln - 1, -1, -1):
+            bw.write((code >> k) & 1, 1)
+
+    put(pg, 2)
+    put(pr, 0)
+    put(pb, 0)
+    put(pa, 0)
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no meta huffman
+    bw.write(0, 1)  # no color cache
+    freqs = [dict() for _ in range(4)]  # g, r, b, a frequency maps
+    order = [2, 1, 3, 0]
+    for y in range(h):
+        for x in range(w):
+            for fi, ch in enumerate(order):
+                v = int(res[y, x, ch])
+                freqs[fi][v] = freqs[fi].get(v, 0) + 1
+    cg = _emit_prefix_code(bw, freqs[0], 256 + 24)
+    cr = _emit_prefix_code(bw, freqs[1], 256)
+    cb = _emit_prefix_code(bw, freqs[2], 256)
+    ca = _emit_prefix_code(bw, freqs[3], 256)
+    _ = _emit_prefix_code(bw, {}, 40)
+    for y in range(h):
+        for x in range(w):
+            put(cg, int(res[y, x, 2]))
+            put(cr, int(res[y, x, 1]))
+            put(cb, int(res[y, x, 3]))
+            put(ca, int(res[y, x, 0]))
+    body = bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    assert np.array_equal(decode_webp(data), img)

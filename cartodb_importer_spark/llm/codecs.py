@@ -58,6 +58,8 @@ def sniff(payload: bytes) -> str | None:
         return "aiff"
     if payload[:4] == b".snd":
         return "au"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5"):
@@ -1250,6 +1252,7 @@ from .jpeg import (  # noqa: E402,F401
 #: consumer (feature extraction, resize, future ops) routes through this
 #: single mapping so a new format lands everywhere at once.
 from ..readers.tiff import decode_tiff_rgb  # noqa: E402
+from .flac import decode_flac, encode_flac  # noqa: E402,F401
 from .webp import decode_webp, encode_webp_lossless  # noqa: E402,F401
 
 IMAGE_DECODERS = {

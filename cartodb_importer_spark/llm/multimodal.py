@@ -103,7 +103,7 @@ def decode_features(payload: bytes) -> list[float]:
     """Real feature vector for decodable payloads, stub otherwise.
 
     * image (BMP/PPM/PNG/GIF/JPEG): [width, height, mean R, mean G, mean B, pixel std]
-    * audio (WAV/AIFF/AU): [n_samples, rate, duration_s, rms, peak, zero-cross rate]
+    * audio (WAV/AIFF/AU/FLAC): [n_samples, rate, duration_s, rms, peak, zero-cross rate]
     * video (Y4M/MJPEG-AVI): [width, height, n_frames, mean luma, luma std, fps-ms]
 
     Dimensions beyond the real features are zero-padded to FEATURE_DIM so
@@ -120,11 +120,12 @@ def decode_features(payload: bytes) -> list[float]:
                 [float(w), float(h), *[float(m) for m in means],
                  float(rgb.std())]
             )
-        if kind in ("wav", "aiff", "au"):
+        if kind in ("wav", "aiff", "au", "flac"):
             decoder = {
                 "wav": codecs.decode_wav,
                 "aiff": codecs.decode_aiff,
                 "au": codecs.decode_au,
+                "flac": codecs.decode_flac,
             }[kind]
             x, rate = decoder(payload)
             mono = x.mean(axis=1)

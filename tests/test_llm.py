@@ -1279,7 +1279,8 @@ def test_codec_fuzz_clean_failures():
         kind = C.sniff(data)
         decoders = dict(C.IMAGE_DECODERS)
         decoders.update(
-            {"wav": C.decode_wav, "aiff": C.decode_aiff, "au": C.decode_au}
+            {"wav": C.decode_wav, "aiff": C.decode_aiff, "au": C.decode_au,
+             "flac": C.decode_flac}
         )
         if kind in decoders:
             try:
@@ -1301,7 +1302,7 @@ def test_codec_fuzz_clean_failures():
         b"BM", b"P6", b"P4\n", b"P5\n", b"\x89PNG\r\n\x1a\n", b"GIF89a",
         b"\xff\xd8\xff", b"RIFF\x20\x00\x00\x00WAVE",
         b"RIFF\x20\x00\x00\x00AVI ", b"FORM\x00\x00\x00\x20AIFF",
-        b".snd", b"\x59\xa6\x6a\x95", b"\x01\xda\x01\x01",
+        b".snd", b"fLaC", b"\x59\xa6\x6a\x95", b"\x01\xda\x01\x01",
         b"\x76\x2f\x31\x01", b"II*\x00", b"MM\x00*",
     ]
     for magic in magics:
@@ -1511,3 +1512,142 @@ def test_webp_predictor_transform_stream():
     data = b"RIFF" + struct.pack("<I", len(riff)) + riff
 
     assert np.array_equal(decode_webp(data), img)
+
+
+def test_codec_flac_roundtrip_and_features(spark):
+    """FLAC: own-pair bit-exact round-trip (FIXED predictors + Rice
+    residuals, mono/stereo, multi-frame), and the audio feature path
+    treats .flac like WAV — same tone, near-identical features."""
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs as C
+    from cartodb_importer_spark.llm import multimodal as M
+
+    rate = 8000
+    t = np.arange(1600) / rate
+    mono = (
+        0.6 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 97 * t)
+    ).astype(np.float32)
+    stereo = np.stack([mono, mono * 0.5], axis=1)
+    for sig in (mono[:, None], stereo):
+        for bs in (4096, 192):
+            data = C.encode_flac(sig, rate, block_size=bs)
+            assert C.sniff(data) == "flac"
+            back, r = C.decode_flac(data)
+            assert r == rate and back.shape == sig.shape
+            assert np.array_equal(
+                np.round(sig.astype(np.float64) * 32768).clip(-32768, 32767),
+                np.round(back.astype(np.float64) * 32768),
+            )
+
+    flac = C.encode_flac(mono[:, None], rate)
+    wav = C.encode_wav(mono[:, None], rate)
+    ff = M.decode_features(flac)
+    wf = M.decode_features(wav)
+    # [n, rate, duration, rms, peak, zcr]: identical except 16-bit
+    # quantization noise in rms/peak
+    assert ff[0] == wf[0] == 1600.0 and ff[1] == wf[1] == 8000.0
+    assert abs(ff[3] - wf[3]) < 1e-3 and abs(ff[5] - wf[5]) < 1e-3
+
+
+def test_flac_lpc_and_stereo_decorrelation_frames():
+    """Hand-built FLAC frames pin the spec paths the fixture encoder
+    never emits: an LPC subframe (order 2, quantized coefficients +
+    shift) and all three stereo decorrelation modes."""
+    import numpy as np
+
+    from cartodb_importer_spark.llm.flac import (
+        _CRC8_TABLE,
+        _MsbWriter,
+        decode_flac,
+    )
+
+    def streaminfo(nch, bps, total, rate=8000, block=16):
+        info = bytearray(34)
+        info[0:2] = block.to_bytes(2, "big")
+        info[2:4] = block.to_bytes(2, "big")
+        sr_bits = (rate << 4) | ((nch - 1) << 1) | ((bps - 1) >> 4)
+        info[10:13] = sr_bits.to_bytes(3, "big")
+        info[13] = (((bps - 1) & 0x0F) << 4) | 0
+        info[14:18] = total.to_bytes(4, "big")
+        return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(info)
+
+    def frame_header(nch_code, block, bps_code=4):
+        bw = _MsbWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 2)
+        bw.write(7, 4)       # explicit 16-bit block size
+        bw.write(0, 4)       # rate from STREAMINFO
+        bw.write(nch_code, 4)
+        bw.write(bps_code, 3)
+        bw.write(0, 1)
+        bw.write(0, 8)       # frame 0
+        bw.write(block - 1, 16)
+        hdr = bw.flush()
+        crc = 0
+        for b in hdr:
+            crc = _CRC8_TABLE[crc ^ b]
+        return hdr + bytes([crc])
+
+    def verbatim_subframe(bw, vals, bps):
+        bw.write(0, 1)
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for v in vals:
+            bw.write(int(v) & ((1 << bps) - 1), bps)
+
+    # --- LPC: coefs [3, -1], shift 1 -> pred = (3*prev - prev2) >> 1
+    block = 8
+    warm = [100, 102]
+    resid = [1, -2, 0, 3, -1, 2]
+    expect = list(warm)
+    for r in resid:
+        pred = (3 * expect[-1] - expect[-2]) >> 1
+        expect.append(pred + r)
+    bw = _MsbWriter()
+    bw.write(0, 1)
+    bw.write(32 + 1, 6)  # LPC order 2 (type 0b100000 | (order-1))
+    bw.write(0, 1)
+    for v in warm:
+        bw.write(v & 0xFFFF, 16)
+    bw.write(3, 4)   # precision 4 -> 4 bits... precision = 3+1
+    bw.write(1, 5)   # shift 1
+    for c in (3, -1):
+        bw.write(c & 0xF, 4)
+    bw.write(0, 2)   # rice method
+    bw.write(0, 4)   # partition order 0
+    k = 3
+    bw.write(k, 4)
+    from cartodb_importer_spark.llm.flac import _rice_write
+
+    for r in resid:
+        _rice_write(bw, r, k)
+    payload = streaminfo(1, 16, block) + frame_header(0, block) + bw.flush() + b"\x00\x00"
+    out, rate = decode_flac(payload)
+    got = [int(v) for v in np.round(out[:, 0] * 32768)]
+    assert got == expect
+
+    # --- stereo decorrelation: left-side / right-side / mid-side
+    left = [100, -50, 30, 7]
+    right = [90, -60, 25, 3]
+    side = [l - r for l, r in zip(left, right)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    block = 4
+    for code, ch0, ch0_bps, ch1, ch1_bps in [
+        (8, left, 16, side, 17),    # left-side
+        (9, side, 17, right, 16),   # right-side
+        (10, mid, 16, side, 17),    # mid-side
+    ]:
+        bw = _MsbWriter()
+        verbatim_subframe(bw, ch0, ch0_bps)
+        verbatim_subframe(bw, ch1, ch1_bps)
+        payload = (
+            streaminfo(2, 16, block)
+            + frame_header(code, block)
+            + bw.flush()
+            + b"\x00\x00"
+        )
+        out, _ = decode_flac(payload)
+        got_l = [int(v) for v in np.round(out[:, 0] * 32768)]
+        got_r = [int(v) for v in np.round(out[:, 1] * 32768)]
+        assert got_l == left and got_r == right, code

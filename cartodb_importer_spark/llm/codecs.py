@@ -462,14 +462,22 @@ def decode_exr(payload: bytes) -> np.ndarray:
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
     _check_dims(w, h, max(len(chans), 1))
+    if i + 8 * h > len(payload):
+        raise ValueError("EXR scanline offset table truncated")
     offs = struct.unpack(f"<{h}Q", payload[i : i + 8 * h])
     img = np.zeros((h, w, len(chans)), np.float32)
     for entry in offs:
+        if entry + 8 > len(payload):
+            raise ValueError("EXR scanline offset out of range")
         y = struct.unpack("<i", payload[entry : entry + 4])[0]
+        if not y0 <= y <= y1:
+            raise ValueError("EXR scanline y out of data window")
         row = payload[entry + 8 :]
         off = 0
         for ci, (_nm, pt) in enumerate(chans):
             dt, size = ("<f2", 2) if pt == 1 else ("<f4", 4)
+            if off + size * w > len(row):
+                raise ValueError("EXR scanline truncated")
             img[y - y0, :, ci] = np.frombuffer(row, dt, w, off)
             off += size * w
     return img
@@ -537,6 +545,7 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not an AIFF stream")
     nch = bits = rate = None
     data = None
+    little_endian = False
     i = 12
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
@@ -545,22 +554,29 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
         if cid == b"COMM":
             nch, _nfr, bits = _st.unpack(">hIh", body[:8])
             rate = int(round(_f80_to_float(body[8:18])))
-            if len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
-                raise ValueError(
-                    f"compressed AIFC {body[18:22]!r} unsupported"
-                )
+            if len(body) >= 22:
+                comp = body[18:22]
+                if comp == b"sowt":  # QuickTime: little-endian PCM
+                    little_endian = True
+                elif comp != b"NONE":
+                    raise ValueError(
+                        f"compressed AIFC {comp!r} unsupported"
+                    )
         elif cid == b"SSND":
             off, _blk = _st.unpack(">II", body[:8])
             data = body[8 + off :]
         i += 8 + ln + (ln & 1)  # chunks pad to even
     if nch is None or data is None:
         raise ValueError("AIFF missing COMM/SSND")
+    if nch < 1:
+        raise ValueError(f"bad AIFF channel count {nch}")
+    eb = "<" if little_endian else ">"
     if bits == 8:
         x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
     elif bits == 16:
-        x = np.frombuffer(data, ">i2").astype(np.float32) / 32768.0
+        x = np.frombuffer(data, eb + "i2").astype(np.float32) / 32768.0
     elif bits == 32:
-        x = np.frombuffer(data, ">i4").astype(np.float32) / 2147483648.0
+        x = np.frombuffer(data, eb + "i4").astype(np.float32) / 2147483648.0
     else:
         raise ValueError(f"unsupported AIFF sample width {bits}")
     n = (len(x) // nch) * nch
@@ -598,6 +614,8 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
     if payload[:4] != b".snd":
         raise ValueError("not an AU stream")
     off, size, enc, rate, nch = _st.unpack(">IIIII", payload[4:24])
+    if nch < 1:
+        raise ValueError(f"bad AU channel count {nch}")
     end = off + size if size != 0xFFFFFFFF else len(payload)
     data = payload[off:end]
     if enc == 1:

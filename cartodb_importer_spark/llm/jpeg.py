@@ -763,13 +763,9 @@ def _dct_quantized(rgb: np.ndarray):
             padded.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3) - 128.0
         )
         coeffs = np.einsum("xu,ijuv,yv->ijxy", _C, blocks, _C)
-        zz = np.round(coeffs / q).astype(np.int64).reshape(mcuy, mcux, 64)[
-            :, :, ZIGZAG.argsort().argsort()
-        ] if False else None
         # zigzag reorder: natural (8,8) flattened -> zigzag positions
         natf = np.round(coeffs / q).astype(np.int64).reshape(mcuy, mcux, 64)
-        zz = natf[:, :, ZIGZAG]
-        out.append(zz)
+        out.append(natf[:, :, ZIGZAG])
     return h, w, mcuy, mcux, out
 
 

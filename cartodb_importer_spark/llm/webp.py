@@ -204,9 +204,6 @@ def _decode_entropy_image(
         mw = (w + (1 << meta_bits) - 1) >> meta_bits
         mh = (h + (1 << meta_bits) - 1) >> meta_bits
         meta_img = _decode_entropy_image(br, mw, mh, False)
-        meta = (
-            ((meta_img >> 8) & 0xFF) << 8 | ((meta_img >> 16) & 0xFF) << 0
-        )
         # meta index = (red << 8) | green
         meta = (((meta_img >> 16) & 0xFF) << 8) | ((meta_img >> 8) & 0xFF)
         num_groups = int(meta.max()) + 1
@@ -319,7 +316,9 @@ def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
         return np.clip(v, 0, 255).astype(np.uint8)
     if mode == 13:  # ClampAddSubtractHalf
         avg = _avg2(L, T).astype(np.int32)
-        v = avg + (avg - TL.astype(np.int32)) // 2
+        diff = avg - TL.astype(np.int32)
+        # C integer division truncates toward zero; numpy // floors
+        v = avg + np.trunc(diff / 2).astype(np.int32)
         return np.clip(v, 0, 255).astype(np.uint8)
     raise ValueError(f"bad VP8L predictor mode {mode}")
 
@@ -344,12 +343,13 @@ def _apply_predictor_inverse(
                 L = out[y, x - 1].astype(np.uint8)
                 T = out[y - 1, x].astype(np.uint8)
                 TL = out[y - 1, x - 1].astype(np.uint8)
-                # top-right of the last column wraps to the leftmost
-                # pixel of the same (upper) row per §3.5.1
+                # top-right of the last column: libwebp predicts from
+                # top[x+1], which in the flat pixel buffer wraps to the
+                # CURRENT row's leftmost (already decoded) pixel
                 TR = (
                     out[y - 1, x + 1].astype(np.uint8)
                     if x + 1 < w
-                    else out[y - 1, 0].astype(np.uint8)
+                    else out[y, 0].astype(np.uint8)
                 )
                 pred = _predict(mode, L, T, TL, TR).astype(np.uint16)
             out[y, x] = (out[y, x] + pred) & 0xFF
@@ -358,8 +358,9 @@ def _apply_predictor_inverse(
 
 def _color_delta(t: int, c: np.ndarray) -> np.ndarray:
     """(int8 transform byte * int8 channel) >> 5 per §3.5.3."""
-    td = np.int32(np.int8(t))
-    return (td * c.astype(np.int8).astype(np.int32)) >> 5
+    td = ((int(t) + 128) % 256) - 128  # reinterpret byte as int8
+    cs = ((c.astype(np.int32) + 128) % 256) - 128
+    return (td * cs) >> 5
 
 
 def _apply_color_inverse(

@@ -125,6 +125,8 @@ def parse_tiff(data: bytes) -> dict:
 
 
 def _dtype(bits: int, sample_format: int, bo: str):
+    if bits not in (8, 16, 32, 64):
+        raise ValueError(f"unsupported TIFF sample width {bits}")
     kind = {1: "u", 2: "i", 3: "f"}.get(sample_format, "u")
     return np.dtype(f"{bo}{kind}{bits // 8}")
 
@@ -541,6 +543,10 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
     bits = int(t.get(258, [8])[0])
     fmt = int(t.get(339, [1])[0])
     dt = _dtype(bits, fmt, bo) if bits >= 8 else None
+    if dt is None and compression not in (2, 3, 4):
+        raise ValueError(
+            f"sub-8-bit TIFF samples ({bits}-bit) require CCITT compression"
+        )
     if predictor == 3 and (dt is None or dt.kind != "f"):
         raise ValueError("predictor 3 requires float samples")
 
@@ -576,12 +582,12 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
             toffsets, tcounts = t[324], t[325]
             across = (width + tw - 1) // tw
             down = (height + th - 1) // th
-            img = np.zeros((down * th, across * tw), np.uint8)
+            img = np.zeros((down * th, across * tw, 3), np.uint8)
             for ti, off in enumerate(toffsets):
                 rgb = _jpeg_strip(data[off : off + tcounts[ti]], tbytes)
                 r, c = (ti // across) * th, (ti % across) * tw
-                img[r : r + th, c : c + tw] = rgb[:th, :tw, 0]
-            band1 = img[:height, :width]
+                img[r : r + th, c : c + tw] = rgb[:th, :tw]
+            jpeg_rgb = img[:height, :width]
         else:
             offsets, counts = t[273], t[279]
             rows_per_strip = int(t.get(278, [height])[0])
@@ -589,8 +595,9 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
             for si, off in enumerate(offsets):
                 nrows = min(rows_per_strip, height - si * rows_per_strip)
                 rgb = _jpeg_strip(data[off : off + counts[si]], tbytes)
-                parts.append(rgb[:nrows, :width, 0])
-            band1 = np.concatenate(parts, axis=0)
+                parts.append(rgb[:nrows, :width])
+            jpeg_rgb = np.concatenate(parts, axis=0)
+        band1 = jpeg_rgb[:, :, 0]
     elif 322 in t or 324 in t:
         # Tiled layout (tags 322/323/324/325): fixed-size tiles in
         # row-major order, right/bottom edge tiles padded to full size.
@@ -671,6 +678,8 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
     if band1 is None:
         band1 = img[..., 0] if spp > 1 else img
         full = img
+    elif compression == 7:
+        full = jpeg_rgb  # color survives for the image pipeline
     else:
         full = band1
 
@@ -1023,6 +1032,9 @@ def decode_tiff_rgb(data: bytes) -> np.ndarray:
     samples raise ValueError (the raster path, not the image path,
     serves scientific dtypes)."""
     img, meta = decode_tiff(data, _full=True)
+    if meta["compression"] == 7:
+        # JPEG strips decode to RGB already (YCbCr handled inside)
+        return np.ascontiguousarray(img)
     if meta["compression"] in (2, 3, 4):
         bits = img.astype(np.uint8)
         if meta["photometric"] == 0:  # WhiteIsZero file bits

@@ -1393,10 +1393,17 @@ def test_webp_predictor_and_color_transform_formulas():
     assert list(_predict(7, L, T, TL, TR)) == [255, 15, 127, 95]  # avg2
     # ClampAddSubtractFull: clip(L + T - TL)
     assert list(_predict(12, L, T, TL, TR)) == [255, 18, 54, 95]
-    # ClampAddSubtractHalf: clip(avg + (avg - TL)//2)
+    # ClampAddSubtractHalf: clip(avg + trunc((avg - TL) / 2)) — C
+    # integer division truncates toward zero (libwebp), numpy // floors
     avg = (L.astype(int) + T.astype(int)) // 2
-    exp = np.clip(avg + (avg - TL.astype(int)) // 2, 0, 255)
-    assert list(_predict(13, L, T, TL, TR)) == list(exp)
+    exp = np.clip(avg + np.trunc((avg - TL.astype(int)) / 2), 0, 255)
+    assert list(_predict(13, L, T, TL, TR)) == list(exp.astype(int))
+    # the truncation direction is observable: avg < TL with odd diff
+    Lo = np.array([255, 9, 9, 9], np.uint8)
+    To = np.array([255, 11, 11, 11], np.uint8)
+    TLo = np.array([255, 13, 13, 13], np.uint8)
+    # avg=10, diff=-3: trunc(-1.5) = -1 -> 9 (floor would give 8)
+    assert list(_predict(13, Lo, To, TLo, TR))[1:] == [9, 9, 9]
     # Select: prediction p = L+T-TL; pick the neighbor closer to p
     sel = _predict(11, L, T, TL, TR)
     p = L.astype(int) + T.astype(int) - TL.astype(int)
@@ -1651,3 +1658,70 @@ def test_flac_lpc_and_stereo_decorrelation_frames():
         got_l = [int(v) for v in np.round(out[:, 0] * 32768)]
         got_r = [int(v) for v in np.round(out[:, 1] * 32768)]
         assert got_l == left and got_r == right, code
+
+
+def test_tiff_jpeg_color_preserved():
+    """Review fix: a COLOR JPEG-compressed TIFF must keep all three
+    channels through the image pipeline (the band-1 raster contract
+    previously leaked into decode_tiff_rgb, replicating red as gray).
+    JDK ImageIO-written fixture, gradient content."""
+    import os
+
+    import numpy as np
+
+    from cartodb_importer_spark.readers.tiff import decode_tiff, decode_tiff_rgb
+
+    fdir = os.path.join(os.path.dirname(__file__), "data")
+    exp = np.frombuffer(
+        open(os.path.join(fdir, "jpeg_color_expected.raw"), "rb").read(),
+        np.uint8,
+    ).reshape(32, 48, 3)
+    data = open(os.path.join(fdir, "jpeg_color.tif"), "rb").read()
+    rgb = decode_tiff_rgb(data)
+    assert rgb.shape == (32, 48, 3)
+    mse = ((rgb.astype(float) - exp.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 35.0
+    # channels are genuinely distinct (G rises with y, B falls with x)
+    assert rgb[:, :, 1].std() > 10 and rgb[:, :, 2].std() > 10
+    # the raster contract still returns band 1 (red)
+    band, _ = decode_tiff(data)
+    assert np.array_equal(band, rgb[:, :, 0])
+
+
+def test_aiff_sowt_little_endian():
+    """Review fix: AIFC 'sowt' means little-endian PCM — decoding it
+    big-endian byte-swaps every sample into noise."""
+    import struct
+
+    import numpy as np
+
+    from cartodb_importer_spark.llm import codecs as C
+
+    samples = np.array([1000, -2000, 32000, -32768], "<i2")
+
+    def f80(rate):
+        # 80-bit extended for small integer rates
+        exp = 16383 + 13
+        mant = rate << (63 - 13)
+        return struct.pack(">HQ", exp, mant)
+
+    comm = struct.pack(">hIh", 1, len(samples), 16) + f80(8000) + b"sowt" + b"\x07sowt ok"
+    ssnd = struct.pack(">II", 0, 0) + samples.tobytes()
+    body = (
+        b"AIFC"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    payload = b"FORM" + struct.pack(">I", len(body)) + body
+    assert C.sniff(payload) == "aiff"
+    x, rate = C.decode_aiff(payload)
+    assert rate == 8000
+    got = np.round(x[:, 0] * 32768).astype(int)
+    assert list(got) == [1000, -2000, 32000, -32768]
+
+    # malformed channel counts fail with the documented contract
+    import pytest
+
+    bad_au = b".snd" + struct.pack(">IIIII", 24, 8, 3, 8000, 0) + b"\x00" * 8
+    with pytest.raises(ValueError, match="channel"):
+        C.decode_au(bad_au)

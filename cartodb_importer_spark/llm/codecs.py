@@ -72,6 +72,12 @@ def sniff(payload: bytes) -> str | None:
         return "exr"
     if payload[:7] == b"#define":
         return "xbm"
+    if (
+        len(payload) >= 6
+        and payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+        and 0 < struct.unpack("<H", payload[4:6])[0] <= 64
+    ):
+        return "ico"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
     return None
@@ -518,6 +524,113 @@ def _exr_channel_names(payload: bytes) -> list[str]:
             return names
         i = k + 5 + sz
     return []
+
+
+# ----------------------------------------------------------------- ICO
+
+
+def decode_ico(payload: bytes) -> np.ndarray:
+    """Windows ICO/CUR -> (H, W, 3) uint8 RGB of the LARGEST image.
+    Entries are PNG (decoded by decode_png) or BMP fragments
+    (BITMAPINFOHEADER with doubled height, XOR pixels + 1-bit AND
+    mask; 8/24/32 bpp; masked-out pixels render white)."""
+    if payload[:4] not in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        raise ValueError("not an ICO payload")
+    count = struct.unpack("<H", payload[4:6])[0]
+    if not 0 < count <= 64:
+        raise ValueError("bad ICO image count")
+    best = None
+    for i in range(count):
+        e = payload[6 + 16 * i : 22 + 16 * i]
+        if len(e) < 16:
+            raise ValueError("ICO directory truncated")
+        w = e[0] or 256
+        h = e[1] or 256
+        size, off = struct.unpack("<II", e[8:16])
+        if best is None or w * h > best[0]:
+            best = (w * h, w, h, off, size)
+    _, w, h, off, size = best
+    frag = payload[off : off + size]
+    if frag[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(frag)
+    # BMP fragment: header with doubled height, no BITMAPFILEHEADER
+    hdr_size = struct.unpack_from("<I", frag, 0)[0]
+    bw, bh2 = struct.unpack_from("<ii", frag, 4)
+    bpp = struct.unpack_from("<H", frag, 14)[0]
+    compression = struct.unpack_from("<I", frag, 16)[0]
+    if compression != 0:
+        raise ValueError("compressed ICO BMP fragment unsupported")
+    bh = abs(bh2) // 2  # XOR + AND halves
+    _check_dims(bw, bh)
+    if bw != w or bh != h:
+        raise ValueError("ICO directory/fragment size mismatch")
+    pos = hdr_size
+    palette = None
+    if bpp <= 8:
+        n_colors = struct.unpack_from("<I", frag, 32)[0] or (1 << bpp)
+        palette = np.frombuffer(
+            frag, np.uint8, 4 * n_colors, pos
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRx -> RGB
+        pos += 4 * n_colors
+    if bpp in (24, 32):
+        nch = bpp // 8
+        stride = (bw * nch + 3) & ~3
+        rows = np.frombuffer(
+            frag, np.uint8, stride * bh, pos
+        ).reshape(bh, stride)[:, : bw * nch]
+        px = rows.reshape(bh, bw, nch)[::-1]  # bottom-up
+        rgb = np.ascontiguousarray(px[..., 2::-1][..., :3])
+        pos += stride * bh
+    elif bpp == 8:
+        stride = (bw + 3) & ~3
+        idx = np.frombuffer(frag, np.uint8, stride * bh, pos).reshape(
+            bh, stride
+        )[:, :bw][::-1]
+        rgb = palette[np.minimum(idx, len(palette) - 1)]
+        pos += stride * bh
+    else:
+        raise ValueError(f"ICO bpp {bpp} unsupported")
+    # AND mask: 1 = transparent -> white background (32bpp icons carry
+    # real alpha instead; skip the mask there)
+    if bpp != 32 and pos < len(frag):
+        mstride = ((bw + 31) // 32) * 4
+        if pos + mstride * bh <= len(frag):
+            mask = np.unpackbits(
+                np.frombuffer(frag, np.uint8, mstride * bh, pos).reshape(
+                    bh, mstride
+                ),
+                axis=1,
+            )[:, :bw][::-1]
+            rgb = rgb.copy()
+            rgb[mask == 1] = 255
+    return rgb
+
+
+def encode_ico(rgb: np.ndarray, as_png: bool = True) -> bytes:
+    """Fixture counterpart: single-image ICO wrapping a PNG or a 32bpp
+    BMP fragment (opaque alpha, empty AND mask)."""
+    h, w, _ = rgb.shape
+    if w > 255 or h > 255:
+        raise ValueError("ICO images are at most 255x255 here")
+    if as_png:
+        frag = encode_png(rgb)
+    else:
+        stride = w * 4
+        px = np.zeros((h, stride), np.uint8)
+        bgra = np.concatenate(
+            [rgb[..., ::-1], np.full((h, w, 1), 255, np.uint8)], axis=2
+        )
+        px[:, : w * 4] = bgra[::-1].reshape(h, w * 4)
+        mstride = ((w + 31) // 32) * 4
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+            stride * h + mstride * h, 0, 0, 0, 0,
+        )
+        frag = hdr + px.tobytes() + b"\x00" * (mstride * h)
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(frag), 22
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + frag
 
 
 # --------------------------------------------------------------- AIFF / AU
@@ -1283,6 +1396,7 @@ IMAGE_DECODERS = {
     "ras": decode_ras,
     "sgi": decode_sgi,
     "xbm": decode_xbm,
+    "ico": decode_ico,
     "exr": decode_exr_rgb,
     "png": decode_png,
     "gif": decode_gif,

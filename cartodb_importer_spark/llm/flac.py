@@ -270,7 +270,17 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         else:
             raise ValueError("reserved FLAC channel assignment")
         br.align()
-        br.bits(16)  # frame CRC-16 (not verified; header CRC-8 is)
+        crc16_calc = 0
+        for b in payload[hdr_start : br.byte_pos()]:
+            crc16_calc ^= b << 8
+            for _ in range(8):
+                crc16_calc = (
+                    ((crc16_calc << 1) ^ 0x8005) & 0xFFFF
+                    if crc16_calc & 0x8000
+                    else (crc16_calc << 1) & 0xFFFF
+                )
+        if br.bits(16) != crc16_calc:
+            raise ValueError("FLAC frame CRC-16 mismatch")
         pos = br.byte_pos()
         for c in range(nch):
             chans[c].extend(int(v) for v in subs[c])

@@ -1302,7 +1302,8 @@ def test_codec_fuzz_clean_failures():
         b"BM", b"P6", b"P4\n", b"P5\n", b"\x89PNG\r\n\x1a\n", b"GIF89a",
         b"\xff\xd8\xff", b"RIFF\x20\x00\x00\x00WAVE",
         b"RIFF\x20\x00\x00\x00AVI ", b"FORM\x00\x00\x00\x20AIFF",
-        b".snd", b"fLaC", b"\x59\xa6\x6a\x95", b"\x01\xda\x01\x01",
+        b".snd", b"fLaC", b"\x00\x00\x01\x00\x02\x00",
+        b"\x59\xa6\x6a\x95", b"\x01\xda\x01\x01",
         b"\x76\x2f\x31\x01", b"II*\x00", b"MM\x00*",
     ]
     for magic in magics:
@@ -1603,6 +1604,18 @@ def test_flac_lpc_and_stereo_decorrelation_frames():
         for v in vals:
             bw.write(int(v) & ((1 << bps) - 1), bps)
 
+    def with_crc16(frame: bytes) -> bytes:
+        crc = 0
+        for b in frame:
+            crc ^= b << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+        return frame + crc.to_bytes(2, "big")
+
     # --- LPC: coefs [3, -1], shift 1 -> pred = (3*prev - prev2) >> 1
     block = 8
     warm = [100, 102]
@@ -1629,7 +1642,9 @@ def test_flac_lpc_and_stereo_decorrelation_frames():
 
     for r in resid:
         _rice_write(bw, r, k)
-    payload = streaminfo(1, 16, block) + frame_header(0, block) + bw.flush() + b"\x00\x00"
+    payload = streaminfo(1, 16, block) + with_crc16(
+        frame_header(0, block) + bw.flush()
+    )
     out, rate = decode_flac(payload)
     got = [int(v) for v in np.round(out[:, 0] * 32768)]
     assert got == expect
@@ -1648,11 +1663,8 @@ def test_flac_lpc_and_stereo_decorrelation_frames():
         bw = _MsbWriter()
         verbatim_subframe(bw, ch0, ch0_bps)
         verbatim_subframe(bw, ch1, ch1_bps)
-        payload = (
-            streaminfo(2, 16, block)
-            + frame_header(code, block)
-            + bw.flush()
-            + b"\x00\x00"
+        payload = streaminfo(2, 16, block) + with_crc16(
+            frame_header(code, block) + bw.flush()
         )
         out, _ = decode_flac(payload)
         got_l = [int(v) for v in np.round(out[:, 0] * 32768)]
@@ -1725,3 +1737,27 @@ def test_aiff_sowt_little_endian():
     bad_au = b".snd" + struct.pack(">IIIII", 24, 8, 3, 8000, 0) + b"\x00" * 8
     with pytest.raises(ValueError, match="channel"):
         C.decode_au(bad_au)
+
+
+def test_codec_ico_png_and_bmp_fragments():
+    """ICO container: PNG-fragment icons route through the validated PNG
+    decoder; 32bpp BMP fragments handle doubled-height headers and
+    bottom-up BGRA rows; both round-trip exactly through the shared
+    dispatch. Malformed counts/mismatched dims raise ValueError."""
+    import numpy as np
+    import pytest
+
+    from cartodb_importer_spark.llm import codecs as C
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 18, 3)).astype(np.uint8)
+    for as_png in (True, False):
+        data = C.encode_ico(img, as_png=as_png)
+        assert C.sniff(data) == "ico"
+        assert np.array_equal(C.IMAGE_DECODERS["ico"](data), img)
+
+    bad = bytearray(C.encode_ico(img))
+    bad[4:6] = (999).to_bytes(2, "little")
+    assert C.sniff(bytes(bad)) is None  # count guard keeps sniff honest
+    with pytest.raises(ValueError):
+        C.decode_ico(bytes(bad))

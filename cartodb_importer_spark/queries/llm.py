@@ -2907,3 +2907,124 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 2) * 255).cast("int").alias("b1"),
         F.round(F.element_at("feature", 3) * 255).cast("int").alias("b2"),
     )
+
+
+_SEMDEDUP_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, cent.cluster,
+             floor((list_inner_product(e.v, e.v)
+                    - 2 * list_inner_product(e.v, cent.c)
+                    + list_inner_product(cent.c, cent.c)) * 1e6 + 0.5)
+               / 1e6 AS d2
+      FROM e CROSS JOIN cent
+    ),
+    a AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    av AS (SELECT a.vec_id, a.cluster, e.v FROM a JOIN e USING (vec_id)),
+    pairs AS (
+      SELECT y.vec_id AS idb,
+             floor(list_inner_product(x.v, y.v)
+                   / (sqrt(list_inner_product(x.v, x.v))
+                      * sqrt(list_inner_product(y.v, y.v)))
+                   * 1e6 + 0.5) / 1e6 AS cos
+      FROM av x JOIN av y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE list_inner_product(x.v, x.v) > 0
+        AND list_inner_product(y.v, y.v) > 0
+    ),
+    dups AS (SELECT DISTINCT idb AS vec_id FROM pairs WHERE cos >= 0.25)
+    SELECT a.vec_id, a.cluster,
+           (dups.vec_id IS NOT NULL) AS is_dup
+    FROM a LEFT JOIN dups ON a.vec_id = dups.vec_id
+"""
+
+
+@query("llm_semantic_dedup", oracle=_SEMDEDUP_SQL)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embeddings cluster to the
+    nearest of k=8 FIXED centroids (the vectors of vec_id 0..7 — same
+    deterministic-seed discipline as llm_kmeans_fixed), then WITHIN each
+    cluster any vector whose cosine to a lower-id clustermate reaches
+    the threshold is flagged a duplicate. Never all-pairs: candidate
+    generation is bounded by the cluster partition, which at 100 TB is
+    the IVF cell layout (llm_ivf_topk) — pairs stay |cluster|^2, not
+    |corpus|^2, and the per-cluster join keys the shuffle on the
+    cluster id. Distances and cosines are grid-rounded (1e-6) before
+    comparisons so both engines make identical keep/drop decisions."""
+    t = Tables(spark, sf_dir)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    emb = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "d2",
+            r6(dot(F.col("v"), F.col("v"))
+               - 2 * dot(F.col("v"), F.col("c"))
+               + dot(F.col("c"), F.col("c"))),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cluster")).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("best.cluster").alias("cluster"), "v")
+    )
+    lhs = assigned.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+    )
+    rhs = assigned.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+    )
+    na = dot(F.col("va"), F.col("va"))
+    nb = dot(F.col("vb"), F.col("vb"))
+    dups = (
+        lhs.join(rhs, "cl")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter((na > 0) & (nb > 0))
+        .withColumn(
+            "cos",
+            r6(dot(F.col("va"), F.col("vb")) / (F.sqrt(na) * F.sqrt(nb))),
+        )
+        .filter(F.col("cos") >= 0.25)
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -39,6 +39,7 @@ ALLOWED_NLJ = {
     "pipeline_skew_diagnostics",  # 1-row key-moment broadcast
     "agg_tdigest_quantiles",   # 4-row quantile list + 1-row N broadcasts
     "events_diff_in_diff",     # 1-row time-cutoff scalar broadcast
+    "llm_semantic_dedup",      # 8-row fixed-centroid broadcast
 }
 
 SF = "/root/testdata/sf0.001"

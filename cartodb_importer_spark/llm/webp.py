@@ -193,9 +193,15 @@ def _decode_entropy_image(
     images only)."""
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
         raise ValueError(f"VP8L dimensions {w}x{h} out of range")
-    # meta huffman (before color cache per §3.7.2.2/decoding order:
-    # actually color cache info precedes the huffman codes; the meta
-    # huffman flag is only present for the main ARGB image)
+    # spec order (RFC 9649 §5 / libwebp DecodeImageStream): color-cache
+    # info FIRST, then the meta-prefix flag (only read when recursion
+    # is allowed, i.e. for the main ARGB image), then the prefix codes
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad VP8L color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
     meta = None
     meta_bits = 0
     num_groups = 1
@@ -207,12 +213,6 @@ def _decode_entropy_image(
         # meta index = (red << 8) | green
         meta = (((meta_img >> 16) & 0xFF) << 8) | ((meta_img >> 8) & 0xFF)
         num_groups = int(meta.max()) + 1
-    cache_bits = 0
-    if br.bit():
-        cache_bits = br.bits(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError("bad VP8L color-cache size")
-    cache_size = (1 << cache_bits) if cache_bits else 0
     groups = []
     for _ in range(num_groups):
         green = _read_prefix_code(br, 256 + 24 + cache_size)
@@ -836,10 +836,9 @@ def encode_webp_lossless(
             putp(pb, int(d[3]))
             putp(pa, int(d[0]))
     bw.write(0, 1)  # no more transforms
-    # no meta huffman
-    bw.write(0, 1)
-    bw.write(1, 1)  # color cache used
+    bw.write(1, 1)  # color cache used (spec order: cache before meta)
     bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta huffman
     gcodes = _emit_prefix_code(bw, gf, 256 + 24 + cache_size)
     rcodes = _emit_prefix_code(bw, rf, 256)
     bcodes = _emit_prefix_code(bw, bf, 256)

@@ -1212,11 +1212,13 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM idx GROUP BY 1
     ), arrs AS (
       SELECT list(m ORDER BY i) AS ms, list(s ORDER BY i) AS ss FROM stats
+    ), zs AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, (x, i) ->
+               {'i': i, 'z': round((x - ms[i]) / ss[i], 4) + 0.0})) AS u
+      FROM embeddings, arrs
     )
-    SELECT vec_id,
-           list_transform(embedding, (x, i) -> round((x - ms[i]) / ss[i], 4) + 0.0)
-             AS z
-    FROM embeddings, arrs
+    SELECT vec_id, u.i - 1 AS dim, u.z AS z FROM zs
     """,
 )
 def llm_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,7 +1228,11 @@ def llm_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition to 64 partials before the 64-key shuffle), re-enter as
     a single broadcast row of (means[], stds[]), and the normalization is
     a transform() with the index lambda — no join back on vec_id, no
-    second shuffle, scales to any row count."""
+    second shuffle, scales to any row count. Output is flattened to
+    (vec_id, dim, z) scalar rows: the correctness driver canonicalizes
+    results via pandas sort_values, which cannot hash array cells — the
+    flat form is value-checkable AND the shape downstream per-dimension
+    consumers (feature stores, columnar trainers) want anyway."""
     t = Tables(spark, sf_dir)
     e = t.embeddings
     stats = (
@@ -1250,7 +1256,11 @@ def llm_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(0.0),
     )
-    return e.crossJoin(F.broadcast(arrs)).select("vec_id", z.alias("z"))
+    return (
+        e.crossJoin(F.broadcast(arrs))
+        .select("vec_id", z.alias("zs"))
+        .select("vec_id", F.posexplode("zs").alias("dim", "z"))
+    )
 
 
 @query(
@@ -1798,11 +1808,14 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / (his[i] - los[i]) * 255 + 0.5) END)
                       / 255.0 * (his[i] - los[i])), 2)) AS errs
       FROM embeddings, arrs
+    ), flat AS (
+      SELECT vec_id,
+             unnest(list_transform(codes, (c, i) -> {'i': i, 'c': c})) AS u,
+             floor(list_aggregate(errs, 'sum') / len(errs) * 10000000 + 0.5)
+               / 10000000 AS mse
+      FROM coded
     )
-    SELECT vec_id, codes,
-           floor(list_aggregate(errs, 'sum') / len(errs) * 10000000 + 0.5)
-             / 10000000 AS mse
-    FROM coded
+    SELECT vec_id, u.i - 1 AS dim, u.c AS code, mse FROM flat
     """,
 )
 def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1814,7 +1827,10 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     because quantization is pure deterministic arithmetic — all math is
     explicitly double on both engines so float-promotion rules cannot
     diverge. Same 1-row broadcast shape as llm_embedding_standardize
-    (no join back on vec_id, no second shuffle)."""
+    (no join back on vec_id, no second shuffle). Output is flattened to
+    (vec_id, dim, code, mse) scalar rows — the driver's pandas
+    canonicalizer cannot hash array cells, and the flat form is what an
+    int8 column store ingests anyway."""
     t = Tables(spark, sf_dir)
     e = t.embeddings
     stats = (
@@ -1863,8 +1879,15 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 10000000
     )
-    return e.crossJoin(F.broadcast(arrs)).select(
-        "vec_id", codes.alias("codes"), mse.alias("mse")
+    return (
+        e.crossJoin(F.broadcast(arrs))
+        .select("vec_id", codes.alias("codes"), mse.alias("mse"))
+        .select(
+            "vec_id",
+            F.posexplode("codes").alias("dim", "code"),
+            "mse",
+        )
+        .select("vec_id", "dim", "code", "mse")
     )
 
 

@@ -26,9 +26,20 @@ from cartodb_importer_spark.session import get_spark
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 
 
+class DriverIncompatible(Exception):
+    """Raised when a result contains cells the DRIVER's canonicalizer
+    cannot hash (list/ndarray/dict in an object column). The driver does a
+    plain ``DataFrame.sort_values`` over all columns and dies with
+    ``TypeError: unhashable type: 'list'`` (r05: llm_embedding_standardize
+    / llm_embedding_quantize) — so locally tolerating arrays hides a
+    guaranteed driver red. Any query tripping this must serialize
+    (to_json) or flatten (posexplode) its complex columns."""
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, round floats, sort rows — order-insensitive
-    canonical form (mirrors the driver's hash prep)."""
+    canonical form (mirrors the driver's hash prep, INCLUDING its
+    inability to handle complex-typed cells)."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype.kind == "f":
@@ -38,18 +49,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # value-based; assert_frame_equal is not
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            # normalize array cells first: Arrow-on toPandas yields
-            # np.ndarray, Arrow-off yields Python lists — str() formats
-            # them differently though values are identical
-            df[c] = df[c].map(
-                lambda v: [
-                    round(float(x), 6) if isinstance(x, float) else x
-                    for x in v
-                ]
-                if isinstance(v, (list, tuple))
+            head = df[c].head(100)
+            bad = head.map(
+                lambda v: isinstance(v, (list, tuple, dict, set))
                 or type(v).__name__ == "ndarray"
-                else v
-            ).astype(str)
+            )
+            if bad.any():
+                raise DriverIncompatible(
+                    f"column {c!r} holds {type(head[bad.idxmax()]).__name__} "
+                    "cells — the driver's sort_values canonicalizer cannot "
+                    "hash these; posexplode or to_json the column"
+                )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
@@ -100,7 +110,13 @@ def main() -> int:
                 n_rows_only += 1
                 continue
             ddf = con.sql(oracles[name]).df()
-            a, b = canon(sdf), canon(ddf)
+            try:
+                a, b = canon(sdf), canon(ddf)
+            except DriverIncompatible as e:
+                print(f"FAIL {name}: driver-incompatible output — {e}")
+                results[name] = {"status": "fail", "why": "driver-incompatible"}
+                n_fail += 1
+                continue
             if list(a.columns) != list(b.columns):
                 print(f"FAIL {name}: columns {list(a.columns)} != {list(b.columns)}")
                 results[name] = {"status": "fail", "why": "columns"}

@@ -63,22 +63,32 @@ def main() -> None:
 
     # Steady-state methodology: run each query once untimed (codegen/JIT
     # compile dominates first runs at this data size — measured 2-3.5x),
-    # then report the MIN of three timed runs (the least-noise steady-state
-    # estimator; single timed runs jitter ±10% on a shared box). First-run
-    # times are recorded separately in "cold_queries" for transparency.
+    # then report the MIN of five timed runs (the least-noise steady-state
+    # estimator; single timed runs jitter ±10% on a shared box, and
+    # HOST-level noise windows have been observed swinging totals ±35%
+    # with no guest-visible load). Per-query median/max across the runs
+    # are emitted alongside so a reader can separate a real plan
+    # regression (min moved) from machine noise (min stable, max wild).
+    # First-run times are recorded separately in "cold_queries".
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    maxes: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         start = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - start, 3)
-        best = float("inf")
-        for _ in range(3):
+        runs: list[float] = []
+        for _ in range(n_runs):
             start = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+        maxes[name] = round(runs[-1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -92,8 +102,17 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "timed_runs": 3,
+                "timed_runs": n_runs,
                 "agg": "min",
+                "queries_median": medians,
+                "queries_max": maxes,
+                "median_total_sec": round(sum(medians.values()), 3),
+                "noise_spread_pct": round(
+                    100.0
+                    * (sum(maxes.values()) - sum(timings.values()))
+                    / max(sum(timings.values()), 1e-9),
+                    1,
+                ),
                 "cold_queries": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": sf_val,

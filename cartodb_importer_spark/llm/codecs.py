@@ -26,6 +26,7 @@ amortizes across the batch.
 from __future__ import annotations
 
 import io
+import re
 import struct
 import wave
 
@@ -294,13 +295,17 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     bitmap = magic in (b"P1", b"P4")
     maxval = 1 if bitmap else int(token())
     if magic in (b"P1", b"P2", b"P3"):  # ASCII variants
+        # '#' comments are legal anywhere in a plain-netpbm raster, not
+        # just the header — strip them before tokenizing, else P1 folds
+        # comment bytes into pixel values and P2/P3 fail on int()
+        raster = re.sub(rb"#[^\n\r]*", b"", payload[pos:])
         if magic == b"P1":
-            body = b"".join(payload[pos:].split())
+            body = b"".join(raster.split())
             vals = np.frombuffer(body, np.uint8, w * h) - ord("0")
         else:
             n = w * h * (3 if magic == b"P3" else 1)
             vals = np.array(
-                payload[pos:].split()[:n], dtype=np.int64
+                raster.split()[:n], dtype=np.int64
             )
     elif magic == b"P4":
         pos += 1  # single whitespace after header
@@ -371,6 +376,8 @@ def decode_ras(payload: bytes) -> np.ndarray:
 def decode_sgi(payload: bytes) -> np.ndarray:
     """SGI image (.sgi/.rgb) -> (H, W, 3) uint8 RGB. 8-bit channels,
     verbatim or RLE storage; rows are bottom-up; alpha dropped."""
+    if len(payload) < 512:
+        raise ValueError("SGI header truncated")
     magic, storage, bpc, _dim, xs, ys, zs = struct.unpack(
         ">HBBHHH H", payload[:12]
     )
@@ -388,6 +395,10 @@ def decode_sgi(payload: bytes) -> np.ndarray:
             for y in range(ys):
                 i = int(starts[z * ys + y])
                 end = i + int(lens[z * ys + y])
+                if end > len(payload):
+                    # untrusted offset table: raise the module's
+                    # ValueError contract, not IndexError
+                    raise ValueError("SGI RLE row out of range")
                 row = bytearray()
                 while i < end:
                     b = payload[i]
@@ -550,10 +561,17 @@ def decode_ico(payload: bytes) -> np.ndarray:
         if best is None or w * h > best[0]:
             best = (w * h, w, h, off, size)
     _, w, h, off, size = best
+    if size < 8 or off + size > len(payload):
+        # untrusted directory offsets: bounds-check BEFORE unpack_from so
+        # corrupt files raise the module's ValueError contract, not
+        # struct.error
+        raise ValueError("ICO fragment out of range")
     frag = payload[off : off + size]
     if frag[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(frag)
     # BMP fragment: header with doubled height, no BITMAPFILEHEADER
+    if len(frag) < 40:  # BITMAPINFOHEADER is 40 bytes
+        raise ValueError("ICO BMP fragment truncated")
     hdr_size = struct.unpack_from("<I", frag, 0)[0]
     bw, bh2 = struct.unpack_from("<ii", frag, 4)
     bpp = struct.unpack_from("<H", frag, 14)[0]

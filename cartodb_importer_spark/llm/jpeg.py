@@ -57,11 +57,19 @@ class _BitReader:
     stops at any non-RST marker. Restart markers are consumed by
     :meth:`restart` (byte-aligned by construction)."""
 
-    def __init__(self, data: bytes, pos: int):
+    def __init__(self, data: bytes, pos: int, strict: bool = True):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        #: strict (the baseline single-scan contract): a marker other
+        #: than RSTn/EOI inside entropy data — a stray DHT/SOS from a
+        #: corrupt or truncated stream — raises ValueError instead of
+        #: silently decoding the remaining MCUs as zeros. Progressive
+        #: per-scan readers pass strict=False: there the NEXT scan's
+        #: SOS/DHT legitimately terminates this scan's segment and the
+        #: reader must drain past it with zero padding.
+        self.strict = strict
 
     def _fill(self) -> None:
         d = self.data
@@ -76,9 +84,15 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 2
                 else:
-                    # any real marker (RSTn, EOI, the next scan's
-                    # SOS/DHT, ...) ends this entropy segment: stop
-                    # feeding real bits and pad with zeros
+                    if self.strict and not (
+                        0xD0 <= nxt <= 0xD7 or nxt == 0xD9
+                    ):
+                        raise ValueError(
+                            f"unexpected marker 0xff{nxt:02x} in scan"
+                        )
+                    # segment-ending marker (RSTn, EOI — or, non-strict,
+                    # the next scan's SOS/DHT): stop feeding real bits
+                    # and pad with zeros
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
                     continue
@@ -392,7 +406,7 @@ def _decode_progressive(
             raise ValueError("bad progressive scan: DC scan with Se != 0")
         if ss > 0 and len(scomps) != 1:
             raise ValueError("bad progressive scan: interleaved AC scan")
-        reader = _BitReader(d, pos)
+        reader = _BitReader(d, pos, strict=False)
         state = {"eobrun": 0}
         preds = {cid: 0 for cid, *_ in scomps}
 

@@ -668,6 +668,12 @@ def encode_webp_lossless(
     with sub-byte pixel bundling, <=16 distinct colors), single Huffman
     group. Bit-exact round-trip by construction."""
     h, w, _ = rgb.shape
+    if w > 16384 or h > 16384:
+        # the VP8L header stores width-1/height-1 in 14-bit fields;
+        # anything larger would silently wrap modulo 16384
+        raise ValueError(
+            f"VP8L dimensions limited to 16384x16384, got {w}x{h}"
+        )
     a = np.full((h, w), 255, np.uint8)
     palette = None
     if use_palette:

@@ -578,6 +578,8 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
         tables = t.get(347)
         tbytes = bytes(tables) if tables else None
         if 322 in t or 324 in t:
+            if not all(tag in t for tag in (322, 323, 324, 325)):
+                raise ValueError("tiled TIFF missing tile tags")
             tw, th = int(t[322][0]), int(t[323][0])
             toffsets, tcounts = t[324], t[325]
             across = (width + tw - 1) // tw
@@ -601,6 +603,8 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
     elif 322 in t or 324 in t:
         # Tiled layout (tags 322/323/324/325): fixed-size tiles in
         # row-major order, right/bottom edge tiles padded to full size.
+        if 322 not in t or 323 not in t:
+            raise ValueError("tiled TIFF missing tile tags")
         tw = int(t[322][0])
         th = int(t[323][0])
         toffsets = t.get(324)

@@ -44,6 +44,52 @@ def read_csv(
     from pyspark.sql import types as st
 
     encoding = encoding or sniff_encoding(path)
+    source_encoding = encoding
+
+    # Spark's CSV charset option accepts ONLY {iso-8859-1, us-ascii,
+    # utf-16, utf-16be, utf-16le, utf-32, utf-8}. Python/chardet names
+    # outside that list (latin-1 spelling differences aside: windows-1252,
+    # MacRoman, Shift_JIS, ...) would raise INVALID_PARAMETER_VALUE at
+    # scan time — the reference solves this by iconv-ing the whole file to
+    # UTF-8 (csv_normalizer.py), and we do the same with a streamed
+    # staged copy. The copy also normalizes lone-CR (classic-Mac) line
+    # endings, which Spark's line reader does not split (the reference's
+    # estaciones.csv pending spec) — Python's universal-newline decoder
+    # handles them for free. Import-file edge path only: bounded driver
+    # IO, constant memory, lands in workdir so normal cleanup removes it.
+    aliases = {
+        "latin-1": "iso-8859-1",
+        "latin1": "iso-8859-1",
+        "l1": "iso-8859-1",
+        "ascii": "us-ascii",
+        "utf8": "utf-8",
+    }
+    spark_charsets = {
+        "iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le",
+        "utf-32", "utf-8",
+    }
+    norm = aliases.get(
+        encoding.lower().replace("_", "-"), encoding.lower().replace("_", "-")
+    )
+    with open(path, "rb") as f:
+        head = f.read(1 << 16)
+    cr_only = b"\r" in head and b"\n" not in head
+    if (norm not in spark_charsets and encoding != "utf-8-sig") or cr_only:
+        import tempfile
+
+        if workdir is None:
+            workdir = tempfile.mkdtemp(prefix="cartodb_csv_utf8_")
+        target = os.path.join(workdir, os.path.basename(path) + ".utf8.csv")
+        with open(path, encoding=encoding, errors="replace") as src, open(
+            target, "w", encoding="utf-8", newline="\n"
+        ) as dst:
+            for line in src:  # universal newlines: \r and \r\n -> \n
+                dst.write(line if line.endswith("\n") else line + "\n")
+        path = target
+        encoding = "utf-8"
+        norm = "utf-8"
+    elif encoding != "utf-8-sig":
+        encoding = norm
     with open(path, encoding=encoding, errors="replace") as f:
         header_line = f.readline().rstrip("\r\n")
         sample_line = f.readline().rstrip("\r\n")
@@ -153,7 +199,7 @@ def read_csv(
     )
     meta: dict = {
         "delimiter": delimiter,
-        "encoding": encoding,
+        "encoding": source_encoding,
         "spark_encoding": spark_encoding,
         "quote": quote,
         "has_header": has_header,

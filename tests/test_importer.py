@@ -530,3 +530,48 @@ def test_csv_multiline_sniff_cap_stops_outside_quoted_field(spark, tmp_path):
     assert meta["multiline"] is True
     assert df.filter("id = '199999'").count() == 1
     assert df.filter("id = '200000'").count() == 1
+
+
+REF_DATA = "/root/reference/spec/support/data"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference fixture dir not present"
+)
+def test_reserved_xmin_column_escaped_on_import(spark, catalog):
+    """spec/import_spec.rb:89-104 is PENDING in the reference ("should
+    escape reserved column names", expecting xmin -> _xmin). This engine
+    implements the behavior the spec asks for (naming.py reserved system
+    columns), so pin it as a passing contract rather than a pending one."""
+    res = Importer(
+        spark, catalog, os.path.join(REF_DATA, "reserved_columns.csv")
+    ).run()
+    assert res.rows_imported == 7
+    assert res.import_type == ".csv"
+    cols = catalog.read(spark, res.name).columns
+    # the spec's expected_columns, including the escaped reserved name
+    assert {"url", "login", "country", "followers_count", "_xmin"} <= set(cols)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference fixture dir not present"
+)
+def test_non_utf8_cr_only_estaciones_imports(spark, catalog):
+    """spec/import_spec.rb:168-176 is PENDING in the reference ("not
+    supported ~v0.2.1": estaciones.csv is non-UTF8 with classic-Mac
+    lone-CR line endings). This engine stages a UTF-8/newline-normalized
+    copy (readers/csv.py), so the file imports: 30 CR-separated data
+    rows (the spec's 29 was authored for a test that never ran — the
+    file is headerless by the OGR first-line-numeric rule, same as the
+    estaciones2.csv golden), field_1..field_4 synthesized names, and
+    text decoded without raising."""
+    res = Importer(
+        spark, catalog, os.path.join(REF_DATA, "estaciones.csv")
+    ).run()
+    assert res.rows_imported == 30
+    assert res.import_type == ".csv"
+    df = catalog.read(spark, res.name)
+    assert df.columns[:4] == ["field_1", "field_2", "field_3", "field_4"]
+    first = df.orderBy("field_1").first()
+    assert first["field_1"] == 28079003
+    assert first["field_2"] == "Plaza del Carmen"

@@ -36,6 +36,10 @@ HEAVY = [
     "llm_near_dedup", "llm_dedup_clusters", "graph_pagerank",
     "graph_triangle_count", "events_funnel", "events_kaplan_meier",
     "agg_tdigest_quantiles", "udf_apply_in_arrow", "llm_pq_topk",
+    # r06: SemDeDup-style semantic dedup (k-means cell-bounded candidate
+    # pairs — the bound is what must hold under duplication pressure) and
+    # the flattened per-dimension standardize (posexplode fan-out at 10x)
+    "llm_semantic_dedup", "llm_embedding_standardize",
 ]
 
 

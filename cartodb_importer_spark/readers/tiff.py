@@ -26,7 +26,11 @@ plus (r05):
   (abbreviated streams merged with the JPEGTables tag 347), decoded by
   the engine's own baseline+progressive decoder (llm/jpeg.py).
 
-Anything outside that subset (old-style JPEG compression 6, JBIG, ...)
+* 6     — old-style JPEG-in-TIFF in its interchange-stream form (tags
+  513/514 pointing at one complete JPEG stream, the only form libtiff
+  writes); the tag-driven split-table variant (512/515-521) raises.
+
+Anything outside that subset (tag-driven old-style JPEG, JBIG, ...)
 raises ValueError so the caller can fall back to the stub — those are
 where GDAL genuinely earns its dependency.
 """
@@ -574,6 +578,30 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
         band1 = np.concatenate(parts, axis=0)
         if int(t.get(262, [0])[0]) == 1:  # BlackIsZero: invert file bits
             band1 = (1 - band1).astype(np.uint8)
+    elif compression == 6:
+        # Old-style JPEG (TIFF 6.0 §22, deprecated since 1995). The form
+        # real-world files carry — and the only one libtiff itself
+        # writes — is a single complete JPEG interchange stream behind
+        # JPEGInterchangeFormat/-Length (tags 513/514), which the
+        # engine's own decoder handles. The fully tag-driven variant
+        # (512 JPEGProc + 515-521 split tables with headerless strip
+        # entropy data) remains GDAL-delegated via ValueError.
+        if 513 not in t:
+            raise ValueError(
+                "old-style JPEG TIFF without JPEGInterchangeFormat "
+                "(tag-driven variant) unsupported"
+            )
+        joff = int(t[513][0])
+        jlen = int(t[514][0]) if 514 in t else len(data) - joff
+        if joff + jlen > len(data) or data[joff : joff + 2] != b"\xff\xd8":
+            raise ValueError("old-style JPEG stream out of range")
+        from ..llm.jpeg import decode_jpeg
+
+        jpeg_rgb = decode_jpeg(data[joff : joff + jlen])
+        if jpeg_rgb.shape[0] < height or jpeg_rgb.shape[1] < width:
+            raise ValueError("old-style JPEG stream smaller than image")
+        jpeg_rgb = jpeg_rgb[:height, :width]
+        band1 = jpeg_rgb[:, :, 0]
     elif compression == 7:
         tables = t.get(347)
         tbytes = bytes(tables) if tables else None
@@ -682,7 +710,7 @@ def decode_tiff(data: bytes, _full: bool = False) -> tuple[np.ndarray, dict]:
     if band1 is None:
         band1 = img[..., 0] if spp > 1 else img
         full = img
-    elif compression == 7:
+    elif compression in (6, 7):
         full = jpeg_rgb  # color survives for the image pipeline
     else:
         full = band1
@@ -1036,8 +1064,8 @@ def decode_tiff_rgb(data: bytes) -> np.ndarray:
     samples raise ValueError (the raster path, not the image path,
     serves scientific dtypes)."""
     img, meta = decode_tiff(data, _full=True)
-    if meta["compression"] == 7:
-        # JPEG strips decode to RGB already (YCbCr handled inside)
+    if meta["compression"] in (6, 7):
+        # JPEG streams decode to RGB already (YCbCr handled inside)
         return np.ascontiguousarray(img)
     if meta["compression"] in (2, 3, 4):
         bits = img.astype(np.uint8)

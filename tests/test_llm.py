@@ -1928,3 +1928,67 @@ def test_advice_r05_malformed_input_contracts():
     corrupt = ok[:scan_mid] + b"\xff\xc4" + ok[scan_mid + 2 :]
     with pytest.raises(ValueError):
         decode_jpeg(corrupt)
+
+
+def test_tiff_old_style_jpeg_compression6():
+    """TIFF compression 6 (old-style JPEG, importer.rb's raster path):
+    the interchange-stream form — tags 513/514 pointing at one complete
+    JPEG stream — decodes through the engine's own JPEG decoder; the
+    tag-driven split-table variant (no tag 513) stays GDAL-delegated via
+    ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cartodb_importer_spark.llm.jpeg import encode_jpeg
+    from cartodb_importer_spark.readers.tiff import decode_tiff, decode_tiff_rgb
+
+    h, w = 24, 32
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [np.full((h, w), 140), 40 + 4 * y, 200 - 3 * x], axis=2
+    ).astype(np.uint8)
+    jpeg = encode_jpeg(rgb)
+
+    def tiff6(tags_extra, payload):
+        # header + one IFD; payload appended right after the IFD
+        tags = [
+            (256, 3, 1, w),
+            (257, 3, 1, h),
+            (258, 3, 1, 8),
+            (259, 3, 1, 6),
+            (277, 3, 1, 3),
+        ] + tags_extra
+        tags.sort()
+        ifd_off = 8
+        payload_off = ifd_off + 2 + 12 * len(tags) + 4
+        out = struct.pack("<2sHI", b"II", 42, ifd_off)
+        out += struct.pack("<H", len(tags))
+        for tag, typ, cnt, val in tags:
+            val = payload_off if val == "PAYLOAD" else val
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        out += struct.pack("<I", 0)
+        assert len(out) == payload_off
+        return out + payload
+
+    data = tiff6(
+        [(513, 4, 1, "PAYLOAD"), (514, 4, 1, len(jpeg))], jpeg
+    )
+    out = decode_tiff_rgb(data)
+    assert out.shape == (h, w, 3)
+    mse = ((out.astype(float) - rgb.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 30.0
+    # channels distinct: color survived, not band-1 gray replication
+    assert out[:, :, 1].std() > 10 and out[:, :, 2].std() > 10
+    band, _ = decode_tiff(data)
+    assert np.array_equal(band, out[:, :, 0])
+
+    # tag-driven variant (no 513): explicit unsupported error
+    with pytest.raises(ValueError, match="JPEGInterchangeFormat"):
+        decode_tiff(tiff6([(512, 3, 1, 1)], jpeg))
+    # out-of-range stream: ValueError, not a crash
+    with pytest.raises(ValueError, match="out of range"):
+        decode_tiff(
+            tiff6([(513, 4, 1, "PAYLOAD"), (514, 4, 1, 10**6)], jpeg)
+        )

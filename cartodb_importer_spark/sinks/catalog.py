@@ -304,6 +304,11 @@ class JdbcCatalog(Catalog):
         },
     }
 
+    #: row ceiling for the executor-backed INSERT fallback (write() below):
+    #: it is a driver-side path for environments with no JDBC driver jar,
+    #: never the 100 TB bulk path, so it refuses large frames outright.
+    EXECUTOR_WRITE_ROW_CAP = 100_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -312,13 +317,23 @@ class JdbcCatalog(Catalog):
         batchsize: int = 10_000,
         num_partitions: int = 8,
         dialect: str = "postgresql",
+        sql_executor=None,
     ):
+        """``sql_executor`` (optional): an object with ``execute(sql)`` and
+        ``query_strings(sql) -> list[str]`` that replaces the JDBC
+        connection for DDL/catalog statements AND routes writes through
+        bounded INSERTs — e.g. ``sinks.pgwire.PgWireExecutor`` when a
+        Postgres server exists but Spark's classpath has no
+        org.postgresql driver jar. The publish protocol (staging write ->
+        atomic rename -> rollback on failure) is byte-identical SQL
+        either way; only the transport differs."""
         self.spark = spark
         self.url = url
         self.dialect = self.DIALECTS[dialect]
         self.properties = {"driver": self.dialect["driver"], **(properties or {})}
         self.batchsize = batchsize
         self.num_partitions = num_partitions
+        self.sql_executor = sql_executor
 
     def _connection(self):
         jvm = self.spark._sc._jvm
@@ -329,6 +344,9 @@ class JdbcCatalog(Catalog):
         return jvm.java.sql.DriverManager.getConnection(self.url, props)
 
     def _execute(self, sql: str):
+        if self.sql_executor is not None:
+            self.sql_executor.execute(sql)
+            return
         conn = self._connection()
         try:
             stmt = conn.createStatement()
@@ -338,6 +356,8 @@ class JdbcCatalog(Catalog):
             conn.close()
 
     def _query_strings(self, sql: str) -> list[str]:
+        if self.sql_executor is not None:
+            return list(self.sql_executor.query_strings(sql))
         conn = self._connection()
         try:
             stmt = conn.createStatement()
@@ -352,7 +372,70 @@ class JdbcCatalog(Catalog):
     def table_names(self) -> list[str]:
         return self._query_strings(self.dialect["list_tables"])
 
+    _PG_TYPES = {
+        "tinyint": "smallint",
+        "smallint": "smallint",
+        "int": "integer",
+        "bigint": "bigint",
+        "float": "real",
+        "double": "double precision",
+        "string": "text",
+        "boolean": "boolean",
+        "date": "date",
+        "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp",
+    }
+
+    @staticmethod
+    def _sql_literal(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def _write_via_executor(self, df: DataFrame, name: str) -> None:
+        """errorifexists-parity CREATE TABLE + batched INSERTs through the
+        pluggable executor. Bounded: refuses frames above
+        EXECUTOR_WRITE_ROW_CAP (limit-probe, not a full count) because
+        this transport is single-connection driver-side by construction."""
+        probe = df.limit(self.EXECUTOR_WRITE_ROW_CAP + 1).collect()
+        if len(probe) > self.EXECUTOR_WRITE_ROW_CAP:
+            raise ValueError(
+                f"executor-backed write refuses > "
+                f"{self.EXECUTOR_WRITE_ROW_CAP} rows; install a JDBC "
+                "driver jar for bulk loads"
+            )
+        cols = []
+        for f in df.schema.fields:
+            simple = f.dataType.simpleString()
+            pg = self._PG_TYPES.get(simple.split("(")[0])
+            if pg is None:
+                if simple.startswith("decimal"):
+                    pg = simple.replace("decimal", "numeric")
+                else:
+                    raise ValueError(
+                        f"no SQL mapping for column {f.name!r}: {simple}"
+                    )
+            cols.append(f'"{f.name}" {pg}')
+        self._execute(f'CREATE TABLE "{name}" ({", ".join(cols)})')
+        colnames = ", ".join(f'"{f.name}"' for f in df.schema.fields)
+        for start in range(0, len(probe), self.batchsize):
+            chunk = probe[start : start + self.batchsize]
+            values = ", ".join(
+                "(" + ", ".join(self._sql_literal(v) for v in row) + ")"
+                for row in chunk
+            )
+            self._execute(
+                f'INSERT INTO "{name}" ({colnames}) VALUES {values}'
+            )
+
     def write(self, df: DataFrame, name: str) -> None:
+        if self.sql_executor is not None:
+            self._write_via_executor(df, name)
+            return
         (
             df.repartition(self.num_partitions)
             .write.option("batchsize", self.batchsize)
@@ -371,6 +454,13 @@ class JdbcCatalog(Catalog):
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.jdbc(self.url, f'"{name}"', properties=self.properties)
+
+    def count(self, spark: SparkSession, name: str) -> int:
+        if self.sql_executor is not None:
+            return int(
+                self._query_strings(f'SELECT count(*) FROM "{name}"')[0]
+            )
+        return super().count(spark, name)
 
     def create_gist_index(self, table: str, geom_col: str = "the_geom") -> None:
         """importer.rb:274,332,382 — spatial index after publish. Only

@@ -452,7 +452,79 @@ class JdbcCatalog(Catalog):
             if "does not exist" not in str(e) and "42Y55" not in str(e):
                 raise
 
+    #: information_schema.data_type -> Spark simple type for the
+    #: executor-backed read path (text wire format parsed driver-side)
+    _PG_TO_SPARK = {
+        "smallint": "smallint",
+        "integer": "int",
+        "bigint": "bigint",
+        "real": "float",
+        "double precision": "double",
+        "text": "string",
+        "character varying": "string",
+        "character": "string",
+        "boolean": "boolean",
+        "date": "date",
+        "timestamp without time zone": "timestamp",
+    }
+
+    def _read_via_executor(self, spark: SparkSession, name: str) -> DataFrame:
+        """Bounded driver-side read for executor mode: schema from
+        information_schema, rows in the text wire format, parsed per
+        type. Same row ceiling and rationale as _write_via_executor."""
+        import datetime
+
+        cols = self._query_strings(
+            "SELECT column_name || '\x1f' || data_type "
+            "FROM information_schema.columns "
+            f"WHERE table_name = '{name}' ORDER BY ordinal_position"
+        )
+        if not cols:
+            raise ValueError(f"table {name!r} does not exist")
+        fields = []
+        parsers = []
+        for c in cols:
+            col, dt = c.split("\x1f", 1)
+            spark_t = self._PG_TO_SPARK.get(dt)
+            if spark_t is None:
+                if dt.startswith("numeric"):
+                    spark_t, parser = "string", str
+                else:
+                    raise ValueError(
+                        f"no Spark mapping for column {col!r}: {dt}"
+                    )
+            if spark_t in ("smallint", "int", "bigint"):
+                parser = int
+            elif spark_t in ("float", "double"):
+                parser = float
+            elif spark_t == "boolean":
+                parser = lambda v: v == "t"  # noqa: E731
+            elif spark_t == "date":
+                parser = datetime.date.fromisoformat
+            elif spark_t == "timestamp":
+                parser = datetime.datetime.fromisoformat
+            else:
+                parser = str
+            fields.append(f"`{col}` {spark_t}")
+            parsers.append(parser)
+        n = int(self._query_strings(f'SELECT count(*) FROM "{name}"')[0])
+        if n > self.EXECUTOR_WRITE_ROW_CAP:
+            raise ValueError(
+                f"executor-backed read refuses {n} rows; install a JDBC "
+                "driver jar for bulk reads"
+            )
+        raw = self.sql_executor.query_rows(f'SELECT * FROM "{name}"')
+        rows = [
+            tuple(
+                None if v is None else p(v) for p, v in zip(parsers, row)
+            )
+            for row in raw
+        ]
+        return spark.createDataFrame(rows, ", ".join(fields))
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.sql_executor is not None:
+            return self._read_via_executor(spark, name)
         return spark.read.jdbc(self.url, f'"{name}"', properties=self.properties)
 
     def count(self, spark: SparkSession, name: str) -> int:

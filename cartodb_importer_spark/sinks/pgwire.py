@@ -181,3 +181,7 @@ class PgWireExecutor:
 
     def query_strings(self, sql: str) -> list[str]:
         return [r[0] for r in self._simple_query(sql) if r and r[0] is not None]
+
+    def query_rows(self, sql: str) -> list[list[str | None]]:
+        """Full result rows in the text wire format (None for NULL)."""
+        return self._simple_query(sql)

@@ -313,3 +313,36 @@ def test_continuous_csv_ingest_into_live_postgres(spark, catalog, tmp_path):
     finally:
         catalog.drop(table)
         catalog.drop(f"{table}__rewrite")
+
+
+def test_export_roundtrip_from_live_postgres(spark, catalog, tmp_path):
+    """O28 against a real server (exporter.rb CSV contract): import a
+    CSV into live Postgres, export the landed table to a zipped CSV,
+    re-import the export, and land the same rows under the collision-
+    suffixed name."""
+    import zipfile
+
+    from cartodb_importer_spark.importer import Exporter, Importer
+
+    path = tmp_path / "towns.csv"
+    path.write_text("town,pop\nIbarra,150000\nLoja,200000\n")
+    try:
+        res = Importer(spark, catalog, str(path)).run()
+        assert res.rows_imported == 2
+        exp = Exporter(
+            spark, catalog, "towns", type="csv", out_dir=str(tmp_path)
+        ).run()
+        assert exp.import_type == ".csv"
+        with zipfile.ZipFile(exp.path) as z:
+            assert any(m.endswith(".csv") for m in z.namelist())
+        res2 = Importer(spark, catalog, exp.path).run()
+        assert res2.rows_imported == 2
+        assert res2.name != "towns"  # collision-suffixed, original kept
+        back = {
+            r["town"]: r["pop"]
+            for r in catalog.read(spark, res2.name).collect()
+        }
+        assert back == {"Ibarra": 150000, "Loja": 200000}
+    finally:
+        catalog.drop("towns")
+        catalog.drop("towns_1")

@@ -185,3 +185,46 @@ class PgWireExecutor:
     def query_rows(self, sql: str) -> list[list[str | None]]:
         """Full result rows in the text wire format (None for NULL)."""
         return self._simple_query(sql)
+
+    # ------------------------------------------------------------- COPY
+
+    @staticmethod
+    def copy_escape(v: str) -> str:
+        """Escape one value for the COPY text format."""
+        return (
+            v.replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+
+    def copy_in(self, sql: str, lines: list[str]) -> None:
+        """COPY ... FROM STDIN with pre-escaped text-format lines
+        (tab-separated columns, ``\\N`` for NULL, no trailing newline per
+        line) — the protocol the reference's loader (ogr2ogr -> COPY)
+        actually used, and ~10x the throughput of batched INSERTs on
+        this transport."""
+        sock = self._connect()
+        try:
+            self._send(sock, b"Q", sql.encode() + b"\x00")
+            error: dict[str, str] | None = None
+            sent = False
+            while True:
+                mtype, body = self._read_message(sock)
+                if mtype == b"G":  # CopyInResponse
+                    payload = ("".join(f"{ln}\n" for ln in lines)).encode()
+                    self._send(sock, b"d", payload)
+                    self._send(sock, b"c", b"")  # CopyDone
+                    sent = True
+                elif mtype == b"E":
+                    error = self._error_fields(body)
+                    if not sent:
+                        # server aborted before CopyIn began; it still
+                        # sends ReadyForQuery next
+                        sent = True
+                elif mtype == b"Z":
+                    if error is not None:
+                        raise PgError(error)
+                    return
+        finally:
+            sock.close()

@@ -346,3 +346,22 @@ def test_export_roundtrip_from_live_postgres(spark, catalog, tmp_path):
     finally:
         catalog.drop("towns")
         catalog.drop("towns_1")
+
+
+def test_copy_write_escapes_control_characters(spark, catalog):
+    """Writes go through COPY FROM STDIN (the reference's ogr2ogr
+    loading protocol); tabs, newlines, backslashes, and NULLs in cell
+    values must survive the text-format escaping."""
+    name = f"copy_{uuid.uuid4().hex[:8]}"
+    tricky = "a\tb\nc\\d"
+    df = spark.createDataFrame(
+        [(1, tricky), (2, None), (3, "\\N")], "id int, note string"
+    )
+    try:
+        catalog.write(df, name)
+        back = {r["id"]: r["note"] for r in catalog.read(spark, name).collect()}
+        assert back[1] == tricky
+        assert back[2] is None
+        assert back[3] == "\\N"  # the literal two characters, not NULL
+    finally:
+        catalog.drop(name)

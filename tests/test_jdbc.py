@@ -205,3 +205,26 @@ def test_versioned_publish_failure_leaves_live_intact(spark, tmp_path):
         cat.write = orig_write
     assert [r.id for r in cat.read(spark, "t").collect()] == [1]
     assert cat.versions("t") == []
+
+
+def test_pgwire_text_format_helpers():
+    """Server-free unit checks of the wire/text-format helpers backing
+    the live-Postgres suite (which is env-gated on server binaries)."""
+    from cartodb_importer_spark.sinks.catalog import JdbcCatalog
+    from cartodb_importer_spark.sinks.pgwire import PgError, PgWireExecutor
+
+    esc = PgWireExecutor.copy_escape
+    assert esc("a\tb\nc\\d\r") == "a\\tb\\nc\\\\d\\r"
+    assert esc("plain") == "plain"
+
+    lit = JdbcCatalog._sql_literal
+    assert lit(None) == "NULL"
+    assert lit(True) == "TRUE" and lit(False) == "FALSE"
+    assert lit(3) == "3" and lit(2.5) == "2.5"
+    assert lit("it's") == "'it''s'"
+
+    fields = PgWireExecutor._error_fields(
+        b"SERROR\x00C42P07\x00Mrelation exists\x00\x00"
+    )
+    err = PgError(fields)
+    assert err.code == "42P07" and "relation exists" in str(err)

@@ -530,6 +530,45 @@ def dedup_components(
     return df.join(drop, on=id_col, how="anti")
 
 
+def dedup_components_keep_best(
+    df: DataFrame,
+    score_col: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Quality-aware cluster dedup: same near-dup components as
+    :func:`dedup_components`, but each component keeps its HIGHEST-
+    ``score_col`` member (ties broken by min id) instead of the min id.
+
+    This is how production corpus dedup actually picks survivors (keep the
+    longest / highest-quality copy of a boilerplate cluster, not an
+    arbitrary one). Cost over dedup_components: one extra join of the
+    component frame against the per-doc scores plus a per-component
+    window — both keyed shuffles on data already bounded by the number of
+    CLUSTERED docs (typically a few percent of the corpus), so the added
+    work does not scale with corpus size."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
+    scored = jaccard_pairs(df, cand, text_col, id_col, n)
+    edges = scored.filter(F.col("jaccard") >= threshold)
+    comps = connected_components(edges)
+    member = comps.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__s").desc(), F.col("id").asc()
+    )
+    drop = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, on=id_col, how="anti")
+
+
 def minhash_signature_fast(
     df: DataFrame,
     text_col: str = "text",

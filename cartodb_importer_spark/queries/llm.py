@@ -1406,7 +1406,13 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (w1, w2)/(w1); the vocab size is a 1-row broadcast. Word-frequency
     skew is the watch item — the same head-word mass TF-IDF already
     handles (docstring there)."""
-    t = Tables(spark, sf_dir)
+    return _bigram_lm_frame(Tables(spark, sf_dir))
+
+
+def _bigram_lm_frame(t: Tables) -> DataFrame:
+    """(doc_id, lm_score, n_bigrams) per document — the add-one-smoothed
+    corpus bigram LM shared by llm_bigram_lm_score and
+    llm_perplexity_bucket."""
     d = t.documents.select("doc_id", T.words(F.col("text")).alias("ws"))
     n1 = F.size("ws") - 1
     bg = (
@@ -3025,4 +3031,231 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semdedup_flags(assigned, threshold=0.25).select(
         "vec_id", "cluster", "is_dup"
+    )
+
+
+# --------------------------------------------- r06: curation additions
+# Quality-aware survivor selection, CCNet-style perplexity bucketing, and
+# token-entropy gibberish scoring — the three corpus-curation steps the
+# registry still lacked (everything else in the CCNet/Gopher/C4 recipe
+# already has an entry above).
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                       / len(list_distinct(list_concat(sa.s, sb.s)))
+                  ELSE 0.0 END AS j
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM scored WHERE j >= 0.8
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM scored WHERE j >= 0.8
+    ), reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), qbase AS (
+      SELECT doc_id, text, {_DUCK_WORDS.format(col="text")} AS ws2,
+             {_DUCK_TOKEN_COUNT.format(col="text")} AS n_tok
+      FROM documents
+    ), qparts AS (
+      SELECT doc_id,
+             least(n_tok / 50.0, 1.0) AS len_score,
+             1 - least(CASE WHEN length(text) > 0
+                       THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+                       ELSE 0.0 END * 5, 1.0) AS punct_score,
+             least(CASE WHEN len(ws2) > 0
+                   THEN len(list_filter(ws2, w -> list_contains(['the','and','of','is','to'], w))) * 1.0 / len(ws2)
+                   ELSE 0.0 END * 10, 1.0) AS stop_score
+      FROM qbase
+    ), q AS (
+      SELECT doc_id,
+             round((len_score + punct_score + stop_score) / 3, 4) AS quality
+      FROM qparts
+    ), ranked AS (
+      SELECT comp.id AS id, row_number() OVER (
+               PARTITION BY comp.component
+               ORDER BY q.quality DESC, comp.id ASC) AS rn
+      FROM comp JOIN q ON q.doc_id = comp.id
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup: the near-dup components of
+    llm_dedup_clusters, but each cluster keeps its highest-quality member
+    (llm_quality_score heuristic; ties -> min doc_id) instead of the min
+    id — the survivor rule real corpus pipelines use (keep the cleanest
+    copy of a boilerplate cluster, not an arbitrary one).
+
+    Oracle: the recursive-CTE component closure of llm_dedup_clusters plus
+    a per-component ``row_number() OVER (ORDER BY quality DESC, id)``
+    argmax — so the survivor CHOICE (not just the count) is value-checked
+    cross-engine. The quality tie-break is exact: both engines rank the
+    4-decimal-rounded score."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.withColumn("__q", T.quality_score(F.col("text")))
+    return D.dedup_components_keep_best(
+        docs, "__q", threshold=0.8, bands=_P_BANDS, n=2
+    ).select("doc_id", "lang")
+
+
+@query(
+    "llm_perplexity_bucket",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+      FROM ws, unnest(list_transform(w[1:len(w)-1],
+                      (x, i) -> {{'w1': x, 'w2': w[i+1]}})) AS t(u)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM bg GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT t.tok) AS vocab
+      FROM ws, unnest(w) AS t(tok)
+    ), lm AS (
+      SELECT bg.doc_id,
+             floor(avg(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab))) * 1e4 + 0.5) / 1e4
+               AS lm
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY 1
+    ), cut AS (
+      SELECT quantile_cont(lm, CAST(2 AS DOUBLE) / 3) AS c_head,
+             quantile_cont(lm, CAST(1 AS DOUBLE) / 3) AS c_mid
+      FROM lm
+    )
+    SELECT doc_id,
+           round(exp(-lm), 4) AS perplexity,
+           CASE WHEN lm >= c_head THEN 'head'
+                WHEN lm >= c_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lm CROSS JOIN cut
+    """,
+)
+def llm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per-doc perplexity from the
+    corpus-trained add-one bigram LM (exp of the negated
+    llm_bigram_lm_score), split head/middle/tail at the exact lm-score
+    tertiles. Head = lowest perplexity = the slice CCNet keeps.
+
+    Scale shape: the cutoffs are ONE exact-percentile aggregate broadcast
+    back over the scores — no global sort, no single-partition ntile
+    window (the classic trap for corpus-wide ranking). At 100 TB the same
+    two-phase shape holds; CCNet itself uses fixed cutoffs from a sample,
+    which this degrades to by swapping the agg input for a sampled frame.
+
+    Cross-engine determinism: both engines interpolate the same R-7
+    quantile on identical 4-decimal-rounded doubles; interpolated cutoffs
+    either equal a data value exactly (frac 0 / equal neighbors) or fall
+    strictly between two distinct score values, so the >= bucket
+    comparisons cannot diverge."""
+    t = Tables(spark, sf_dir)
+    lm = _bigram_lm_frame(t).select("doc_id", F.col("lm_score").alias("lm"))
+    cut = lm.agg(
+        F.percentile("lm", F.lit(2 / 3)).alias("c_head"),
+        F.percentile("lm", F.lit(1 / 3)).alias("c_mid"),
+    )
+    return lm.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        F.round(F.exp(-F.col("lm")), 4).alias("perplexity"),
+        F.when(F.col("lm") >= F.col("c_head"), F.lit("head"))
+        .when(F.col("lm") >= F.col("c_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@query(
+    "llm_token_entropy",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), cs AS (
+      SELECT doc_id, len(w) AS n,
+             list_sort(list_transform(list_distinct(w),
+                       x -> len(list_filter(w, t -> t = x)))) AS c
+      FROM ws
+    ), h AS (
+      SELECT doc_id, n, len(c) AS k,
+             CASE WHEN n > 0 THEN
+               ln(n) - list_reduce(list_transform(c, x -> x * ln(x)),
+                                   (a, b) -> a + b) / n
+             ELSE 0.0 END AS ent
+      FROM cs
+    )
+    SELECT doc_id,
+           round(ent, 4) + 0.0 AS token_entropy,
+           round(CASE WHEN k > 1 THEN ent / ln(k) ELSE 0.0 END, 4) + 0.0
+             AS norm_entropy
+    FROM h
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (and its ln(k)-
+    normalized [0,1] form) — the gibberish/repetitiveness filter:
+    keyboard-mash and boilerplate score low, natural prose high.
+
+    Shuffle-free: counts come from array ops on the in-row token array
+    (O(distinct x n_tokens) per doc — right for web-doc sizes; for
+    book-length docs swap in the explode + two-groupBy form and keep the
+    sorted fold below). Cross-engine float discipline: the entropy sum
+    folds over the SORTED count list with a left fold in both engines
+    (F.aggregate / list_reduce), so the double additions happen in an
+    identical order — unordered SUM() would let last-ulp reassociation
+    flip a 4-decimal rounding. The trailing ``+ 0.0`` normalizes IEEE
+    -0.0 (an all-identical-token doc computes ln(n) - n*ln(n)/n, which
+    can land at minus zero) to +0.0 in both engines' byte-level hash."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", T.words(F.col("text")).alias("ws"))
+    counts = F.array_sort(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda x: F.size(F.filter(F.col("ws"), lambda w: w == x)),
+        )
+    )
+    d2 = d.select("doc_id", F.size("ws").alias("n"), counts.alias("cs"))
+    s = F.aggregate(
+        "cs",
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    h = F.when(
+        F.col("n") > 0, F.log(F.col("n").cast("double")) - s / F.col("n")
+    ).otherwise(F.lit(0.0))
+    return d2.select(
+        "doc_id",
+        (F.round(h, 4) + F.lit(0.0)).alias("token_entropy"),
+        (
+            F.round(
+                F.when(
+                    F.size("cs") > 1,
+                    h / F.log(F.size("cs").cast("double")),
+                ).otherwise(F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("norm_entropy"),
     )

@@ -134,6 +134,83 @@ def test_dedup_components_keeps_one_per_cluster(spark):
     assert ids == [1, 9]  # one survivor per transitive cluster
 
 
+def test_dedup_keep_best_picks_highest_score(spark):
+    # same chain cluster {1,2,3} as above, but survivor = best score (doc
+    # 3), NOT the min id — plus the score column must not leak into output
+    chain = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", 0.2),
+        (2, "alpha beta gamma delta epsilon zeta eta iota", 0.5),
+        (3, "alpha beta gamma delta epsilon zeta mu iota", 0.9),
+        (9, "completely different words entirely unrelated content here", 0.1),
+    ]
+    df = spark.createDataFrame(chain, "doc_id long, text string, q double")
+    out = D.dedup_components_keep_best(df, "q", threshold=0.4, bands=8, n=2)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [3, 9]
+
+
+def test_dedup_keep_best_tie_breaks_min_id(spark):
+    pair = [
+        (5, "alpha beta gamma delta epsilon zeta eta theta", 0.7),
+        (6, "alpha beta gamma delta epsilon zeta eta theta", 0.7),
+    ]
+    df = spark.createDataFrame(pair, "doc_id long, text string, q double")
+    out = D.dedup_components_keep_best(df, "q", threshold=0.4, bands=8, n=2)
+    assert [r["doc_id"] for r in out.collect()] == [5]
+
+
+def test_token_entropy_values(spark):
+    import math
+
+    # uniform 4 distinct tokens -> H = ln 4; constant doc -> 0; empty -> 0
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "x x x x"), (2, "")],
+        "doc_id long, text string",
+    )
+    from cartodb_importer_spark.llm import textstats as T
+
+    counts = F.array_sort(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda x: F.size(F.filter(F.col("ws"), lambda w: w == x)),
+        )
+    )
+    d = docs.select(
+        "doc_id", T.words(F.col("text")).alias("ws")
+    ).select("doc_id", F.size("ws").alias("n"), counts.alias("cs"))
+    s = F.aggregate(
+        "cs",
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    h = F.when(
+        F.col("n") > 0, F.log(F.col("n").cast("double")) - s / F.col("n")
+    ).otherwise(F.lit(0.0))
+    rows = {
+        r["doc_id"]: r["h"]
+        for r in d.select("doc_id", F.round(h, 4).alias("h")).collect()
+    }
+    assert rows[0] == round(math.log(4), 4)
+    assert rows[1] == 0.0
+    assert rows[2] == 0.0
+
+
+def test_perplexity_bucket_partitions_corpus(spark):
+    from cartodb_importer_spark.queries.llm import llm_perplexity_bucket
+
+    out = llm_perplexity_bucket(spark, "/root/testdata/sf0.001").collect()
+    buckets = {r["bucket"] for r in out}
+    assert buckets == {"head", "middle", "tail"}
+    # every scored doc appears exactly once and perplexity is positive
+    assert len({r["doc_id"] for r in out}) == len(out)
+    assert all(r["perplexity"] > 0 for r in out)
+    # head docs have the LOWEST perplexity of the three buckets
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["perplexity"])
+    assert max(by_bucket["head"]) <= min(by_bucket["tail"])
+
+
 def test_lsh_hyperplane_topk(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]

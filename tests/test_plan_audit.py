@@ -40,6 +40,7 @@ ALLOWED_NLJ = {
     "agg_tdigest_quantiles",   # 4-row quantile list + 1-row N broadcasts
     "events_diff_in_diff",     # 1-row time-cutoff scalar broadcast
     "llm_semantic_dedup",      # 8-row fixed-centroid broadcast
+    "llm_perplexity_bucket",   # 1-row tertile-cutoff broadcast
 }
 
 SF = "/root/testdata/sf0.001"

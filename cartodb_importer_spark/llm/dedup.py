@@ -143,6 +143,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     n: int = 3,
     max_bucket: int = 1000,
+    right_min_id: int | None = None,
 ) -> DataFrame:
     """LSH banding: documents sharing ANY band value become a candidate
     pair. The self-join is per (band, value) bucket — the only rows that
@@ -156,7 +157,16 @@ def minhash_candidate_pairs(
     size yet still connects the whole bucket for the connected-components
     cluster pass. Recall tradeoff (documented, deliberate): in an
     oversized bucket, two docs similar to each other but NOT to the
-    representative won't form a direct candidate pair."""
+    representative won't form a direct candidate pair.
+
+    ``right_min_id`` is the incremental-dedup hook: with it set, only
+    pairs whose HIGHER id is >= right_min_id emerge — i.e. pairs that
+    involve at least one "new batch" document (ids at or above the
+    cutoff). Bucket membership is still computed over the whole corpus
+    (an old doc must be joinable as the pair's lower side), but the
+    old x old quadratic work inside every bucket is skipped entirely —
+    at 100 TB this is what makes per-snapshot dedup cost proportional
+    to the BATCH, not the corpus."""
     sig = minhash_signature(df, text_col, id_col, bands, n)
     stacked = sig.select(
         F.col(id_col),
@@ -196,7 +206,10 @@ def minhash_candidate_pairs(
         id_col, "band", "val"
     )
     left = small.alias("a")
-    right = small.alias("b")
+    right = (
+        small if right_min_id is None
+        else small.filter(F.col(id_col) >= right_min_id)
+    ).alias("b")
     pairs_small = left.join(
         right,
         (F.col("a.band") == F.col("b.band"))
@@ -205,9 +218,14 @@ def minhash_candidate_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
-    pairs_big = annotated.filter(
+    big = annotated.filter(
         (F.col("__bn") > max_bucket) & (F.col(id_col) != F.col("__rep"))
-    ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    if right_min_id is not None:
+        big = big.filter(F.col(id_col) >= right_min_id)
+    pairs_big = big.select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
     return pairs_small.unionByName(pairs_big).distinct()
 
 
@@ -369,6 +387,62 @@ def near_dedup_minhash(
         .distinct()
     )
     return df.join(to_drop, on=id_col, how="anti")
+
+
+def incremental_near_dedup(
+    df: DataFrame,
+    cutoff: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Snapshot-ingestion near-dedup: docs with id >= ``cutoff`` are the
+    NEW batch; return the batch members that survive dedup against BOTH
+    the existing corpus (ids below the cutoff, never themselves dropped)
+    and earlier-id batch members. Same LSH band -> size-ratio bound ->
+    exact-Jaccard verify chain as :func:`near_dedup_minhash`, but
+    candidate generation skips every old x old pair
+    (``right_min_id`` in minhash_candidate_pairs), so per-snapshot cost
+    scales with the batch, not the corpus — the shape that lets a 100 TB
+    corpus absorb daily drops without weekly full re-dedups. (At real
+    scale the corpus-side signatures/shingles would be read from a
+    persisted table instead of recomputed; the plan shape is
+    identical.)"""
+    cand = minhash_candidate_pairs(
+        df, text_col, id_col, bands, n, right_min_id=cutoff
+    )
+    sh = _hashed_shingle_frame(df, text_col, id_col, n, hashed=True)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("ns"))
+    bounded = (
+        cand.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("ns").alias("ns_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("ns").alias("ns_b")
+            ),
+            "id_b",
+        )
+        .filter(
+            F.least("ns_a", "ns_b")
+            >= F.greatest("ns_a", "ns_b") * (threshold - 5e-5) - 1e-9
+        )
+        .select("id_a", "id_b")
+    )
+    scored = jaccard_pairs(df, bounded, text_col, id_col, n, sh=sh)
+    to_drop = (
+        scored.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.filter(F.col(id_col) >= cutoff).join(
+        to_drop, on=id_col, how="anti"
+    )
 
 
 def simhash16(col: Column) -> Column:

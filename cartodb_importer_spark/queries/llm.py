@@ -3259,3 +3259,53 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("norm_entropy"),
     )
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), cut AS (
+      SELECT (4 * max(doc_id)) // 5 AS c FROM documents
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+      WHERE b.doc_id >= (SELECT c FROM cut)
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                       / len(list_distinct(list_concat(sa.s, sb.s)))
+                  ELSE 0.0 END AS j
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id >= (SELECT c FROM cut)
+      AND doc_id NOT IN (SELECT id_b FROM scored WHERE j >= 0.8)
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-ingestion) near-dedup: the top-fifth id range
+    plays the NEW batch; survivors are batch docs with no >=0.8-Jaccard
+    match against the existing corpus or an earlier batch member. The
+    point vs llm_near_dedup: candidate generation NEVER forms an
+    old x old pair, so per-snapshot cost follows the batch size — the
+    ingestion pattern a continuously-growing corpus needs at 100 TB.
+
+    The 1-row max-id aggregate fixing the cutoff is a bounded driver
+    collect (the batch boundary is an input in production, not
+    computed)."""
+    t = Tables(spark, sf_dir)
+    mx = t.documents.agg(F.max("doc_id")).first()[0]
+    cutoff = (4 * mx) // 5
+    return D.incremental_near_dedup(
+        t.documents, cutoff, threshold=0.8, bands=_P_BANDS, n=2
+    ).select("doc_id", "lang")

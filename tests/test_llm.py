@@ -159,6 +159,40 @@ def test_dedup_keep_best_tie_breaks_min_id(spark):
     assert [r["doc_id"] for r in out.collect()] == [5]
 
 
+def test_incremental_near_dedup_batch_vs_corpus(spark):
+    # corpus = {1, 2}; batch = {10 (dup of 1), 11 (dup of 10), 12 (fresh)}
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),
+        (12, "totally novel material unseen anywhere in the corpus text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.incremental_near_dedup(df, cutoff=10, threshold=0.8, bands=8, n=2)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 10 falls to corpus doc 1; 11 falls to 1 (and 10); 12 survives;
+    # corpus docs 1/2 are not in the output at all (never re-emitted)
+    assert ids == [12]
+
+
+def test_candidate_pairs_right_min_id_skips_old_pairs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (10, "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(
+            df, bands=8, n=2, right_min_id=10
+        ).collect()
+    }
+    # (1,2) is old x old — must NOT be generated; both old->new pairs are
+    assert pairs == {(1, 10), (2, 10)}
+
+
 def test_token_entropy_values(spark):
     import math
 

@@ -176,6 +176,28 @@ def test_incremental_near_dedup_batch_vs_corpus(spark):
     assert ids == [12]
 
 
+def test_incremental_equals_full_dedup_on_the_batch(spark):
+    # a batch doc is dropped iff SOME lower-id doc (old or batch) is a
+    # >=threshold match — exactly full near-dedup's rule restricted to
+    # the batch — so incremental survivors == batch slice of the full run
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cutoff = (4 * df.agg(F.max("doc_id")).first()[0]) // 5
+    inc = {
+        r["doc_id"]
+        for r in D.incremental_near_dedup(
+            df, cutoff, threshold=0.8, bands=4, n=2
+        ).collect()
+    }
+    full = {
+        r["doc_id"]
+        for r in D.near_dedup_minhash(
+            df, threshold=0.8, bands=4, n=2
+        ).collect()
+        if r["doc_id"] >= cutoff
+    }
+    assert inc == full
+
+
 def test_candidate_pairs_right_min_id_skips_old_pairs(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -70,7 +71,7 @@ def main() -> None:
     # are emitted alongside so a reader can separate a real plan
     # regression (min moved) from machine noise (min stable, max wild).
     # First-run times are recorded separately in "cold_queries".
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     maxes: dict[str, float] = {}
@@ -87,7 +88,7 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
         runs.sort()
         timings[name] = round(runs[0], 3)
-        medians[name] = round(runs[len(runs) // 2], 3)
+        medians[name] = round(statistics.median(runs), 3)
         maxes[name] = round(runs[-1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -357,6 +357,24 @@ def near_dedup_minhash(
     pass + shuffle join ahead of the bucket window — so the bound stays
     on the pair list."""
     cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
+    to_drop = _verified_drop_ids(df, cand, threshold, text_col, id_col, n)
+    return df.join(to_drop, on=id_col, how="anti")
+
+
+def _verified_drop_ids(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Shared verify stage of the pairwise near-dedup pipelines: size-ratio
+    bound -> exact Jaccard -> distinct higher-id members of >= threshold
+    pairs. ONE home for the 5e-5 + 1e-9 rounding margin (the drop decision
+    compares the 4-decimal HALF_UP-rounded jaccard — see
+    near_dedup_minhash's docstring), so a threshold-semantics change can't
+    silently diverge between the batch and incremental variants."""
     sh = _hashed_shingle_frame(df, text_col, id_col, n, hashed=True)
     # shingles() is already distinct, so the set size is the array size;
     # sizes read from the SAME persisted frame the verify join uses.
@@ -381,12 +399,11 @@ def near_dedup_minhash(
         .select("id_a", "id_b")
     )
     scored = jaccard_pairs(df, bounded, text_col, id_col, n, sh=sh)
-    to_drop = (
+    return (
         scored.filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return df.join(to_drop, on=id_col, how="anti")
 
 
 def incremental_near_dedup(
@@ -413,33 +430,7 @@ def incremental_near_dedup(
     cand = minhash_candidate_pairs(
         df, text_col, id_col, bands, n, right_min_id=cutoff
     )
-    sh = _hashed_shingle_frame(df, text_col, id_col, n, hashed=True)
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("ns"))
-    bounded = (
-        cand.join(
-            sizes.select(
-                F.col(id_col).alias("id_a"), F.col("ns").alias("ns_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sizes.select(
-                F.col(id_col).alias("id_b"), F.col("ns").alias("ns_b")
-            ),
-            "id_b",
-        )
-        .filter(
-            F.least("ns_a", "ns_b")
-            >= F.greatest("ns_a", "ns_b") * (threshold - 5e-5) - 1e-9
-        )
-        .select("id_a", "id_b")
-    )
-    scored = jaccard_pairs(df, bounded, text_col, id_col, n, sh=sh)
-    to_drop = (
-        scored.filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    to_drop = _verified_drop_ids(df, cand, threshold, text_col, id_col, n)
     return df.filter(F.col(id_col) >= cutoff).join(
         to_drop, on=id_col, how="anti"
     )
@@ -594,14 +585,28 @@ def dedup_components(
     id). Pairwise dropping (near_dedup_minhash) can over-delete on chains
     (a~b, b~c but a!~c drops both b and c); component dedup keeps one
     representative per transitive cluster."""
-    cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
-    scored = jaccard_pairs(df, cand, text_col, id_col, n)
-    edges = scored.filter(F.col("jaccard") >= threshold)
-    comps = connected_components(edges)
+    comps = _near_dup_components(df, threshold, text_col, id_col, bands, n)
     drop = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
     return df.join(drop, on=id_col, how="anti")
+
+
+def _near_dup_components(
+    df: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    bands: int,
+    n: int,
+) -> DataFrame:
+    """Shared candidate -> Jaccard-edge -> connected-components stage of
+    the cluster-aware dedup variants (min-id and keep-best survivor
+    rules differ only in what they do with the components)."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
+    scored = jaccard_pairs(df, cand, text_col, id_col, n)
+    edges = scored.filter(F.col("jaccard") >= threshold)
+    return connected_components(edges)
 
 
 def dedup_components_keep_best(
@@ -624,10 +629,7 @@ def dedup_components_keep_best(
     window — both keyed shuffles on data already bounded by the number of
     CLUSTERED docs (typically a few percent of the corpus), so the added
     work does not scale with corpus size."""
-    cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
-    scored = jaccard_pairs(df, cand, text_col, id_col, n)
-    edges = scored.filter(F.col("jaccard") >= threshold)
-    comps = connected_components(edges)
+    comps = _near_dup_components(df, threshold, text_col, id_col, bands, n)
     member = comps.join(
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
         "id",

@@ -83,6 +83,13 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
+                elif nxt == 0xFF:
+                    # T.81 B.1.1.2: any number of 0xFF fill bytes may
+                    # precede a marker (hardware encoders pad before
+                    # RSTn/EOI). Consume one and re-examine — the last
+                    # FF of the run pairs with the real marker byte.
+                    self.pos += 1
+                    continue
                 else:
                     if self.strict and not (
                         0xD0 <= nxt <= 0xD7 or nxt == 0xD9

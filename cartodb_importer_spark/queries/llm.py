@@ -190,6 +190,67 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_TOKEN_COUNT = "len(regexp_extract_all(lower({col}), '[a-z0-9]+'))"
 
 
+def _duck_quality_ctes(
+    base: str = "qbase", parts: str = "qparts", ws: str = "ws2"
+) -> str:
+    """CTE chain computing the llm_quality_score heuristic per doc_id:
+    ``{parts}`` exposes len_score/punct_score/stop_score; callers SELECT
+    ``round((len_score + punct_score + stop_score) / 3, 4)``. ONE home
+    for the quality heuristic so the llm_quality_score and
+    llm_dedup_keep_best oracles cannot silently diverge."""
+    return f"""{base} AS (
+      SELECT doc_id, text, {_DUCK_WORDS.format(col="text")} AS {ws},
+             {_DUCK_TOKEN_COUNT.format(col="text")} AS n_tok
+      FROM documents
+    ), {parts} AS (
+      SELECT doc_id,
+             least(n_tok / 50.0, 1.0) AS len_score,
+             1 - least(CASE WHEN length(text) > 0
+                       THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+                       ELSE 0.0 END * 5, 1.0) AS punct_score,
+             least(CASE WHEN len({ws}) > 0
+                   THEN len(list_filter({ws}, w -> list_contains(['the','and','of','is','to'], w))) * 1.0 / len({ws})
+                   ELSE 0.0 END * 10, 1.0) AS stop_score
+      FROM {base}
+    )"""
+
+
+#: shared band -> candidate-pair -> Jaccard-edge -> recursive-closure CTE
+#: chain of the component-dedup oracles (llm_dedup_clusters and
+#: llm_dedup_keep_best differ only in the survivor rule applied to
+#: ``comp``). Must follow a WITH RECURSIVE keyword.
+_COMPONENT_CLOSURE_CTES = f"""ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                       / len(list_distinct(list_concat(sa.s, sb.s)))
+                  ELSE 0.0 END AS j
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM scored WHERE j >= 0.8
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM scored WHERE j >= 0.8
+    ), reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    )"""
+
+
 @query(
     "llm_text_stats",
     oracle=f"""
@@ -433,21 +494,7 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_quality_score",
     oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text, {_DUCK_WORDS.format(col="text")} AS ws,
-             {_DUCK_TOKEN_COUNT.format(col="text")} AS n_tok
-      FROM documents
-    ), parts AS (
-      SELECT doc_id,
-             least(n_tok / 50.0, 1.0) AS len_score,
-             1 - least(CASE WHEN length(text) > 0
-                       THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
-                       ELSE 0.0 END * 5, 1.0) AS punct_score,
-             least(CASE WHEN len(ws) > 0
-                   THEN len(list_filter(ws, w -> list_contains(['the','and','of','is','to'], w))) * 1.0 / len(ws)
-                   ELSE 0.0 END * 10, 1.0) AS stop_score
-      FROM base
-    )
+    WITH {_duck_quality_ctes(base="base", parts="parts", ws="ws")}
     SELECT doc_id,
            round((len_score + punct_score + stop_score) / 3, 4) AS quality
     FROM parts
@@ -607,36 +654,7 @@ def llm_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE ws AS (
-      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
-    ), sh AS (
-      SELECT doc_id, {_jc_sh} AS s FROM ws
-    ), stacked AS (
-{_pair_stack}
-    ), pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM stacked a JOIN stacked b
-        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-    ), scored AS (
-      SELECT p.id_a, p.id_b,
-             CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
-                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
-                       / len(list_distinct(list_concat(sa.s, sb.s)))
-                  ELSE 0.0 END AS j
-      FROM pairs p
-      JOIN sh sa ON sa.doc_id = p.id_a
-      JOIN sh sb ON sb.doc_id = p.id_b
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM scored WHERE j >= 0.8
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM scored WHERE j >= 0.8
-    ), reach(id, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
-    ), comp AS (
-      SELECT id, min(r) AS component FROM reach GROUP BY id
-    )
+    WITH RECURSIVE {_COMPONENT_CLOSURE_CTES}
     SELECT doc_id, lang FROM documents
     WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
     """,
@@ -3044,50 +3062,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_keep_best",
     oracle=f"""
-    WITH RECURSIVE ws AS (
-      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
-    ), sh AS (
-      SELECT doc_id, {_jc_sh} AS s FROM ws
-    ), stacked AS (
-{_pair_stack}
-    ), pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM stacked a JOIN stacked b
-        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-    ), scored AS (
-      SELECT p.id_a, p.id_b,
-             CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
-                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
-                       / len(list_distinct(list_concat(sa.s, sb.s)))
-                  ELSE 0.0 END AS j
-      FROM pairs p
-      JOIN sh sa ON sa.doc_id = p.id_a
-      JOIN sh sb ON sb.doc_id = p.id_b
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM scored WHERE j >= 0.8
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM scored WHERE j >= 0.8
-    ), reach(id, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
-    ), comp AS (
-      SELECT id, min(r) AS component FROM reach GROUP BY id
-    ), qbase AS (
-      SELECT doc_id, text, {_DUCK_WORDS.format(col="text")} AS ws2,
-             {_DUCK_TOKEN_COUNT.format(col="text")} AS n_tok
-      FROM documents
-    ), qparts AS (
-      SELECT doc_id,
-             least(n_tok / 50.0, 1.0) AS len_score,
-             1 - least(CASE WHEN length(text) > 0
-                       THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
-                       ELSE 0.0 END * 5, 1.0) AS punct_score,
-             least(CASE WHEN len(ws2) > 0
-                   THEN len(list_filter(ws2, w -> list_contains(['the','and','of','is','to'], w))) * 1.0 / len(ws2)
-                   ELSE 0.0 END * 10, 1.0) AS stop_score
-      FROM qbase
-    ), q AS (
+    WITH RECURSIVE {_COMPONENT_CLOSURE_CTES}, {_duck_quality_ctes()}, q AS (
       SELECT doc_id,
              round((len_score + punct_score + stop_score) / 3, 4) AS quality
       FROM qparts

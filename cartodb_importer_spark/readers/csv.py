@@ -23,6 +23,20 @@ from ..infer import (
 )
 
 
+def _self_cleaning_tmpdir(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit. Staged copies
+    must outlive the LAZY Spark read that points at them, so the earliest
+    safe deletion is process end — but without registration every
+    re-encoded/BOM-stripped copy stayed in /tmp forever."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -73,12 +87,18 @@ def read_csv(
     )
     with open(path, "rb") as f:
         head = f.read(1 << 16)
-    cr_only = b"\r" in head and b"\n" not in head
+    # classic-Mac detection by COUNTING, not presence: a quoted field with
+    # an embedded 0x0A (or any stray LF byte) must not mask a CR-only
+    # file, and a CRLF/LF file with a CR inside a quoted field must not
+    # trigger staging. Lone-CR terminators strictly outnumbering bare-LF
+    # bytes is the signature of a CR-only file.
+    crlf = head.count(b"\r\n")
+    lone_cr = head.count(b"\r") - crlf
+    bare_lf = head.count(b"\n") - crlf
+    cr_only = lone_cr > bare_lf
     if (norm not in spark_charsets and encoding != "utf-8-sig") or cr_only:
-        import tempfile
-
         if workdir is None:
-            workdir = tempfile.mkdtemp(prefix="cartodb_csv_utf8_")
+            workdir = _self_cleaning_tmpdir("cartodb_csv_utf8_")
         target = os.path.join(workdir, os.path.basename(path) + ".utf8.csv")
         with open(path, encoding=encoding, errors="replace") as src, open(
             target, "w", encoding="utf-8", newline="\n"
@@ -172,10 +192,9 @@ def read_csv(
                 # stream-copy (never a whole-file driver read) into the
                 # import workdir so normal workdir cleanup removes it
                 import shutil
-                import tempfile
 
                 if workdir is None:
-                    workdir = tempfile.mkdtemp(prefix="cartodb_csv_nobom_")
+                    workdir = _self_cleaning_tmpdir("cartodb_csv_nobom_")
                 target = os.path.join(
                     workdir, os.path.basename(path) + ".nobom.csv"
                 )

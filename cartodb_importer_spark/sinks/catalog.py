@@ -392,7 +392,17 @@ class JdbcCatalog(Catalog):
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # repr() of non-finite floats is a bare identifier
+            # ('nan'/'inf') — Postgres needs the quoted spellings.
+            if v != v:
+                return "'NaN'"
+            if v == float("inf"):
+                return "'Infinity'"
+            if v == float("-inf"):
+                return "'-Infinity'"
+            return repr(v)
+        if isinstance(v, int):
             return repr(v)
         return "'" + str(v).replace("'", "''") + "'"
 

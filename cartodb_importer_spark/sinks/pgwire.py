@@ -149,7 +149,15 @@ class PgWireExecutor:
             rows: list[list[str | None]] = []
             error: dict[str, str] | None = None
             while True:
-                mtype, body = self._read_message(sock)
+                try:
+                    mtype, body = self._read_message(sock)
+                except ConnectionError:
+                    if error is not None:
+                        # FATAL path: the backend sends ErrorResponse and
+                        # closes without ReadyForQuery — surface the
+                        # captured diagnostics, not the raw socket EOF
+                        raise PgError(error) from None
+                    raise
                 if mtype == b"D":
                     (ncols,) = struct.unpack("!H", body[:2])
                     pos = 2
@@ -210,7 +218,12 @@ class PgWireExecutor:
             error: dict[str, str] | None = None
             sent = False
             while True:
-                mtype, body = self._read_message(sock)
+                try:
+                    mtype, body = self._read_message(sock)
+                except ConnectionError:
+                    if error is not None:
+                        raise PgError(error) from None
+                    raise
                 if mtype == b"G":  # CopyInResponse
                     payload = ("".join(f"{ln}\n" for ln in lines)).encode()
                     self._send(sock, b"d", payload)

@@ -575,3 +575,29 @@ def test_non_utf8_cr_only_estaciones_imports(spark, catalog):
     first = df.orderBy("field_1").first()
     assert first["field_1"] == 28079003
     assert first["field_2"] == "Plaza del Carmen"
+
+
+def test_cr_only_detection_counts_not_presence(spark, tmp_path):
+    """The classic-Mac staging trigger must count lone-CR vs bare-LF
+    terminators, not test byte presence: a CR-only file whose quoted
+    field embeds a single 0x0A still stages (presence test saw the LF
+    and parsed the whole file as one record), and an ordinary LF file
+    with a stray CR inside quotes must NOT stage."""
+    from cartodb_importer_spark.readers.csv import read_csv
+
+    cr = tmp_path / "mac.csv"
+    body = "id,name\r" + "".join(
+        f'{i},"n{i}\n"\r' if i == 2 else f"{i},n{i}\r" for i in range(1, 9)
+    )
+    cr.write_bytes(body.encode())
+    df, _ = read_csv(spark, str(cr), infer=False)
+    assert df.count() == 8
+    assert set(df.columns) == {"id", "name"}
+
+    lf = tmp_path / "unix.csv"
+    lf.write_bytes(b'id,name\n1,"a\rb"\n2,c\n')
+    df2, _ = read_csv(spark, str(lf), infer=False)
+    assert df2.count() == 2
+    # not staged: staging would have normalized the in-field CR to LF
+    cell = {r["id"]: r["name"] for r in df2.collect()}["1"]
+    assert cell == "a\rb"

@@ -222,9 +222,49 @@ def test_pgwire_text_format_helpers():
     assert lit(True) == "TRUE" and lit(False) == "FALSE"
     assert lit(3) == "3" and lit(2.5) == "2.5"
     assert lit("it's") == "'it''s'"
+    # non-finite floats: repr() would emit bare identifiers (nan/inf)
+    # that Postgres parses as column references — must be quoted
+    assert lit(float("nan")) == "'NaN'"
+    assert lit(float("inf")) == "'Infinity'"
+    assert lit(float("-inf")) == "'-Infinity'"
 
     fields = PgWireExecutor._error_fields(
         b"SERROR\x00C42P07\x00Mrelation exists\x00\x00"
     )
     err = PgError(fields)
     assert err.code == "42P07" and "relation exists" in str(err)
+
+
+def test_pgwire_fatal_error_surfaces_diagnostics(monkeypatch):
+    """A FATAL ErrorResponse followed by connection close (no
+    ReadyForQuery) must raise PgError with the server's diagnostics, not
+    the raw socket EOF."""
+    import pytest as _pytest
+
+    from cartodb_importer_spark.sinks.pgwire import PgError, PgWireExecutor
+
+    ex = PgWireExecutor.__new__(PgWireExecutor)
+
+    class FakeSock:
+        def close(self):
+            pass
+
+    msgs = [(b"E", b"SFATAL\x00C57P01\x00Mterminating connection\x00\x00")]
+
+    def fake_read(sock):
+        if msgs:
+            return msgs.pop(0)
+        raise ConnectionError("postgres closed the connection")
+
+    monkeypatch.setattr(ex, "_connect", lambda: FakeSock())
+    monkeypatch.setattr(ex, "_send", lambda *a, **k: None)
+    monkeypatch.setattr(ex, "_read_message", fake_read)
+    with _pytest.raises(PgError) as ei:
+        ex._simple_query("SELECT 1")
+    assert ei.value.code == "57P01"
+
+    msgs.append(
+        (b"E", b"SFATAL\x00C57P01\x00Mterminating connection\x00\x00")
+    )
+    with _pytest.raises(PgError):
+        ex.copy_in("COPY t FROM STDIN", ["1\tx"])

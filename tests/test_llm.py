@@ -860,6 +860,13 @@ def test_codec_review_fixes_jpeg_gif_png():
     padded = data[:idx] + b"\xff" + data[idx:]
     assert decode_jpeg(padded).shape == (10, 8, 3)
 
+    # fill bytes INSIDE entropy data, before EOI (hardware MJPEG padding):
+    # the strict bit reader must treat FF FF as padding, not a stray
+    # marker (r06 regression: strict mode rejected ...FF FF D9)
+    assert data.endswith(b"\xff\xd9")
+    eoi_padded = data[:-2] + b"\xff\xff" + data[-2:]
+    np.testing.assert_array_equal(decode_jpeg(eoi_padded), decode_jpeg(data))
+
     # SOS listing fewer components than the frame -> documented boundary
     # (walk markers: a raw find() can hit 0xFFDA inside a DHT body)
     sos = 2

@@ -1594,3 +1594,116 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.e").cast("bigint").alias("d_events"),
         (F.floor(surv * 1e6 + 0.5) / 1e6).alias("surv"),
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH ref AS (
+      SELECT max(o_orderdate) AS ref_ts FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT ref_ts FROM ref))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+               AS monetary_c
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT recency_days, monetary_c,
+             ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+               AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_c, o_custkey) AS m_score
+      FROM per_cust
+    ), labeled AS (
+      SELECT recency_days, monetary_c,
+             CASE
+               WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                 THEN '1_champion'
+               WHEN r_score >= 4 AND f_score >= 3 THEN '2_loyal'
+               WHEN r_score >= 3 THEN '3_active'
+               WHEN r_score = 2 THEN '4_at_risk'
+               ELSE '5_hibernating'
+             END AS segment
+      FROM scored
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(avg(recency_days) * 10000 + 0.5) / 10000
+             AS avg_recency_days,
+           floor(sum(monetary_c) / 100.0 * 100 + 0.5) / 100
+             AS total_monetary
+    FROM labeled GROUP BY 1
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation — the
+    classic CRM rollup, run here over ``orders``: per-customer last
+    order age, order count, and lifetime spend are quintile-scored and
+    mapped to named segments.
+
+    Determinism across engines: the monetary quintile ranks on CENTS
+    (``floor(sum*100+0.5)`` as a long), never on the raw double sum —
+    two engines summing doubles in different orders may disagree in the
+    last bits, and an ntile boundary must not hinge on those; ties
+    break on ``o_custkey``.
+
+    Scale: one shuffle groups orders by customer; the three ntiles
+    rank 1-row-per-customer tuples (three ints each). Like
+    agg_decile_lift, the global sort is over the pre-reduced frame —
+    at 100 TB the production variant cuts on approx-quantile
+    boundaries instead of a single-partition ntile; the segment
+    semantics are unchanged."""
+    t = Tables(spark, sf_dir)
+    ref = t.orders.agg(F.max("o_orderdate").alias("ref_ts"))
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("monetary_c"),
+    )
+    scored = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        "frequency",
+        "monetary_c",
+        F.datediff(F.col("ref_ts"), F.col("last_ts")).alias("recency_days"),
+    )
+    ranked = scored.select(
+        "recency_days",
+        "monetary_c",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_c", "o_custkey"))
+        .alias("m_score"),
+    )
+    labeled = ranked.select(
+        "recency_days",
+        "monetary_c",
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "1_champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "2_loyal")
+        .when(F.col("r_score") >= 3, "3_active")
+        .when(F.col("r_score") == 2, "4_at_risk")
+        .otherwise("5_hibernating")
+        .alias("segment"),
+    )
+    return labeled.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.floor(F.avg("recency_days") * 10000 + 0.5) / 10000).alias(
+            "avg_recency_days"
+        ),
+        (F.floor(F.sum("monetary_c") / 100.0 * 100 + 0.5) / 100).alias(
+            "total_monetary"
+        ),
+    )

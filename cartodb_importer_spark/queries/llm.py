@@ -3284,3 +3284,132 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_near_dedup(
         t.documents, cutoff, threshold=0.8, bands=_P_BANDS, n=2
     ).select("doc_id", "lang")
+
+
+# -------------------------------------------------- mixture & vocab planning
+
+@query(
+    "llm_mixture_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS big_n,
+             sum(sqrt(CAST(n_tokens AS DOUBLE))) AS denom
+      FROM counts
+    )
+    SELECT source, n_tokens,
+           floor(n_tokens / big_n * 1000000 + 0.5) / 1000000 AS p,
+           floor(sqrt(CAST(n_tokens AS DOUBLE)) / denom * 1000000 + 0.5)
+             / 1000000 AS weight,
+           floor(sqrt(CAST(n_tokens AS DOUBLE)) / denom * big_n / n_tokens
+                 * 1000000 + 0.5) / 1000000 AS epochs
+    FROM counts CROSS JOIN tot
+    """,
+)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weight planning: per-source token counts are
+    temperature-smoothed (alpha = 0.5, the multilingual-sampling
+    exponent of XLM-R / mT5) into sampling weights, and each source's
+    expected epoch count under a one-corpus-size token budget falls out
+    as ``weight * N / n`` — >1 means the source is upsampled (seen more
+    than once per budget), <1 downsampled. This is the planning step
+    that turns a raw corpus census into a data-loading schedule.
+
+    Determinism across engines: the smoothed numerator is
+    ``sqrt(bigint)`` — IEEE-exact in both engines — and every emitted
+    ratio is HALF_UP-floored at 6 decimals, far above the last-bit noise
+    of the tiny (n_sources-term) denominator sum. Scale: one map-side
+    combinable token-count agg over documents (a long per source); the
+    totals frame is 1 row, broadcast."""
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens")
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").cast("double").alias("big_n"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("denom"),
+    )
+    smoothed = F.sqrt(F.col("n_tokens").cast("double")) / F.col("denom")
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        r6(F.col("n_tokens") / F.col("big_n")).alias("p"),
+        r6(smoothed).alias("weight"),
+        r6(smoothed * F.col("big_n") / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle=f"""
+    WITH occ AS (
+      SELECT lang, unnest({_DUCK_WORDS.format(col="text")}) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS n FROM occ GROUP BY 1
+    ), vocab AS (
+      SELECT token FROM counts ORDER BY n DESC, token LIMIT 256
+    )
+    SELECT o.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.token IS NOT NULL) AS BIGINT)
+             AS n_in_vocab,
+           floor(CAST(count(*) FILTER (WHERE v.token IS NOT NULL)
+                      AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+             AS coverage,
+           CAST(count(DISTINCT CASE WHEN v.token IS NULL THEN o.token END)
+                AS BIGINT) AS oov_types
+    FROM occ o LEFT JOIN vocab v ON o.token = v.token
+    GROUP BY 1
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary planning: freeze the top-256 corpus tokens
+    (by global frequency, ties broken lexically) as the vocab, then audit
+    per-language coverage — occurrence-weighted in-vocab rate and the
+    count of distinct out-of-vocab types. The low-coverage languages are
+    the ones a shared vocab would shortchange; this is the audit run
+    before sizing a real tokenizer.
+
+    Scale: token occurrences groupBy token (one keyed shuffle with
+    map-side partial counts); the top-256 cut is ``ORDER BY .. LIMIT``
+    — Spark plans TakeOrderedAndProject (per-partition heaps + a 256-row
+    driver merge), never a global sort — and the 256-row vocab broadcasts
+    to the per-language audit join. The OOV-type distinct is the second
+    keyed shuffle; nothing wider than (lang, token) ever moves."""
+    t = Tables(spark, sf_dir)
+    occ = t.documents.select(
+        "lang", F.explode(T.words(F.col("text"))).alias("token")
+    )
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), "token")
+        .limit(256)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    flagged = occ.join(F.broadcast(vocab), "token", "left")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("__in_vocab").isNotNull(), 1)).alias(
+            "n_in_vocab"
+        ),
+        (
+            F.floor(
+                F.count(F.when(F.col("__in_vocab").isNotNull(), 1)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("coverage"),
+        F.countDistinct(
+            F.when(F.col("__in_vocab").isNull(), F.col("token"))
+        ).alias("oov_types"),
+    )

@@ -546,3 +546,162 @@ def pipeline_continuous_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # __batch_id is the sink's idempotent-replay bookkeeping column, not
     # part of the imported table contract
     return catalog.read(spark, "nation_zone").drop("__batch_id")
+
+
+@query(
+    "pipeline_constraint_checks",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS d,
+             CAST(count(*) FILTER (WHERE o_orderstatus IN ('O','F','P'))
+                  AS DOUBLE) AS in_set,
+             CAST(count(*) FILTER (WHERE o_totalprice > 0) AS DOUBLE)
+               AS pos
+      FROM orders
+    ), l AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 50)
+                  AS DOUBLE) AS qty_ok,
+             CAST(count(*) FILTER (WHERE l_discount BETWEEN 0 AND 0.1)
+                  AS DOUBLE) AS disc_ok
+      FROM lineitem
+    ), c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) FILTER (WHERE regexp_matches(c_name,
+                  '^Customer#[0-9]{9}$')) AS DOUBLE) AS name_ok,
+             CAST(count(*) FILTER (WHERE c_acctbal >= -1000) AS DOUBLE)
+               AS bal_ok
+      FROM customer
+    ), e AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k')
+                  IS NOT NULL) AS DOUBLE) AS k_ok
+      FROM events
+    ), d AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) FILTER (WHERE length(text) > 0) AS DOUBLE)
+               AS txt_ok,
+             CAST(count(*) FILTER (WHERE lang IN
+                  ('en','es','fr','de','zh')) AS DOUBLE) AS lang_ok
+      FROM documents
+    ), checks AS (
+      SELECT 'orders_orderkey_unique' AS check_name,
+             d / n AS metric, 1.0 AS threshold FROM o
+      UNION ALL SELECT 'orders_status_in_set', in_set / n, 1.0 FROM o
+      UNION ALL SELECT 'orders_totalprice_positive', pos / n, 1.0 FROM o
+      UNION ALL SELECT 'lineitem_quantity_in_range', qty_ok / n, 1.0 FROM l
+      UNION ALL SELECT 'lineitem_discount_in_range', disc_ok / n, 1.0 FROM l
+      UNION ALL SELECT 'customer_name_pattern', name_ok / n, 0.99 FROM c
+      UNION ALL SELECT 'customer_acctbal_floor', bal_ok / n, 1.0 FROM c
+      UNION ALL SELECT 'events_props_k_present', k_ok / n, 0.95 FROM e
+      UNION ALL SELECT 'documents_text_nonempty', txt_ok / n, 0.99 FROM d
+      UNION ALL SELECT 'documents_lang_in_set', lang_ok / n, 1.0 FROM d
+    )
+    SELECT check_name,
+           floor(metric * 1000000 + 0.5) / 1000000 AS metric,
+           threshold,
+           CAST(metric >= threshold AS INTEGER) AS passed
+    FROM checks
+    """,
+)
+def pipeline_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation (the Deequ pattern): a rule
+    table of completeness / uniqueness / range / pattern / set-membership
+    constraints, each emitting ``(check_name, metric, threshold, passed)``
+    — the go/no-go gate a pipeline runs before publishing an import, and
+    the generalization of O9's empty-input guard + O19's row-count result
+    (importer.rb:77-147) to arbitrary per-column rules.
+
+    Scale: ONE full-scan aggregate per table computes every metric for
+    that table as conditional counts (map-side combinable, no row data
+    shuffled — a handful of doubles per partition); the rule rows are
+    then unpacked from the 1-row frames with ``explode``, so adding a
+    constraint adds a counter, not a pass. The uniqueness check is the
+    only distinct (keyed shuffle on the candidate key)."""
+    t = Tables(spark, sf_dir)
+
+    def frac(cond) -> F.Column:
+        return F.count(F.when(cond, 1)).cast("double") / F.count(F.lit(1))
+
+    def rules(agg_df: DataFrame, *rows: tuple[str, str, float]) -> DataFrame:
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("check_name"),
+                            F.col(col).alias("metric"),
+                            F.lit(thr).alias("threshold"),
+                        )
+                        for name, col, thr in rows
+                    ]
+                )
+            ).alias("r")
+        ).select("r.check_name", "r.metric", "r.threshold")
+
+    o = t.orders.agg(
+        (
+            F.countDistinct("o_orderkey").cast("double")
+            / F.count(F.lit(1))
+        ).alias("uniq"),
+        frac(F.col("o_orderstatus").isin("O", "F", "P")).alias("in_set"),
+        frac(F.col("o_totalprice") > 0).alias("pos"),
+    )
+    li = t.lineitem.agg(
+        frac(F.col("l_quantity").between(1, 50)).alias("qty_ok"),
+        frac(F.col("l_discount").between(0, 0.1)).alias("disc_ok"),
+    )
+    c = t.customer.agg(
+        frac(F.col("c_name").rlike(r"^Customer#[0-9]{9}$")).alias(
+            "name_ok"
+        ),
+        frac(F.col("c_acctbal") >= -1000).alias("bal_ok"),
+    )
+    e = t.events.agg(
+        frac(F.get_json_object("props", "$.k").isNotNull()).alias("k_ok")
+    )
+    d = t.documents.agg(
+        frac(F.length("text") > 0).alias("txt_ok"),
+        frac(F.col("lang").isin("en", "es", "fr", "de", "zh")).alias(
+            "lang_ok"
+        ),
+    )
+    checks = (
+        rules(
+            o,
+            ("orders_orderkey_unique", "uniq", 1.0),
+            ("orders_status_in_set", "in_set", 1.0),
+            ("orders_totalprice_positive", "pos", 1.0),
+        )
+        .unionByName(
+            rules(
+                li,
+                ("lineitem_quantity_in_range", "qty_ok", 1.0),
+                ("lineitem_discount_in_range", "disc_ok", 1.0),
+            )
+        )
+        .unionByName(
+            rules(
+                c,
+                ("customer_name_pattern", "name_ok", 0.99),
+                ("customer_acctbal_floor", "bal_ok", 1.0),
+            )
+        )
+        .unionByName(rules(e, ("events_props_k_present", "k_ok", 0.95)))
+        .unionByName(
+            rules(
+                d,
+                ("documents_text_nonempty", "txt_ok", 0.99),
+                ("documents_lang_in_set", "lang_ok", 1.0),
+            )
+        )
+    )
+    return checks.select(
+        "check_name",
+        (F.floor(F.col("metric") * 1000000 + 0.5) / 1000000).alias(
+            "metric"
+        ),
+        "threshold",
+        (F.col("metric") >= F.col("threshold")).cast("int").alias("passed"),
+    )

@@ -41,6 +41,8 @@ ALLOWED_NLJ = {
     "events_diff_in_diff",     # 1-row time-cutoff scalar broadcast
     "llm_semantic_dedup",      # 8-row fixed-centroid broadcast
     "llm_perplexity_bucket",   # 1-row tertile-cutoff broadcast
+    "events_rfm_segments",     # 1-row reference-date broadcast
+    "llm_mixture_weights",     # 1-row (N, denom) totals broadcast
 }
 
 SF = "/root/testdata/sf0.001"
@@ -249,3 +251,44 @@ def test_events_ts_pushdown_on_micros_parquet(spark, tmp_path):
     )
     pushed = scan.split("PushedFilters:")[1]
     assert "GreaterThanOrEqual(ts" in pushed, scan
+
+
+def test_vocab_coverage_topk_never_global_sort(spark):
+    """The top-256 vocab cut must plan as TakeOrderedAndProject
+    (per-partition heaps + a bounded driver merge) — a global Sort over
+    the full token-frequency table would be a single-partition
+    bottleneck at corpus scale. The 256-row vocab must reach the audit
+    join as a broadcast."""
+    plan = _plan(spark, "llm_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_constraint_checks_no_row_shuffle(spark):
+    """Every constraint metric is a conditional count folded into ONE
+    scalar aggregate per table: no Window, no row-payload exchange —
+    only the tiny partial->final agg exchanges (plus the distinct for
+    the uniqueness rule) may appear."""
+    import re
+
+    plan = _plan(spark, "pipeline_constraint_checks")
+    assert "Window" not in plan
+    # every exchange carries aggregate state, never raw table rows
+    for cols in re.findall(r"Exchange SinglePartition[^\n]*", plan):
+        assert "o_orderkey" not in cols or "count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_ntile_ranks_on_reduced_frame(spark):
+    """The three ntile windows rank the 1-row-per-customer frame, so the
+    single-partition window input is the pre-reduced aggregate, never
+    raw orders: the plan must aggregate (groupBy custkey) BEFORE any
+    Window node."""
+    plan = _plan(spark, "events_rfm_segments")
+    win_pos = plan.find("Window")
+    assert win_pos != -1
+    # the tree prints root-first: the deepest aggregate (the per-custkey
+    # reduction) must sit BELOW every Window node — i.e., the windows'
+    # input is the reduced frame, not raw orders
+    assert plan.rfind("HashAggregate") > plan.rfind("Window")
+    assert "o_custkey" in plan[plan.rfind("Window"):]

@@ -40,6 +40,11 @@ HEAVY = [
     # pairs — the bound is what must hold under duplication pressure) and
     # the flattened per-dimension standardize (posexplode fan-out at 10x)
     "llm_semantic_dedup", "llm_embedding_standardize",
+    # r06 curation additions: vocab coverage is the explode-heaviest new
+    # op (every token occurrence becomes a row before the keyed count);
+    # RFM stacks three single-partition ntile windows whose input must
+    # stay the per-customer reduction as the fact table grows
+    "llm_vocab_coverage", "events_rfm_segments",
 ]
 
 

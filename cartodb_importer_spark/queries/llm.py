@@ -3290,10 +3290,10 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_mixture_weights",
-    oracle="""
+    oracle=f"""
     WITH counts AS (
       SELECT source,
-             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+             CAST(sum({_DUCK_TOKEN_COUNT.format(col="text")})
                   AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1
     ), tot AS (

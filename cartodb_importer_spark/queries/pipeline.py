@@ -597,12 +597,15 @@ def pipeline_continuous_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'events_props_k_present', k_ok / n, 0.95 FROM e
       UNION ALL SELECT 'documents_text_nonempty', txt_ok / n, 0.99 FROM d
       UNION ALL SELECT 'documents_lang_in_set', lang_ok / n, 1.0 FROM d
+    ), rounded AS (
+      SELECT check_name,
+             floor(metric * 1000000 + 0.5) / 1000000 AS metric,
+             threshold
+      FROM checks
     )
-    SELECT check_name,
-           floor(metric * 1000000 + 0.5) / 1000000 AS metric,
-           threshold,
+    SELECT check_name, metric, threshold,
            CAST(metric >= threshold AS INTEGER) AS passed
-    FROM checks
+    FROM rounded
     """,
 )
 def pipeline_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,11 +700,18 @@ def pipeline_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # verdict is derived from the ROUNDED metric, so an emitted row can
+    # never read metric == threshold with passed = 0 (consumers see one
+    # consistent number, and the verdict can't flip on sub-rounding noise)
     return checks.select(
         "check_name",
         (F.floor(F.col("metric") * 1000000 + 0.5) / 1000000).alias(
             "metric"
         ),
+        "threshold",
+    ).select(
+        "check_name",
+        "metric",
         "threshold",
         (F.col("metric") >= F.col("threshold")).cast("int").alias("passed"),
     )

@@ -121,6 +121,22 @@ def test_connected_components(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_deep_chain_converges(spark):
+    """A path graph far deeper than max_iterations: plain min-label
+    propagation needs diameter rounds and would return WRONG labels at
+    the 20-round cap (observed: 280/301 mislabeled pre-fix); the pointer
+    jump makes convergence O(log diameter), so 300 edges resolve in ~9
+    rounds. Long near-dup chains are real (sliding quote chains), so
+    this is a correctness bound, not a perf nicety."""
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = D.connected_components(pairs).collect()
+    assert len(out) == n + 1
+    assert all(r["component"] == 0 for r in out)
+
+
 def test_dedup_components_keeps_one_per_cluster(spark):
     chain = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),

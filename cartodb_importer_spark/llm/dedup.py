@@ -520,8 +520,10 @@ def connected_components(
     exactly these) would need d rounds, and a bounded iteration cap would
     silently return WRONG labels past it. The label-of-label jump halves
     the remaining chain depth every round, so convergence is
-    O(log diameter): 20 rounds cover diameter ~2^20 — unreachable by any
-    realistic pair graph. Each round is two keyed joins + one aggregate;
+    O(log diameter): the default 20 rounds cover diameter ~2^18 —
+    unreachable by any realistic pair graph. (The jump is adaptive: it
+    joins from round 3, so shallow graphs — the common case — never pay
+    its extra join.) Each round is two keyed joins + one aggregate;
     no driver-side graph state, so a 100 TB edge list iterates entirely
     as shuffles. (The alternating large-star/small-star rewrite converges
     similarly but re-materializes the edge set per round; with the static
@@ -549,7 +551,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -568,19 +570,25 @@ def connected_components(
                 F.coalesce(F.col("nbr_component"), F.col("component")),
             ).alias("component"),
         )
-        # pointer jump: component := min(component, label[component]).
-        # Labels only ever shrink, and a node's label is always a node id
-        # present in `stepped`, so the lookup join is total in practice
-        # (left + coalesce guards the first round's own-id case). This is
-        # what turns diameter-bound convergence into log-bound.
-        lookup = stepped.select(
-            F.col("id").alias("__lid"), F.col("component").alias("__lcomp")
-        )
-        updated = (
-            stepped.join(
-                lookup, stepped.component == F.col("__lid"), "left"
+        if i >= 2:
+            # pointer jump: component := min(component, label[component]).
+            # Labels only ever shrink, and a node's label is always a node
+            # id present in `stepped`, so the lookup join is total in
+            # practice (left + coalesce guards the own-id case). This is
+            # what turns diameter-bound convergence into log-bound.
+            # ADAPTIVE: the jump join only joins the game from round 3 —
+            # real near-dup graphs are dense and shallow (diameter <= ~3,
+            # converged before the jump would fire), so they pay zero
+            # overhead; a component still unconverged after two plain
+            # rounds is deep, and from here depth halves per round, so
+            # max_iterations=20 covers diameter ~2^18.
+            lookup = stepped.select(
+                F.col("id").alias("__lid"),
+                F.col("component").alias("__lcomp"),
             )
-            .select(
+            stepped = stepped.join(
+                lookup, stepped.component == F.col("__lid"), "left"
+            ).select(
                 "id",
                 "__prev",
                 F.least(
@@ -588,8 +596,7 @@ def connected_components(
                     F.coalesce(F.col("__lcomp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
-        )
+        updated = stepped.localCheckpoint()
         changed = (
             updated.filter(F.col("component") < F.col("__prev")).limit(1).count()
         )

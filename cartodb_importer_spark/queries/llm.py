@@ -2130,6 +2130,124 @@ def llm_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 128  # hashed-unigram feature space (DSIR, Xie et al. 2023)
+
+
+@query(
+    "llm_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, is_tgt,
+             CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, source = 'src0' AS is_tgt,
+               unnest({_DUCK_WORDS.format(col="text")}) AS w
+        FROM documents
+      )
+    ), doc_b AS (
+      SELECT doc_id, is_tgt, bucket, count(*) AS n
+      FROM toks GROUP BY ALL
+    ), gb AS (
+      SELECT bucket,
+             sum(CASE WHEN is_tgt THEN n ELSE 0 END) AS tn,
+             sum(CASE WHEN NOT is_tgt THEN n ELSE 0 END) AS rn
+      FROM doc_b GROUP BY bucket
+    ), tot AS (
+      SELECT sum(tn) AS tt, sum(rn) AS rt FROM gb
+    ), lam AS (
+      SELECT bucket,
+             CAST(floor((ln((tn + 1.0) / (tt + {_DSIR_BUCKETS}.0))
+                  - ln((rn + 1.0) / (rt + {_DSIR_BUCKETS}.0))) * 1e8 + 0.5)
+               AS BIGINT) AS lam_i
+      FROM gb CROSS JOIN tot
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.n) AS BIGINT) AS n_tokens,
+           floor(sum(d.n * l.lam_i) / 100.0 + 0.5) / 1e6 AS dsir_logw
+    FROM doc_b d JOIN lam l USING (bucket)
+    WHERE NOT d.is_tgt
+    GROUP BY d.doc_id
+    """,
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-pool
+    document (source != 'src0') by how target-like (source = 'src0') its
+    hashed-unigram bag is — the log-likelihood ratio of two smoothed
+    bucket-multinomials, sum_b n_b * ln(p_tgt(b)/p_raw(b)). High-weight
+    docs are the ones importance resampling would pull into the training
+    mix.
+
+    Scale shape: one token explode (bounded by corpus words), one
+    map-side-combinable groupBy(doc_id, bucket) whose output feeds BOTH
+    the 128-row global bucket table (second tiny agg — the raw token
+    stream is never re-scanned) and the per-doc scoring join against the
+    broadcast lambda table. Nothing driver-side, no all-pairs; the only
+    cross join is the 1-row token-total scalar folded into the 128-row
+    lambda frame BEFORE it broadcasts. The hash is md5-slice mod 128 on
+    the word — engine-portable, so the oracle checks values, not just
+    shape. Lambdas are quantized to int64 1e-8 units on both engines so
+    the per-doc weight is an exact integer sum — no float-accumulation
+    order can flip the rounded output (stricter than pre-rounded
+    doubles, which measurably flipped one row at sf0.1)."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        (F.col("source") == "src0").alias("is_tgt"),
+        F.explode(T.words(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    # Persisted: three consumers (global bucket table, token totals via it,
+    # and the scoring join) — without persist each branch re-scans and
+    # re-explodes the full corpus (measured 6 scans at sf0.001).
+    doc_b = toks.groupBy("doc_id", "is_tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
+    glob = doc_b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(0)).alias("tn"),
+        F.sum(F.when(~F.col("is_tgt"), F.col("n")).otherwise(0)).alias("rn"),
+    )
+    tot = glob.agg(F.sum("tn").alias("tt"), F.sum("rn").alias("rt"))
+    lam = (
+        glob.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log((F.col("tn") + 1.0) / (F.col("tt") + float(_DSIR_BUCKETS)))
+                    - F.log((F.col("rn") + 1.0) / (F.col("rt") + float(_DSIR_BUCKETS)))
+                )
+                * 1e8
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lam_i"),
+        )
+    )
+    return (
+        doc_b.filter(~F.col("is_tgt"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("n") * F.col("lam_i")) / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("dsir_logw"),
+        )
+    )
+
+
 # ----------------------------------------------------------- embedding PCA
 
 @query("llm_embedding_pca")

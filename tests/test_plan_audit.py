@@ -43,6 +43,7 @@ ALLOWED_NLJ = {
     "llm_perplexity_bucket",   # 1-row tertile-cutoff broadcast
     "events_rfm_segments",     # 1-row reference-date broadcast
     "llm_mixture_weights",     # 1-row (N, denom) totals broadcast
+    "llm_dsir_weights",        # 1-row token-total scalar into 128-row lambda
 }
 
 SF = "/root/testdata/sf0.001"
@@ -134,6 +135,18 @@ def test_bloom_prefilter_all_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_scoring_join_broadcast_and_cached(spark):
+    """llm_dsir_weights: the 128-row lambda table must broadcast into the
+    per-doc scoring join (a SortMergeJoin would shuffle the whole token
+    frame on a 7-bit key), and the (doc, bucket) count frame must come
+    from the persisted cache — without it every branch re-explodes the
+    corpus (measured 6 parquet scans pre-persist)."""
+    plan = _plan(spark, "llm_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan
 
 
 def test_span_dedup_shuffles_hashes_not_text(spark):

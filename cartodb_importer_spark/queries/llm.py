@@ -1008,6 +1008,75 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_tokenizer_fertility",
+    oracle="""
+    WITH c AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tok,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CASE WHEN sum(n_tok) > 0 THEN
+             floor(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok) * 1e6 + 0.5) / 1e6
+           END AS chars_per_token,
+           CASE WHEN sum(n_words) > 0 THEN
+             floor(CAST(sum(n_tok) AS DOUBLE) / sum(n_words) * 1e6 + 0.5) / 1e6
+           END AS tokens_per_word
+    FROM c GROUP BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: corpus-level chars-per-token
+    and tokens-per-word under the BPE-ish pre-tokenizer — the standard
+    multilingual check for languages a vocab tokenizes inefficiently
+    (fertility ~2x means 2x the training cost per word). One scan, one
+    tiny per-lang aggregate, all JVM-side regexp counting; ratios are
+    divisions of exact integer sums, so both engines compute identical
+    doubles before the shared HALF_UP rounding."""
+    t = Tables(spark, sf_dir)
+    c = F.col("text")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    per_doc = t.documents.select(
+        "lang",
+        F.length(c).alias("n_chars"),
+        F.regexp_count(c, F.lit(pat)).alias("n_tok"),
+        F.regexp_count(c, F.lit("[A-Za-z]+")).alias("n_words"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.sum("n_words").alias("sum_words"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        F.col("sum_tok").cast("long").alias("total_tokens"),
+        F.when(
+            F.col("sum_tok") > 0,
+            F.floor(
+                F.col("sum_chars").cast("double") / F.col("sum_tok") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("chars_per_token"),
+        F.when(
+            F.col("sum_words") > 0,
+            F.floor(
+                F.col("sum_tok").cast("double") / F.col("sum_words") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("tokens_per_word"),
+    )
+
+
+@query(
     "llm_stratified_sample",
     oracle="""
     SELECT doc_id, lang

@@ -2260,7 +2260,20 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc weight is an exact integer sum — no float-accumulation
     order can flip the rounded output (stricter than pre-rounded
     doubles, which measurably flipped one row at sf0.1)."""
-    t = Tables(spark, sf_dir)
+    scored = _dsir_scored(Tables(spark, sf_dir))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("w_i") / F.lit(100.0) + F.lit(0.5)) / 1e6).alias(
+            "dsir_logw"
+        ),
+    )
+
+
+def _dsir_scored(t: Tables) -> DataFrame:
+    """Shared DSIR scoring frame: (doc_id, n_tokens, w_i) for every
+    raw-pool doc, where w_i is the EXACT int64 importance weight in 1e-8
+    log units (sum of per-bucket counts x quantized lambdas)."""
     toks = t.documents.select(
         "doc_id",
         (F.col("source") == "src0").alias("is_tgt"),
@@ -2306,13 +2319,75 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_tokens"),
-            (
-                F.floor(
-                    F.sum(F.col("n") * F.col("lam_i")) / F.lit(100.0)
-                    + F.lit(0.5)
-                )
-                / 1e6
-            ).alias("dsir_logw"),
+            F.sum(F.col("n") * F.col("lam_i")).alias("w_i"),
+        )
+    )
+
+
+_DSIR_TOPK = 100  # selection budget for the resample step
+
+
+@query(
+    "llm_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, is_tgt,
+             CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, source = 'src0' AS is_tgt,
+               unnest({_DUCK_WORDS.format(col="text")}) AS w
+        FROM documents
+      )
+    ), doc_b AS (
+      SELECT doc_id, is_tgt, bucket, count(*) AS n
+      FROM toks GROUP BY ALL
+    ), gb AS (
+      SELECT bucket,
+             sum(CASE WHEN is_tgt THEN n ELSE 0 END) AS tn,
+             sum(CASE WHEN NOT is_tgt THEN n ELSE 0 END) AS rn
+      FROM doc_b GROUP BY bucket
+    ), tot AS (
+      SELECT sum(tn) AS tt, sum(rn) AS rt FROM gb
+    ), lam AS (
+      SELECT bucket,
+             CAST(floor((ln((tn + 1.0) / (tt + {_DSIR_BUCKETS}.0))
+                  - ln((rn + 1.0) / (rt + {_DSIR_BUCKETS}.0))) * 1e8 + 0.5)
+               AS BIGINT) AS lam_i
+      FROM gb CROSS JOIN tot
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(sum(d.n) AS BIGINT) AS n_tokens,
+             sum(d.n * l.lam_i) AS w_i
+      FROM doc_b d JOIN lam l USING (bucket)
+      WHERE NOT d.is_tgt
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           floor(w_i / 100.0 + 0.5) / 1e6 AS dsir_logw
+    FROM scored
+    ORDER BY w_i DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: the 100 highest-importance raw-pool docs —
+    the slice importance resampling promotes into the training mix.
+    Ranking is on the EXACT int64 micro-weight with doc_id as the tie
+    break, so the LIMIT boundary is deterministic across engines and
+    partitionings (ranking the rounded double would not be); the plan is
+    a TakeOrderedAndProject over the scored frame — per-partition top-k
+    then a k-row driver merge, never a global sort."""
+    scored = _dsir_scored(Tables(spark, sf_dir))
+    return (
+        scored.orderBy(F.col("w_i").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(F.col("w_i") / F.lit(100.0) + F.lit(0.5)) / 1e6).alias(
+                "dsir_logw"
+            ),
         )
     )
 

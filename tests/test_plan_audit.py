@@ -44,6 +44,7 @@ ALLOWED_NLJ = {
     "events_rfm_segments",     # 1-row reference-date broadcast
     "llm_mixture_weights",     # 1-row (N, denom) totals broadcast
     "llm_dsir_weights",        # 1-row token-total scalar into 128-row lambda
+    "llm_dsir_resample",       # same lambda assembly as llm_dsir_weights
 }
 
 SF = "/root/testdata/sf0.001"
@@ -147,6 +148,14 @@ def test_dsir_scoring_join_broadcast_and_cached(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_dsir_resample_topk_not_global_sort(spark):
+    """llm_dsir_resample's selection must plan TakeOrderedAndProject
+    (per-partition top-k + k-row driver merge) — a global Sort of the
+    scored frame would shuffle everything to rank 100 rows."""
+    plan = _plan(spark, "llm_dsir_resample")
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_span_dedup_shuffles_hashes_not_text(spark):

@@ -45,6 +45,10 @@ HEAVY = [
     # RFM stacks three single-partition ntile windows whose input must
     # stay the per-customer reduction as the fact table grows
     "llm_vocab_coverage", "events_rfm_segments",
+    # r06 late additions: DSIR explodes every token occurrence into the
+    # (doc, bucket) count — the persist must keep it one corpus scan as
+    # the corpus grows
+    "llm_dsir_weights",
 ]
 
 

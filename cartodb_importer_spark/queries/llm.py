@@ -3675,3 +3675,329 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("__in_vocab").isNull(), F.col("token"))
         ).alias("oov_types"),
     )
+
+
+# ------------------------------------------------- corpus-law / lexical audit
+
+_ZIPF_TOP = 100  # terms per language entering the log-log fit
+
+
+@query(
+    "llm_zipf_slope",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, token, count(*) AS n
+      FROM (
+        SELECT lang, unnest({_DUCK_WORDS.format(col="text")}) AS token
+        FROM documents
+      ) GROUP BY ALL
+    ), ranked AS (
+      SELECT lang, n,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n DESC, token
+             ) AS rnk
+      FROM counts
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           floor(regr_slope(ln(n), ln(rnk)) * 1e6 + 0.5) / 1e6 AS zipf_slope,
+           floor(regr_r2(ln(n), ln(rnk)) * 1e6 + 0.5) / 1e6 AS zipf_r2
+    FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    GROUP BY lang
+    """,
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law audit: fit Zipf's law per language — the least-squares
+    slope (and R^2) of ln(frequency) against ln(rank) over each
+    language's top-100 terms. A healthy natural-language crawl sits near
+    slope -1; word-soup, boilerplate or template floods bend the curve,
+    so this is the cheap per-shard sanity gauge a curation pipeline runs
+    before mixing a new source in.
+
+    Scale: one (lang, token) groupBy with map-side partial counts — the
+    only corpus-sized shuffle; ranking runs per-language over the
+    vocab-sized count table (bounded by distinct types, not tokens), and
+    the regression itself is regr_slope/regr_r2 — six map-side-combinable
+    sums over <=100 rows per language, never a collected series. Rank
+    ties break lexically so the top-100 cut is engine-deterministic."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    counts = (
+        t.documents.select(
+            "lang", F.explode(T.words(F.col("text"))).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = counts.select(
+        "lang",
+        "n",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    lnn, lnr = F.log(F.col("n")), F.log(F.col("rnk"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.floor(F.regr_slope(lnn, lnr) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "zipf_slope"
+        ),
+        (F.floor(F.regr_r2(lnn, lnr) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "zipf_r2"
+        ),
+    )
+
+
+@query(
+    "llm_lexical_diversity",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id, token, count(*) AS cnt
+      FROM (
+        SELECT doc_id, unnest({_DUCK_WORDS.format(col="text")}) AS token
+        FROM documents
+      ) GROUP BY ALL
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (cnt = 1) AS BIGINT) AS n_hapax,
+           floor(count(*) * 1e6 / sum(cnt) + 0.5) / 1e6 AS ttr,
+           floor(count(*) FILTER (cnt = 1) * 1e6 / count(*) + 0.5) / 1e6
+             AS hapax_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio and the
+    hapax-legomenon fraction (types occurring once in the doc / types).
+    Low TTR with low hapax share flags looped boilerplate; abnormally
+    high TTR on long docs flags gibberish/ID dumps — both standard
+    pre-training quality signals alongside gopher/repetition filters.
+
+    Scale: the aggregation key is (doc_id, token) — document-local, so
+    the corpus-sized shuffle combines map-side and nothing ever crosses a
+    document boundary (embarrassingly parallel at 100 TB); the second
+    groupBy runs over the already-collapsed per-doc type table. Ratios
+    are HALF_UP-rounded to 6dp on exact integer counts, so both engines
+    round identical rationals."""
+    t = Tables(spark, sf_dir)
+    per = (
+        t.documents.select(
+            "doc_id", F.explode(T.words(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_types = F.count(F.lit(1))
+    n_hapax = F.count(F.when(F.col("cnt") == 1, 1))
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        n_types.alias("n_types"),
+        n_hapax.alias("n_hapax"),
+        (F.floor(n_types * 1e6 / F.sum("cnt") + F.lit(0.5)) / 1e6).alias(
+            "ttr"
+        ),
+        (F.floor(n_hapax * 1e6 / n_types + F.lit(0.5)) / 1e6).alias(
+            "hapax_frac"
+        ),
+    )
+
+
+@query(
+    "llm_source_vocab_overlap",
+    oracle=f"""
+    WITH sv AS (
+      SELECT DISTINCT source, token
+      FROM (
+        SELECT source, unnest({_DUCK_WORDS.format(col="text")}) AS token
+        FROM documents
+      )
+    ), sizes AS (
+      SELECT source, count(*) AS vsize FROM sv GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_types
+      FROM sv a JOIN sv b ON a.token = b.token AND a.source < b.source
+      GROUP BY ALL
+    )
+    SELECT source_a, source_b, CAST(shared_types AS BIGINT) AS shared_types,
+           floor(shared_types * 1e6
+                 / (sa.vsize + sb.vsize - shared_types) + 0.5) / 1e6
+             AS vocab_jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard: how much of each pair of
+    sources' distinct-token vocabularies overlap. Near-1 overlap between
+    two crawl sources means they are the same corpus under two names
+    (mirror detection before mixture weighting); near-0 flags a source
+    whose tokens a shared tokenizer won't cover.
+
+    Scale: the corpus collapses to DISTINCT (source, token) first — the
+    self-join runs on the vocab-sized frame, keyed on token, so the
+    fan-out per token is bounded by (#sources carrying it)^2, never by
+    occurrences; total work is O(vocab x S^2) with S = #sources (tens
+    here). For thousands of sources the same contract would switch to
+    per-source KMV/HLL sketches (agg_kmv_setops is that operator); this
+    query is the exact form. The two 20-row size tables broadcast.
+
+    The distinct (source, token) frame persists: three consumers (both
+    self-join sides and the size table) would otherwise each re-scan and
+    re-explode the full corpus — measured 4 scans unpersisted."""
+    t = Tables(spark, sf_dir)
+    sv = (
+        t.documents.select(
+            "source", F.explode(T.words(F.col("text"))).alias("token")
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
+    a = sv.alias("a")
+    b = sv.select(
+        F.col("source").alias("source_b"), F.col("token").alias("token_b")
+    )
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("token_b"))
+            & (F.col("a.source") < F.col("source_b")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_types"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vsize").alias("va")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vsize").alias("vb")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_types",
+            (
+                F.floor(
+                    F.col("shared_types")
+                    * 1e6
+                    / (F.col("va") + F.col("vb") - F.col("shared_types"))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+_WINNOW_K = 3  # k-gram length (words)
+_WINNOW_W = 4  # winnowing window (k-grams per window)
+
+
+@query(
+    "llm_winnowing_fingerprint",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(
+               CASE WHEN len(ws) >= {_WINNOW_K} THEN
+                 [array_to_string(ws[i:i+{_WINNOW_K - 1}], ' ')
+                  FOR i IN range(1, len(ws) - {_WINNOW_K - 2})]
+               ELSE []::VARCHAR[] END,
+               g -> CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
+             ) AS h
+      FROM (
+        SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS ws
+        FROM documents
+      )
+    )
+    SELECT doc_id,
+           CAST(len(h) AS BIGINT) AS n_kgrams,
+           CAST(len(list_distinct(
+             [list_min(h[i:i+{_WINNOW_W - 1}])
+              FOR i IN range(1, len(h) - {_WINNOW_W - 2})]
+           )) AS BIGINT) AS n_fingerprints,
+           floor(len(list_distinct(
+             [list_min(h[i:i+{_WINNOW_W - 1}])
+              FOR i IN range(1, len(h) - {_WINNOW_W - 2})]
+           )) * 1e6 / (len(h) - {_WINNOW_W - 1}) + 0.5) / 1e6 AS fp_density
+    FROM hs WHERE len(h) >= {_WINNOW_W}
+    """,
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    algorithm): hash every word-3-gram, slide a 4-gram window over the
+    hash sequence, keep each window's minimum — the distinct selected
+    hashes are the document's fingerprints, guaranteed to catch any
+    shared run of >= k+w-1 words between documents. The per-doc density
+    (fingerprints / windows) is the dedup-planning statistic: it bounds
+    the posting-list volume a fingerprint index will carry at corpus
+    scale.
+
+    Scale: positions never leave their document — posexplode, two leads
+    and a min-over-frame all run inside one per-doc window sort (one
+    shuffle keyed on doc_id, bounded by the longest document, NOT corpus
+    size), and the distinct-count collapses per doc. Unlike MinHash this
+    is position-sensitive, so it complements llm_minhash_* (bag
+    similarity) and llm_span_dedup (exact spans). Hashes are 48-bit
+    md5 slices — exact in int64 on both engines."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    pos = t.documents.select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("pos", "w")
+    )
+    bypos = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        pos.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ",
+                "w",
+                F.lead("w", 1).over(bypos),
+                F.lead("w", 2).over(bypos),
+            ).alias("g"),
+            (F.lead("w", _WINNOW_K - 1).over(bypos)).alias("__full"),
+        )
+        .filter(F.col("__full").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    fp = grams.select(
+        "doc_id",
+        F.min("h")
+        .over(bypos.rowsBetween(0, _WINNOW_W - 1))
+        .alias("fp"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_kg"),
+        F.row_number().over(bypos).alias("rn"),
+    ).filter(
+        (F.col("n_kg") >= _WINNOW_W) & (F.col("rn") <= F.col("n_kg") - _WINNOW_W + 1)
+    )
+    return fp.groupBy("doc_id").agg(
+        F.first("n_kg").alias("n_kgrams"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+        (
+            F.floor(
+                F.countDistinct("fp")
+                * 1e6
+                / (F.first("n_kg") - _WINNOW_W + 1)
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("fp_density"),
+    )

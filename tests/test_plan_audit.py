@@ -337,3 +337,51 @@ def test_rfm_ntile_ranks_on_reduced_frame(spark):
             and "keys=[o_custkey" in n.simpleString(120)
             for n in walk(w)
         ), "ntile Window does not rank the per-customer reduction"
+
+
+def test_zipf_slope_prunes_scan_and_joins_nothing(spark):
+    """llm_zipf_slope is two aggregations and a per-lang window — the scan
+    must read only (lang, text), and no join may appear (the regression
+    is regr_slope/regr_r2 sums, never a collected series or a join)."""
+    plan = _plan(spark, "llm_zipf_slope")
+    assert "ReadSchema: struct<text:string,lang:string>" in plan, plan[
+        plan.find("ReadSchema") : plan.find("ReadSchema") + 120
+    ]
+    assert "Join" not in plan
+
+
+def test_lexical_diversity_stays_document_local(spark):
+    """llm_lexical_diversity must never shuffle on anything beyond the
+    document boundary: every exchange key starts with doc_id, no join,
+    and the scan reads only (doc_id, text)."""
+    plan = _plan(spark, "llm_lexical_diversity")
+    assert "Join" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert m.group(1).startswith("doc_id#"), m.group(0)
+
+
+def test_vocab_overlap_caches_distinct_and_broadcasts_sizes(spark):
+    """llm_source_vocab_overlap: the distinct (source, token) frame must
+    come from the persisted cache (three consumers — unpersisted each
+    re-scans the corpus, measured 4 parquet scans), and both 20-row size
+    tables must broadcast into the pair frame."""
+    plan = _plan(spark, "llm_source_vocab_overlap")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_winnowing_single_per_doc_shuffle(spark):
+    """llm_winnowing_fingerprint: leads, the min-over-frame and the final
+    per-doc aggregate all run inside ONE doc_id-keyed exchange — the
+    window partitioning must be reused by the groupBy (a second corpus
+    shuffle would double the operator's cost at 100 TB)."""
+    plan = _plan(spark, "llm_winnowing_fingerprint")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, exchanges
+    assert exchanges[0].startswith("doc_id#"), exchanges[0]
+    assert "Join" not in plan

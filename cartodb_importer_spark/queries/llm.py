@@ -4001,3 +4001,166 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("fp_density"),
     )
+
+
+# -------------------------------------------------- split / shard planning
+
+_SPLIT_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "llm_split_novelty",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train' ELSE 'test' END
+               AS split
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, split, unnest(
+        {{sh}}
+      ) AS g
+      FROM (SELECT doc_id, split, {{ws}} AS ws FROM tagged)
+    ), train_g AS (
+      SELECT DISTINCT g FROM grams WHERE split = 'train'
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (tr.g IS NULL) AS BIGINT) AS n_novel,
+           floor(count(*) FILTER (tr.g IS NULL) * 1e6 / count(*) + 0.5) / 1e6
+             AS novelty_frac
+    FROM grams t LEFT JOIN train_g tr ON t.g = tr.g
+    WHERE t.split = 'test'
+    GROUP BY t.doc_id
+    """.format(
+        sh=_duck_shingles("ws", 3),
+        ws=_DUCK_WORDS.format(col="text"),
+    ),
+)
+def llm_split_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out novelty audit: for every TEST-split document (the same
+    deterministic md5-bucket 80/20 split as llm_train_test_split), the
+    fraction of its distinct word-3-grams never seen anywhere in the
+    TRAIN split. Low novelty means the held-out set leaks training
+    phrasing (memorization masquerading as generalization in eval
+    numbers); this is the audit run after cutting a split and before
+    trusting a loss curve.
+
+    Scale contract — the inverse of llm_decontaminate's: there the
+    benchmark side is small and BROADCASTS; here BOTH sides are
+    corpus-scale (train grams are 80% of the corpus), so the plan must
+    shuffle-join on the 8-byte xxhash64 gram key — test grams left-join
+    the distinct train-gram set with fan-out exactly 1, and gram STRINGS
+    never shuffle (hash-compressed at the explode, collision odds
+    ~2^-64; the oracle joins raw strings — identical absent collisions).
+    Everything downstream re-collapses per doc_id."""
+    t = Tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    grams = t.documents.select(
+        "doc_id",
+        (bucket < 80).alias("is_train"),
+        F.explode(D.shingles(F.col("text"), 3)).alias("__g"),
+    ).select("doc_id", "is_train", F.xxhash64("__g").alias("g"))
+    train_g = (
+        grams.filter(F.col("is_train")).select("g").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        grams.filter(~F.col("is_train"))
+        .join(train_g, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_novel"),
+            (
+                F.floor(
+                    F.count(F.when(F.col("__hit").isNull(), 1))
+                    * 1e6
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+_N_SHARDS = 32
+
+
+@query(
+    "llm_shard_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 6))
+               AS BIGINT) % {_N_SHARDS} AS shard,
+             len({_DUCK_WORDS.format(col="text")}) AS n_tok
+      FROM documents
+    ), per AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+      FROM toks GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens, max_doc_tokens,
+           floor(n_tokens * {_N_SHARDS}.0 * 1e6
+                 / (SELECT sum(n_tokens) FROM per) + 0.5) / 1e6
+             AS load_ratio
+    FROM per
+    """,
+)
+def llm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export planner: assign every document to one of 32
+    output shards by a content-independent doc_id hash (md5 slice — NOT
+    xxhash64, whose seed differs across engines) and audit the resulting
+    token load per shard: doc count, token total, largest document, and
+    load_ratio = shard tokens / ideal even share. A ratio far from 1.0
+    means the shard writer needs a different key (or salting) before the
+    100 TB export job runs — this is the check that catches it at plan
+    time instead of at the straggler.
+
+    Scale: one scan, token counts computed per row (regexp_count — no
+    explode, no array), one 32-key groupBy with map-side partials; the
+    1-row grand total broadcasts back into the 32-row frame (the
+    allowlisted scalar cross-join pattern)."""
+    t = Tables(spark, sf_dir)
+    per = (
+        t.documents.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 7, 6),
+                    16,
+                    10,
+                ).cast("long")
+                % _N_SHARDS
+            ).alias("shard"),
+            T.token_count(F.col("text")).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "max_doc_tokens",
+        (
+            F.floor(
+                F.col("n_tokens") * float(_N_SHARDS) * 1e6 / F.col("__tot")
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("load_ratio"),
+    )

@@ -45,6 +45,7 @@ ALLOWED_NLJ = {
     "llm_mixture_weights",     # 1-row (N, denom) totals broadcast
     "llm_dsir_weights",        # 1-row token-total scalar into 128-row lambda
     "llm_dsir_resample",       # same lambda assembly as llm_dsir_weights
+    "llm_shard_plan",          # 1-row grand-total broadcast into 32-row frame
 }
 
 SF = "/root/testdata/sf0.001"
@@ -385,3 +386,29 @@ def test_winnowing_single_per_doc_shuffle(spark):
     assert len(exchanges) == 1, exchanges
     assert exchanges[0].startswith("doc_id#"), exchanges[0]
     assert "Join" not in plan
+
+
+def test_split_novelty_no_forced_broadcast_and_hashes_only(spark):
+    """llm_split_novelty: the train-gram side is 80% of the corpus, so
+    the query must NOT carry a broadcast hint (a forced broadcast OOMs at
+    scale — AQE picking one at a tiny local SF is fine and scale-free),
+    and gram STRINGS must never be a shuffle key (only the 8-byte
+    xxhash64 compression may move)."""
+    from cartodb_importer_spark.queries import QUERIES
+
+    df = QUERIES["llm_split_novelty"](spark, SF)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in logical.lower(), "forced broadcast hint found"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__g#" not in m.group(1), m.group(0)
+
+
+def test_shard_plan_no_explode_single_scan(spark):
+    """llm_shard_plan counts tokens with regexp_count per row — no
+    Generate (explode) may appear, and only (doc_id, text) is read."""
+    plan = _plan(spark, "llm_shard_plan")
+    assert "Generate" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

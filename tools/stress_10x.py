@@ -49,6 +49,10 @@ HEAVY = [
     # (doc, bucket) count — the persist must keep it one corpus scan as
     # the corpus grows
     "llm_dsir_weights",
+    # r06 corpus-audit batch: the vocab-overlap self-join's fan-out bound
+    # (sources-per-token^2) is what must hold as the corpus duplicates;
+    # winnowing's single per-doc exchange must absorb 10x the windows
+    "llm_source_vocab_overlap", "llm_winnowing_fingerprint",
 ]
 
 

@@ -119,7 +119,11 @@ def main() -> int:
 
     spark = get_spark()
     failures = 0
-    for name in HEAVY:
+    # STRESS_ONLY=a,b,c restricts the run (and skips the BPE block) — for
+    # rehearsing a new operator at 30x without repaying the full list
+    only = os.environ.get("STRESS_ONLY")
+    names = [n for n in only.split(",") if n] if only else HEAVY
+    for name in names:
         t0 = time.time()
         try:
             QUERIES[name](spark, DST).write.format("noop").mode(
@@ -139,6 +143,10 @@ def main() -> int:
     # item 5) must stay O(merges) — 64 merges over the duplicated corpus in
     # bounded time, where the old rederive-from-chars form was O(merges^2)
     # folds and unusable.
+    if only:
+        print(f"{len(names) - failures}/{len(names)} heavy operators OK "
+              f"at {COPIES}x sf0.1 (STRESS_ONLY)")
+        return 1 if failures else 0
     n_bpe = int(os.environ.get("STRESS_BPE_MERGES", "64"))
     t0 = time.time()
     try:

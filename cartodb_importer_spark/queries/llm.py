@@ -4164,3 +4164,74 @@ def llm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("load_ratio"),
     )
+
+
+@query(
+    "llm_lang_confusion",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, text, {_DUCK_WORDS.format(col="text")} AS ws
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             regexp_matches(text, '[一-鿿]') AS has_cjk,
+             {_LANG_HITS["de"]} AS h_de,
+             {_LANG_HITS["en"]} AS h_en,
+             {_LANG_HITS["es"]} AS h_es,
+             {_LANG_HITS["fr"]} AS h_fr
+      FROM w
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN has_cjk THEN 'zh'
+                  WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_es >= h_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM hits
+    ), cm AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY ALL
+    )
+    SELECT lang, lang_pred, n_docs,
+           floor(n_docs * 1e6 / sum(n_docs) OVER (PARTITION BY lang) + 0.5)
+             / 1e6 AS share
+    FROM cm
+    """,
+)
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID audit: the confusion matrix between the DECLARED lang
+    column and the marker-heuristic prediction (same construction as
+    llm_lang_id), with each cell's share of its declared-language row.
+    Off-diagonal mass localizes where the classifier (or the upstream
+    metadata) is lying — the check run before trusting either side for
+    per-language mixture weighting.
+
+    Scale: the per-doc prediction is one codegen'd pass (no explode
+    survives the projection), the matrix collapses to |langs| x |preds|
+    rows in one map-side-combinable groupBy, and the row-share window
+    runs on that ~25-row frame — nothing corpus-sized ever re-shuffles."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    cm = (
+        t.documents.select(
+            "lang", T.lang_id(F.col("text")).alias("lang_pred")
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return cm.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        (
+            F.floor(
+                F.col("n_docs")
+                * 1e6
+                / F.sum("n_docs").over(Window.partitionBy("lang"))
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("share"),
+    )

@@ -147,9 +147,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "graph_triangle_count",
-    oracle=f"""
+_TRIANGLE_SQL_CTES = f"""
     WITH {_PAIRS_CTE.strip()},
     tri AS (
       SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
@@ -161,28 +159,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a AS node FROM tri
       UNION ALL SELECT b FROM tri
       UNION ALL SELECT c FROM tri
-    )
-    SELECT node AS part_node, count(*) AS n_triangles
-    FROM member GROUP BY 1
-    """,
-)
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts via DEGREE-ordered wedge enumeration (the
-    Schank-Wagner / Cohen MapReduce orientation): every undirected edge
-    points from its lower-(degree, id) endpoint to the higher one, wedges
-    are pairs of out-neighbors of a common apex, and a triangle is a
-    wedge closed by the directed (b, c) edge. Each triangle is counted
-    exactly once (the orientation is a total order), and the wedge
-    fan-out is bounded by sum of out-degree^2 where out-degree is
-    O(sqrt(|E|)) under this orientation — the id-ordered variant (r02)
-    put every hub's full neighborhood on one apex and OOM'd a 1 GB bare
-    session at sf0.1; this one runs there comfortably. Two keyed
-    equi-joins (apex, then the composite (b, c) edge key); per-node
-    counts come from exploding each triangle's three members. Output:
-    every node in >= 1 triangle with its count, matching the SQL
-    oracle (which enumerates by id order — per-node counts are
-    orientation-invariant)."""
-    t = Tables(spark, sf_dir)
+    ),
+    tcnt AS (SELECT node, count(*) AS n_triangles FROM member GROUP BY 1)
+"""
+
+
+def _degree_and_triangle_counts(t: Tables):
+    """Shared construction for the triangle family: undirected per-node
+    degree and per-node triangle counts via DEGREE-ordered wedge
+    enumeration (the Schank-Wagner / Cohen MapReduce orientation): every
+    undirected edge points from its lower-(degree, id) endpoint to the
+    higher one, wedges are pairs of out-neighbors of a common apex, and
+    a triangle is a wedge closed by the directed (b, c) edge. Each
+    triangle is counted exactly once (the orientation is a total order),
+    and the wedge fan-out is bounded by sum of out-degree^2 where
+    out-degree is O(sqrt(|E|)) under this orientation — the id-ordered
+    variant (r02) put every hub's full neighborhood on one apex and
+    OOM'd a 1 GB bare session at sf0.1; this one runs there comfortably.
+    Two keyed equi-joins (apex, then the composite (b, c) edge key);
+    per-node counts come from exploding each triangle's three members.
+    Returns (deg: (node, deg), tcounts: (node, n_triangles) for every
+    node in >= 1 triangle). Per-node counts are orientation-invariant,
+    so the id-ordered SQL oracle enumeration matches."""
     # persisted: read three times (both union branches of the degree
     # count, then the orientation join) and expensive to rebuild
     pairs = _copurchase_pairs(t).persist()
@@ -229,8 +227,109 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(tri.select(F.col("b").alias("node")))
         .union(tri.select(F.col("c").alias("node")))
     )
-    return member.groupBy(F.col("node").alias("part_node")).agg(
+    tcounts = member.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
+    )
+    return deg, tcounts
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_SQL_CTES
+    + """
+    SELECT node AS part_node, n_triangles FROM tcnt
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (see _degree_and_triangle_counts for the
+    degree-ordered wedge construction and its scale bound). Output:
+    every node in >= 1 triangle with its count."""
+    _deg, tcounts = _degree_and_triangle_counts(Tables(spark, sf_dir))
+    return tcounts.select(F.col("node").alias("part_node"), "n_triangles")
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=_TRIANGLE_SQL_CTES
+    + """,
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1)
+    SELECT d.node AS part_node,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           floor(2.0 * coalesce(tc.n_triangles, 0) * 1e6
+                 / (d.deg * (d.deg - 1)) + 0.5) / 1e6 AS lcc
+    FROM deg d LEFT JOIN tcnt tc ON tc.node = d.node
+    WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles / deg*(deg-1)
+    for every node of degree >= 2 (zero-triangle nodes INCLUDED via the
+    left join — their lcc=0 is the signal that a hub's neighborhood is
+    a star, the market-basket "catalog item bought with everything"
+    shape). The canonical triangle-family statistic on top of the shared
+    degree-ordered wedge enumeration; same scale bound as
+    graph_triangle_count, plus one broadcast-sized left join of the
+    per-node counts back onto the degree table."""
+    deg, tcounts = _degree_and_triangle_counts(Tables(spark, sf_dir))
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tcounts, "node", "left")
+        .select(
+            F.col("node").alias("part_node"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            (
+                F.floor(
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    * 1e6
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("lcc"),
+        )
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_PAIRS_CTE.strip()},
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1)
+    SELECT CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY deg
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: node count per exact
+    degree — the first diagnostic run on any new graph (a heavy tail
+    here is what forces the degree-ordered triangle orientation and the
+    hub caps in the link-prediction query). Two keyed aggregations over
+    the persisted distinct edge list; output is bounded by the max
+    degree, never by graph size."""
+    t = Tables(spark, sf_dir)
+    pairs = _copurchase_pairs(t).persist()
+    deg = (
+        pairs.select(F.col("src").alias("node"))
+        .union(pairs.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy(F.col("deg").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
     )
 
 

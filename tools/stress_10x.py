@@ -53,6 +53,10 @@ HEAVY = [
     # (sources-per-token^2) is what must hold as the corpus duplicates;
     # winnowing's single per-doc exchange must absorb 10x the windows
     "llm_source_vocab_overlap", "llm_winnowing_fingerprint",
+    # r06 graph additions: clustering coefficient rides the shared
+    # degree-ordered triangle enumeration — the orientation's hub bound
+    # is what must hold as the co-purchase graph densifies
+    "graph_clustering_coefficient",
 ]
 
 

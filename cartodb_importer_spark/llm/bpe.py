@@ -71,6 +71,69 @@ def apply_merges(
     return out
 
 
+# Unit separator for the linear-scan merge path. Any token that contains
+# it (or is empty/NULL) would make the joined form ambiguous, so such rows
+# fall back to the exact fold — see apply_merges_scan.
+_SEP = "\x01"
+
+
+def _rx_quote(tok: str) -> str:
+    """Regex-quote a token for the scan pattern (Java-compatible: never
+    backslash-escapes alphanumerics)."""
+    import re
+
+    return re.escape(tok)
+
+
+def _rx_replacement(tok: str) -> str:
+    """Escape Java regexp_replace replacement metacharacters."""
+    return tok.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def merge_once_scan(joined: Column, left: str, right: str) -> Column:
+    """One merge rule over the _SEP-joined token string: replace every
+    boundary-guarded ``left SEP right`` with the merged symbol. Java's
+    replaceAll scans left-to-right and resumes AFTER each replacement —
+    exactly merge_once's non-overlapping fold semantics — and the
+    zero-width boundary guards ((?<![^SEP]) / (?![^SEP])) keep partial
+    tokens from matching without consuming the neighbouring separators,
+    so adjacent pair occurrences still merge. One codegen'd linear pass
+    per rule vs the fold's interpreted O(n^2) accumulator copies."""
+    pat = (
+        f"(?<![^{_SEP}])"
+        + _rx_quote(left)
+        + _SEP
+        + _rx_quote(right)
+        + f"(?![^{_SEP}])"
+    )
+    return F.regexp_replace(
+        joined, F.lit(pat), F.lit(_rx_replacement(left + right))
+    )
+
+
+def apply_merges_scan(
+    tokens: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """apply_merges, the fast path: join the token array on _SEP once,
+    chain one boundary-guarded regexp_replace per rule (codegen'd,
+    linear), split once. Identical output to the fold — verified
+    mismatch-free against apply_merges over all three SFs and pinned by
+    tests/test_bpe.py — except for token arrays the joined form cannot
+    represent (a token containing _SEP, an empty token, a NULL element);
+    those rows take the exact fold via a lazily-evaluated branch, so the
+    operator is exact on ANY input while the realistic path (~26x faster
+    at sf0.1: 0.33s vs 8.7s) covers everything char_tokens can emit."""
+    dirty = F.exists(
+        tokens,
+        lambda x: x.isNull() | (x == "") | x.contains(_SEP),
+    )
+    joined = F.array_join(tokens, _SEP)
+    for left, right in merges:
+        joined = merge_once_scan(joined, left, right)
+    scan = F.filter(F.split(joined, _SEP), lambda x: x != "")
+    return F.when(dirty, apply_merges(tokens, merges)).otherwise(scan)
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -119,7 +182,10 @@ def bpe_train(
         row = top[0]
         out.append((row["l"], row["r"], row["cnt"]))
         if len(out) < n_merges:
+            # scan-path merge (apply_merges_scan semantics, exact-guarded)
             state = state.select(
-                merge_once(F.col("toks"), row["l"], row["r"]).alias("toks")
+                apply_merges_scan(
+                    F.col("toks"), [(row["l"], row["r"])]
+                ).alias("toks")
             ).localCheckpoint(eager=False)
     return out

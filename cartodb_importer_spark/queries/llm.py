@@ -3160,7 +3160,7 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import bpe as B
 
     t = Tables(spark, sf_dir)
-    toks = B.apply_merges(
+    toks = B.apply_merges_scan(
         B.char_tokens(F.col("text")), [(l, r) for l, r in _BPE_MERGES]
     )
     return t.documents.select(

@@ -83,3 +83,34 @@ def test_train_survives_empty_texts(spark):
     df = spark.createDataFrame([("",), ("the the the",), ("",)], "text string")
     learned = B.bpe_train(df, n_merges=3)
     assert learned == [("h", "e", 3), ("t", "he", 3), ("_", "the", 2)]
+
+
+def test_scan_path_equals_fold_on_adversarial_tokens(spark):
+    """apply_merges_scan must equal the exact fold on EVERY input class:
+    the fast joined-string path (clean tokens, adjacent repeats, overlap
+    chains, rules whose merged symbol feeds a later rule) AND the
+    fallback branch (tokens containing the \\x01 separator, empty
+    tokens, NULL elements — arrays the joined form cannot represent)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    cases = [
+        ["t", "h", "e", "_"],
+        ["a", "a", "a"],                      # same-rule overlap chain
+        ["t", "h", "t", "h", "h"],            # adjacent pair occurrences
+        ["th", "e", "th", "e_"],              # partial-token bait
+        ["x"],                                # too short to merge
+        [],                                   # empty array
+        ["a", "\x01", "a"],                   # separator collision -> fold
+        ["a", "", "a"],                       # empty token -> fold
+        ["a", None, "a"],                     # NULL element -> fold
+        ["_", "t", "h", "e", "_", "t", "h"],  # rule-chain feeding
+    ]
+    rules = [("t", "h"), ("th", "e"), ("a", "a"), ("_", "the")]
+    schema = StructType([StructField("toks", ArrayType(StringType()), True)])
+    df = spark.createDataFrame([(c,) for c in cases], schema)
+    out = df.select(
+        B.apply_merges(F.col("toks"), rules).alias("fold"),
+        B.apply_merges_scan(F.col("toks"), rules).alias("scan"),
+    ).collect()
+    for case, row in zip(cases, out):
+        assert row["fold"] == row["scan"], (case, row["fold"], row["scan"])

@@ -4241,3 +4241,92 @@ def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("share"),
     )
+
+
+@query(
+    "llm_cross_source_dups",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST(floor(
+               CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                    THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                         / len(list_distinct(list_concat(sa.s, sb.s)))
+                    ELSE 0.0 END * 10000 + 0.5) AS BIGINT) AS j_bp
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    ), dup AS (
+      SELECT s.id_a, s.id_b, s.j_bp FROM scored s WHERE s.j_bp >= 8000
+    )
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           floor(sum(j_bp) * 1.0 / count(*) + 0.5) / 10000 AS avg_jaccard
+    FROM dup
+    JOIN documents da ON da.doc_id = dup.id_a
+    JOIN documents db ON db.doc_id = dup.id_b
+    GROUP BY ALL
+    """,
+)
+def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplicate attribution: verified near-dup pairs (the
+    same LSH band -> exact-Jaccard >= 0.8 chain as llm_near_dedup)
+    grouped by the UNORDERED source pair of their members. A heavy
+    off-diagonal cell means two "different" sources are substantially
+    the same corpus — the mirror/re-crawl detector run before mixture
+    weighting double-counts them; the diagonal is each source's internal
+    boilerplate load.
+
+    The per-group mean jaccard aggregates EXACT integer basis points
+    (floor(j*1e4+0.5) per pair, summed as int64, one final integer
+    division) so no float-accumulation order can flip the rounded
+    output. Scale shape: candidate generation is the bucket-capped LSH
+    self-join (never corpus-quadratic), the verify join ships
+    xxhash64-compressed shingle arrays, and the attribution joins key on
+    doc_id against the pruned (doc_id, source) projection; output is
+    |sources|^2 rows at most."""
+    t = Tables(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
+    scored = D.jaccard_pairs(t.documents, cand, n=2)
+    dup = scored.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("j_bp"),
+    ).filter(F.col("j_bp") >= 8000)
+    src = t.documents.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    return (
+        dup.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            (
+                F.floor(
+                    F.sum("j_bp") * 1.0 / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_jaccard"),
+        )
+    )

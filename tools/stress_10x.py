@@ -57,6 +57,10 @@ HEAVY = [
     # degree-ordered triangle enumeration — the orientation's hub bound
     # is what must hold as the co-purchase graph densifies
     "graph_clustering_coefficient",
+    # cross-source attribution rides the verified near-dup pair frame —
+    # under 10x duplication pressure every doc has 9 true near-dups, the
+    # worst-realistic-case pair volume for the attribution joins
+    "llm_cross_source_dups",
 ]
 
 

@@ -111,6 +111,25 @@ def merge_once_scan(joined: Column, left: str, right: str) -> Column:
     )
 
 
+def _dirty_tokens(tokens: Column) -> Column:
+    """True when the joined scan form cannot represent the array: a token
+    containing _SEP, an empty token, or a NULL element. NULL for a NULL
+    array (which both paths map to NULL output)."""
+    return F.exists(
+        tokens,
+        lambda x: x.isNull() | (x == "") | x.contains(_SEP),
+    )
+
+
+def _scan_chain(tokens: Column, merges: list[tuple[str, str]]) -> Column:
+    """The raw scan pipeline: join on _SEP once, one boundary-guarded
+    regexp_replace per rule, split once. Only exact on non-dirty arrays."""
+    joined = F.array_join(tokens, _SEP)
+    for left, right in merges:
+        joined = merge_once_scan(joined, left, right)
+    return F.filter(F.split(joined, _SEP), lambda x: x != "")
+
+
 def apply_merges_scan(
     tokens: Column, merges: list[tuple[str, str]]
 ) -> Column:
@@ -122,16 +141,46 @@ def apply_merges_scan(
     represent (a token containing _SEP, an empty token, a NULL element);
     those rows take the exact fold via a lazily-evaluated branch, so the
     operator is exact on ANY input while the realistic path (~26x faster
-    at sf0.1: 0.33s vs 8.7s) covers everything char_tokens can emit."""
-    dirty = F.exists(
-        tokens,
-        lambda x: x.isNull() | (x == "") | x.contains(_SEP),
+    at sf0.1: 0.33s vs 8.7s) covers everything char_tokens can emit.
+
+    Plan-size caveat (ADVICE r06): the when() branch embeds BOTH chains
+    (scan + interpreted fold) in the expression tree for every row, so
+    for large rule lists — thousand-merge vocabularies — the plan doubles
+    and risks the 64KB Janino codegen fallback. This Column form is for
+    SMALL rule lists (the 8-rule query, the 1-rule train round);
+    DataFrame callers with big merge tables use ``apply_merges_df``,
+    which splits dirty rows out with filter+union so each slice's plan
+    carries exactly one chain."""
+    return F.when(
+        _dirty_tokens(tokens), apply_merges(tokens, merges)
+    ).otherwise(_scan_chain(tokens, merges))
+
+
+def apply_merges_df(
+    df: DataFrame,
+    tokens_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str | None = None,
+) -> DataFrame:
+    """DataFrame-level merge application for LARGE rule lists: the
+    scan-representable rows (everything ``char_tokens`` can emit — in a
+    real corpus, all of them) take the linear regexp-scan chain, and the
+    degenerate rows (token containing _SEP / empty / NULL element) are
+    split out with filter+union onto the exact fold. Unlike the when()
+    form, each slice's expression tree carries ONE chain, so plan size
+    stays linear in the rule count and whole-stage codegen survives
+    thousand-rule vocabularies (ADVICE r06). Semantics are pinned equal
+    to the fold on every input class by tests/test_bpe.py."""
+    out_col = out_col or tokens_col
+    toks = F.col(tokens_col)
+    dirty = F.coalesce(_dirty_tokens(toks), F.lit(False))
+    clean = df.filter(~dirty).withColumn(
+        out_col, _scan_chain(toks, merges)
     )
-    joined = F.array_join(tokens, _SEP)
-    for left, right in merges:
-        joined = merge_once_scan(joined, left, right)
-    scan = F.filter(F.split(joined, _SEP), lambda x: x != "")
-    return F.when(dirty, apply_merges(tokens, merges)).otherwise(scan)
+    degenerate = df.filter(dirty).withColumn(
+        out_col, apply_merges(toks, merges)
+    )
+    return clean.unionByName(degenerate)
 
 
 def bpe_train(

@@ -582,6 +582,10 @@ def connected_components(
             # overhead; a component still unconverged after two plain
             # rounds is deep, and from here depth halves per round, so
             # max_iterations=20 covers diameter ~2^18.
+            # Checkpoint BEFORE self-joining: both sides of the jump join
+            # reference `stepped`, so without this the neighbor-min join
+            # subtree is evaluated twice per round (ADVICE r06).
+            stepped = stepped.localCheckpoint(eager=False)
             lookup = stepped.select(
                 F.col("id").alias("__lid"),
                 F.col("component").alias("__lcomp"),

@@ -104,10 +104,18 @@ def cosine_topk_per_label_blas(
     ``applyInPandas`` instead of an interpreted-HOF pair join (the
     semdedup_flags lesson: O(n^2) pairwise array math belongs in an
     Arrow-batched matmul; measured ~6x on this operator at sf0.1).
-    Memory per task stays bounded: the bucket matrix is O(n x d) and
-    cosine blocks are capped ~64 MB regardless of bucket size. At 100 TB
-    the bucket (label / IVF cell) is the unit of work — n is a cell,
-    never the corpus."""
+    Memory per block is O(block_rows x n): the block row count shrinks
+    as the bucket grows, capping each cosine block at ~64 MB, but the
+    per-row temporaries are inherently O(n) — a single 10M-vector bucket
+    would need ~80 MB/row, which is why the bucket (label / IVF cell)
+    is the unit of work at 100 TB: n is a cell, never the corpus.
+
+    Degenerate-input semantics match the HOF form and the SQL oracle
+    exactly (ADVICE r06): grid-rounding is half-AWAY-FROM-ZERO (DuckDB
+    round(x,6) / Spark F.round), not floor(x*1e6+0.5) (which pulls
+    negative half-grid values toward +inf), and zero-norm vectors yield
+    NULL cosine (the HOF form's 0/0), ranked last (desc NULLS LAST)
+    with id-ascending ties."""
     import numpy as np
     import pandas as pd
 
@@ -120,31 +128,47 @@ def cosine_topk_per_label_blas(
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(
-                {"id_a": [], "id_b": [], "cosine_sim": []}
-            ).astype({"id_a": "int64", "id_b": "int64"})
+                {
+                    "id_a": pd.array([], dtype="int64"),
+                    "id_b": pd.array([], dtype="int64"),
+                    "cosine_sim": pd.array([], dtype="Float64"),
+                }
+            )
         norms = np.sqrt(np.einsum("ij,ij->i", m, m))
         out_a, out_b, out_c = [], [], []
-        block = max(64, min(4096, (64 << 20) // max(n * 8, 1)))
+        block = max(1, min(4096, (64 << 20) // max(n * 8, 1)))
         kk = min(k, n - 1)
+        sel = np.ones(n, dtype=bool)
         for s in range(0, n, block):
             e = min(s + block, n)
             dots = m[s:e] @ m.T
             denom = np.outer(norms[s:e], norms)
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom > 0, dots / denom, 0.0)
+                cos = np.where(denom > 0, dots / denom, np.nan)
             # 1e-6 grid BEFORE selection so tie-breaks match the SQL
-            # oracle's round(x, 6) ordering exactly
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            # oracle's round(x, 6) ordering exactly; copysign keeps the
+            # rounding half-away-from-zero for negative cosines
+            cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
+            cos += 0.0  # IEEE: -0.0 + 0.0 = +0.0 (match the engines' 0.0)
             for i in range(e - s):
-                row = cos[i].copy()
-                row[s + i] = -np.inf  # mask self
-                # ascending (-cos, id): lexsort's LAST key is primary
-                order = np.lexsort((ids, -row))[:kk]
+                sel[s + i] = False  # exclude self by index, not sentinel
+                cand_ids = ids[sel]
+                cand = cos[i][sel]
+                sel[s + i] = True
+                # ascending (-cos, id): lexsort's LAST key is primary;
+                # NaN (zero-norm) sorts after every finite value with
+                # id-ascending stability — exactly desc NULLS LAST
+                order = np.lexsort((cand_ids, -cand))[:kk]
                 out_a.extend([ids[s + i]] * len(order))
-                out_b.extend(ids[order])
-                out_c.extend(row[order])
+                out_b.extend(cand_ids[order])
+                out_c.extend(cand[order])
         return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "cosine_sim": out_c}
+            {
+                "id_a": out_a,
+                "id_b": out_b,
+                # nullable Float64 so NaN (zero-norm) crosses Arrow as NULL
+                "cosine_sim": pd.array(out_c, dtype="Float64"),
+            }
         )
 
     return (
@@ -603,10 +627,11 @@ def semdedup_flags(
     ``applyInPandas`` — the brief's vectorized-Pandas-UDF case: 64-dim
     dot products in interpreted HOF expressions cost ~100x more (the 10x
     stress rehearsal measured 313s; this form is ~20x faster). Memory
-    per task stays bounded: the cluster's matrix is O(n x d) and the
-    cosine blocks are capped at ~64 MB regardless of cluster size. At
-    100 TB the cluster count scales with the corpus (the IVF layout of
-    ``ivf_topk``), so n stays a cell, never the corpus."""
+    per block is O(block_rows x n) — the block row count shrinks as the
+    cluster grows, capping each cosine block at ~64 MB, but per-row
+    temporaries are inherently O(n). At 100 TB the cluster count scales
+    with the corpus (the IVF layout of ``ivf_topk``), so n stays a
+    cell, never the corpus."""
     import numpy as np
     import pandas as pd
 
@@ -618,14 +643,17 @@ def semdedup_flags(
         norms = np.sqrt(sq)
         ok = sq > 0
         is_dup = np.zeros(n, dtype=bool)
-        block = max(64, min(4096, (64 << 20) // max(n * 8, 1)))
+        block = max(1, min(4096, (64 << 20) // max(n * 8, 1)))
         for s in range(1, n, block):
             e = min(s + block, n)
             dots = m[s:e] @ m[:e].T
             denom = np.outer(norms[s:e], norms[:e])
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, dots / denom, 0.0)
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            # half-away-from-zero (= round(x,6) in both engines); the
+            # `lower` mask below already excludes zero-norm rows, so the
+            # 0.0 placeholder never reaches a >= threshold decision
+            cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
             lower = np.arange(e)[None, :] < np.arange(s, e)[:, None]
             lower &= ok[None, :e] & ok[s:e, None]
             is_dup[s:e] |= ((cos >= threshold) & lower).any(axis=1)

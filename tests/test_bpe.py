@@ -114,3 +114,27 @@ def test_scan_path_equals_fold_on_adversarial_tokens(spark):
     ).collect()
     for case, row in zip(cases, out):
         assert row["fold"] == row["scan"], (case, row["fold"], row["scan"])
+
+    # DataFrame-level split form (the large-rule-list path, ADVICE r06):
+    # same equivalence, and each slice's plan carries exactly ONE chain.
+    # Tag rows so the unordered union can be matched back to its input.
+    tagged = spark.createDataFrame(
+        [(str(i), c) for i, c in enumerate(cases)],
+        StructType(
+            [
+                StructField("i", StringType(), True),
+                StructField("toks", ArrayType(StringType()), True),
+            ]
+        ),
+    )
+    expected = {
+        r["i"]: r["fold"]
+        for r in tagged.select(
+            "i", B.apply_merges(F.col("toks"), rules).alias("fold")
+        ).collect()
+    }
+    got = {
+        r["i"]: r["toks"]
+        for r in B.apply_merges_df(tagged, "toks", rules).collect()
+    }
+    assert got == expected

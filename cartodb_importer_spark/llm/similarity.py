@@ -261,6 +261,129 @@ def ivf_topk(
     )
 
 
+def probe_cells(
+    centroids: list[list[float]], nprobe: int, vec_col: str = "embedding"
+) -> Column:
+    """The nprobe nearest IVF cell ids per row, as a pure JVM expression
+    (array_sort over (distance, cell) structs — deterministic ties by
+    cell id). This is the BATCHED counterpart of ivf_topk's driver-side
+    probe ranking: the model (centroid literals) ships into the plan,
+    and every row ranks the cells itself — no per-query driver work."""
+    v = F.col(vec_col).cast("array<double>")
+    structs = []
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        structs.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
+    ranked = F.array_sort(F.array(*structs))
+    return F.slice(
+        F.transform(ranked, lambda s: s.getField("cell")), 1, nprobe
+    )
+
+
+def ann_batch_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF top-k: EVERY row is a query (the 100 TB pipeline
+    shape — VERDICT r06 item 3), not one driver-collected vector.
+
+    Topology: (1) each vector ranks its nprobe nearest cells JVM-side
+    (``probe_cells``) and explodes to (cell, qid, qv) probe rows;
+    (2) the corpus gets its home cell (``assign_ivf_cell``); (3) ONE
+    cell-keyed cogroup brings each cell's probing queries and resident
+    members into the same Arrow batch, where a blocked BLAS matmul
+    scores them and keeps the per-cell top-k per query; (4) a per-qid
+    window merges the nprobe per-cell lists into the global top-k.
+    Every member lives in exactly one cell, so the merge never sees a
+    duplicate (qid, vec_id) candidate.
+
+    No cartesian, no per-query driver loop, no collect: the probe fan-out
+    is x nprobe and the quadratic stage is per-cell — at 100 TB cells are
+    the partition unit (n_cells ~ sqrt(N)), so each task touches one
+    cell's members against that cell's probe subset only. Self matches
+    are included (cosine 1.0, rank 1), mirroring ivf_topk. Similarities
+    round to the 1e-6 grid via floor(x*1e6+0.5) — the ANN-contract
+    convention (_ANN_BRUTE_ORACLE) shared by both engines — BEFORE
+    selection, ties by ascending neighbor id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    probes = df.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(probe_cells(centroids, nprobe, vec_col)).alias("cell"),
+    )
+    members = assign_ivf_cell(df, centroids, vec_col).select(
+        F.col("ivf_cell").alias("cell"),
+        F.col(id_col).alias("mid"),
+        F.col(vec_col).cast("array<double>").alias("mv"),
+    )
+
+    def cell_topk(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pd.array([], dtype="int64"),
+                "vec_id": pd.array([], dtype="int64"),
+                "cosine_sim": pd.array([], dtype="float64"),
+            }
+        )
+        if qpdf.empty or mpdf.empty:
+            return empty
+        qpdf = qpdf.sort_values("qid").reset_index(drop=True)
+        mpdf = mpdf.sort_values("mid").reset_index(drop=True)
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+        mm = np.stack([np.asarray(v, dtype=np.float64) for v in mpdf["mv"]])
+        qids = qpdf["qid"].to_numpy()
+        mids = mpdf["mid"].to_numpy()
+        nq, nm = len(qids), len(mids)
+        qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+        mn = np.sqrt(np.einsum("ij,ij->i", mm, mm))
+        kk = min(k, nm)
+        out_q, out_m, out_c = [], [], []
+        block = max(1, min(4096, (64 << 20) // max(nm * 8, 1)))
+        for s in range(0, nq, block):
+            e = min(s + block, nq)
+            dots = qm[s:e] @ mm.T
+            denom = np.outer(qn[s:e], mn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, np.nan)
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            for i in range(e - s):
+                row = cos[i]
+                order = np.lexsort((mids, -row))[:kk]
+                out_q.extend([qids[s + i]] * len(order))
+                out_m.extend(mids[order])
+                out_c.extend(row[order])
+        return pd.DataFrame(
+            {"qid": out_q, "vec_id": out_m, "cosine_sim": out_c}
+        )
+
+    candidates = probes.groupBy("cell").cogroup(
+        members.groupBy("cell")
+    ).applyInPandas(
+        lambda left, right: cell_topk(left, right),
+        "qid bigint, vec_id bigint, cosine_sim double",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def train_hyperplanes(
     dim: int, n_planes: int = 12, seed: int = 42
 ) -> list[list[float]]:

@@ -412,3 +412,25 @@ def test_shard_plan_no_explode_single_scan(spark):
     plan = _plan(spark, "llm_shard_plan")
     assert "Generate" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_ann_batch_topk_no_cartesian_no_driver_loop(spark):
+    """The batched ANN approximate path (similarity.ann_batch_topk) is
+    ONE distributed plan over all queries at once — VERDICT r06 item 3:
+    no cartesian/nested-loop join anywhere, exactly one cell-keyed
+    cogroup (FlatMapCoGroupsInPandas) doing the quadratic stage, and the
+    probe ranking inlined as a JVM expression (no per-query driver
+    collect — the plan below covers EVERY qid)."""
+    from cartodb_importer_spark.llm import similarity as S
+    from cartodb_importer_spark.queries import Tables
+
+    emb = Tables(spark, SF).embeddings
+    # fixed centroids: the audit is about topology, not k-means quality
+    centroids = [[float(i == j % 4) for i in range(64)] for j in range(8)]
+    df = S.ann_batch_topk(emb, centroids, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
+    # the per-qid merge window rides the cogroup output
+    assert "Window" in plan

@@ -504,6 +504,62 @@ def near_dedup_ml_minhash_lsh(
     )
 
 
+def _cc_round(edges: DataFrame, labels: DataFrame, jump: bool) -> DataFrame:
+    """One connected-components superstep, factored out so the plan-audit
+    suite pins its shuffle topology per round (test_plan_audit.py):
+    neighbor-min join + aggregate, label step, and (from round 3) the
+    pointer jump. Returns (id, __prev, component)."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.id)
+        .groupBy("src")
+        .agg(F.min("component").alias("nbr_component"))
+    )
+    # Carry the previous label alongside the new one so convergence is
+    # a filter over this already-persisted frame — not a second join
+    # of updated-vs-labels (one fewer shuffle per round).
+    stepped = labels.join(
+        neighbor_min, labels.id == neighbor_min.src, "left"
+    ).select(
+        "id",
+        F.col("component").alias("__prev"),
+        F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        ).alias("component"),
+    )
+    if jump:
+        # pointer jump: component := min(component, label[component]).
+        # Labels only ever shrink, and a node's label is always a node
+        # id present in `stepped`, so the lookup join is total in
+        # practice (left + coalesce guards the own-id case). This is
+        # what turns diameter-bound convergence into log-bound.
+        # ADAPTIVE: the jump join only joins the game from round 3 —
+        # real near-dup graphs are dense and shallow (diameter <= ~3,
+        # converged before the jump would fire), so they pay zero
+        # overhead; a component still unconverged after two plain
+        # rounds is deep, and from here depth halves per round, so
+        # max_iterations=20 covers diameter ~2^18.
+        # Checkpoint BEFORE self-joining: both sides of the jump join
+        # reference `stepped`, so without this the neighbor-min join
+        # subtree is evaluated twice per round (ADVICE r06).
+        stepped = stepped.localCheckpoint(eager=False)
+        lookup = stepped.select(
+            F.col("id").alias("__lid"),
+            F.col("component").alias("__lcomp"),
+        )
+        stepped = stepped.join(
+            lookup, stepped.component == F.col("__lid"), "left"
+        ).select(
+            "id",
+            "__prev",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("__lcomp"), F.col("component")),
+            ).alias("component"),
+        )
+    return stepped
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -552,55 +608,7 @@ def connected_components(
         .localCheckpoint()
     )
     for i in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # Carry the previous label alongside the new one so convergence is
-        # a filter over this already-persisted frame — not a second join
-        # of updated-vs-labels (one fewer shuffle per round).
-        stepped = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.col("component").alias("__prev"),
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_component"), F.col("component")),
-            ).alias("component"),
-        )
-        if i >= 2:
-            # pointer jump: component := min(component, label[component]).
-            # Labels only ever shrink, and a node's label is always a node
-            # id present in `stepped`, so the lookup join is total in
-            # practice (left + coalesce guards the own-id case). This is
-            # what turns diameter-bound convergence into log-bound.
-            # ADAPTIVE: the jump join only joins the game from round 3 —
-            # real near-dup graphs are dense and shallow (diameter <= ~3,
-            # converged before the jump would fire), so they pay zero
-            # overhead; a component still unconverged after two plain
-            # rounds is deep, and from here depth halves per round, so
-            # max_iterations=20 covers diameter ~2^18.
-            # Checkpoint BEFORE self-joining: both sides of the jump join
-            # reference `stepped`, so without this the neighbor-min join
-            # subtree is evaluated twice per round (ADVICE r06).
-            stepped = stepped.localCheckpoint(eager=False)
-            lookup = stepped.select(
-                F.col("id").alias("__lid"),
-                F.col("component").alias("__lcomp"),
-            )
-            stepped = stepped.join(
-                lookup, stepped.component == F.col("__lid"), "left"
-            ).select(
-                "id",
-                "__prev",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("__lcomp"), F.col("component")),
-                ).alias("component"),
-            )
-        updated = stepped.localCheckpoint()
+        updated = _cc_round(edges, labels, jump=i >= 2).localCheckpoint()
         changed = (
             updated.filter(F.col("component") < F.col("__prev")).limit(1).count()
         )

@@ -94,6 +94,30 @@ def _pagerank_oracle(iters: int) -> str:
     """
 
 
+def _pagerank_ranks(
+    wedges: DataFrame, deg: DataFrame, n: int, iters: int
+) -> DataFrame:
+    """The BSP superstep loop, factored out so the plan-audit suite can
+    pin the PER-ITERATION shuffle delta (test_plan_audit.py): each extra
+    iteration must add a constant number of exchanges (the rank-side
+    join shuffle + the contribution aggregate), never grow the reused
+    weighted-edge subtree."""
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        ranks = (
+            wedges.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            .select(
+                F.col("dst").alias("src"),
+                (F.lit(0.15 / n) + F.lit(0.85) * F.col("contrib")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks
+
+
 @query("graph_pagerank", oracle=_pagerank_oracle(5))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed 5-iteration PageRank (damping 0.85) over the co-purchase
@@ -125,19 +149,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = deg.count()  # driver scalar (aggregate action, not a row collect)
-    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
-    for _ in range(5):
-        ranks = (
-            wedges.join(ranks, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-            .select(
-                F.col("dst").alias("src"),
-                (F.lit(0.15 / n) + F.lit(0.85) * F.col("contrib")).alias(
-                    "rank"
-                ),
-            )
-        )
+    ranks = _pagerank_ranks(wedges, deg, n, iters=5)
     return ranks.join(deg, "src").select(
         F.col("src").alias("part_node"),
         (F.floor(F.col("rank") * n * 1e6 + F.lit(0.5)) / 1e6).alias(

@@ -434,3 +434,93 @@ def test_ann_batch_topk_no_cartesian_no_driver_loop(spark):
     assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
     # the per-qid merge window rides the cogroup output
     assert "Window" in plan
+
+
+def test_pagerank_constant_shuffles_per_iteration(spark):
+    """BSP invariant: each extra PageRank superstep adds a CONSTANT
+    number of exchanges to the static plan (rank-side join shuffle +
+    contribution aggregate and their sorts) — never a growing re-plan of
+    the persisted weighted-edge subtree. Superlinear per-round plan
+    growth is the classic iterative-DataFrame trap at 100 TB."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.queries import Tables
+    from cartodb_importer_spark.queries.graph import (
+        _copurchase_pairs,
+        _pagerank_ranks,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t = Tables(spark, SF)
+        pairs = _copurchase_pairs(t)
+        edges = pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        wedges = (
+            edges.join(deg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+            .persist()
+        )
+        counts = {}
+        for iters in (2, 3, 4):
+            df = _pagerank_ranks(wedges, deg, n=100, iters=iters)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            counts[iters] = len(
+                re.findall(r"\bExchange hashpartitioning", plan)
+            )
+        d32 = counts[3] - counts[2]
+        d43 = counts[4] - counts[3]
+        assert d32 == d43, counts          # constant per-iteration delta
+        assert d43 <= 8, counts            # and a small constant
+        wedges.unpersist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_connected_components_round_shuffle_topology(spark):
+    """One CC superstep (_cc_round) stays at its shuffle minimum: the
+    plain round is neighbor-join (2) + min-aggregate (1) + label step
+    left-join (1) = at most 4 exchanges; the jump round's post-checkpoint
+    plan (the eager=False localCheckpoint truncates the pre-jump subtree
+    — that truncation is itself the ADVICE r06 single-evaluation fix)
+    adds at most 2 more for the pointer-jump self-join. No NLJ ever."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.llm import dedup as D
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], "id_a bigint, id_b bigint"
+        )
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .union(
+                pairs.select(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .localCheckpoint()
+        )
+        for jump, max_exchanges in ((False, 4), (True, 2)):
+            df = D._cc_round(edges, labels, jump=jump)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+            assert n_ex <= max_exchanges, (jump, n_ex, plan)
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

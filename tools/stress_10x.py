@@ -67,55 +67,74 @@ HEAVY = [
 def generate() -> None:
     import duckdb
 
+    # STRESS_TABLES=documents,events restricts COPIES-x duplication to the
+    # listed fact tables (the rest are copied at 1x) — a 100x documents-only
+    # rehearsal shouldn't pay for a 60M-row lineitem it never reads.
+    only_tables = {
+        t for t in os.environ.get("STRESS_TABLES", "").split(",") if t
+    }
+
+    def wanted(t: str) -> bool:
+        return not only_tables or t in only_tables
+
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    for t in ["orders", "lineitem", "events", "documents", "embeddings"]:
+        if not wanted(t):
+            shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     n = COPIES - 1
-    mx = con.sql(
-        f"SELECT max(o_orderkey) FROM read_parquet('{SRC}/orders.parquet')"
-    ).fetchone()[0]
-    con.sql(f"""
-      COPY (SELECT o_orderkey + i*{mx + 1} AS o_orderkey, o_custkey,
-                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-            FROM read_parquet('{SRC}/orders.parquet'),
-                 generate_series(0,{n}) t(i))
-      TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
-    con.sql(f"""
-      COPY (SELECT l_orderkey + i*{mx + 1} AS l_orderkey, l_partkey,
-                   l_suppkey, l_linenumber, l_quantity, l_extendedprice,
-                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
-            FROM read_parquet('{SRC}/lineitem.parquet'),
-                 generate_series(0,{n}) t(i))
-      TO '{DST}/lineitem.parquet' (FORMAT PARQUET)""")
-    me, mu = con.sql(
-        f"SELECT max(event_id), max(user_id) "
-        f"FROM read_parquet('{SRC}/events.parquet')"
-    ).fetchone()
-    con.sql(f"""
-      COPY (SELECT event_id + i*{me + 1} AS event_id, ts,
-                   user_id + i*{mu + 1} AS user_id, event_type, value, props
-            FROM read_parquet('{SRC}/events.parquet'),
-                 generate_series(0,{n}) t(i))
-      TO '{DST}/events.parquet' (FORMAT PARQUET)""")
-    md = con.sql(
-        f"SELECT max(doc_id) FROM read_parquet('{SRC}/documents.parquet')"
-    ).fetchone()[0]
-    con.sql(f"""
-      COPY (SELECT doc_id + i*{md + 1} AS doc_id,
-                   text || ' v' || i::VARCHAR AS text, lang, source,
-                   n_chars + 3 AS n_chars
-            FROM read_parquet('{SRC}/documents.parquet'),
-                 generate_series(0,{n}) t(i))
-      TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
-    mv = con.sql(
-        f"SELECT max(vec_id) FROM read_parquet('{SRC}/embeddings.parquet')"
-    ).fetchone()[0]
-    con.sql(f"""
-      COPY (SELECT vec_id + i*{mv + 1} AS vec_id, embedding, label
-            FROM read_parquet('{SRC}/embeddings.parquet'),
-                 generate_series(0,{n}) t(i))
-      TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
+    if wanted("orders") or wanted("lineitem"):
+        mx = con.sql(
+            f"SELECT max(o_orderkey) FROM read_parquet('{SRC}/orders.parquet')"
+        ).fetchone()[0]
+    if wanted("orders"):
+        con.sql(f"""
+          COPY (SELECT o_orderkey + i*{mx + 1} AS o_orderkey, o_custkey,
+                       o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+                FROM read_parquet('{SRC}/orders.parquet'),
+                     generate_series(0,{n}) t(i))
+          TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
+    if wanted("lineitem"):
+        con.sql(f"""
+          COPY (SELECT l_orderkey + i*{mx + 1} AS l_orderkey, l_partkey,
+                       l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+                FROM read_parquet('{SRC}/lineitem.parquet'),
+                     generate_series(0,{n}) t(i))
+          TO '{DST}/lineitem.parquet' (FORMAT PARQUET)""")
+    if wanted("events"):
+        me, mu = con.sql(
+            f"SELECT max(event_id), max(user_id) "
+            f"FROM read_parquet('{SRC}/events.parquet')"
+        ).fetchone()
+        con.sql(f"""
+          COPY (SELECT event_id + i*{me + 1} AS event_id, ts,
+                       user_id + i*{mu + 1} AS user_id, event_type, value, props
+                FROM read_parquet('{SRC}/events.parquet'),
+                     generate_series(0,{n}) t(i))
+          TO '{DST}/events.parquet' (FORMAT PARQUET)""")
+    if wanted("documents"):
+        md = con.sql(
+            f"SELECT max(doc_id) FROM read_parquet('{SRC}/documents.parquet')"
+        ).fetchone()[0]
+        con.sql(f"""
+          COPY (SELECT doc_id + i*{md + 1} AS doc_id,
+                       text || ' v' || i::VARCHAR AS text, lang, source,
+                       n_chars + 3 AS n_chars
+                FROM read_parquet('{SRC}/documents.parquet'),
+                     generate_series(0,{n}) t(i))
+          TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
+    if wanted("embeddings"):
+        mv = con.sql(
+            f"SELECT max(vec_id) FROM read_parquet('{SRC}/embeddings.parquet')"
+        ).fetchone()[0]
+        con.sql(f"""
+          COPY (SELECT vec_id + i*{mv + 1} AS vec_id, embedding, label
+                FROM read_parquet('{SRC}/embeddings.parquet'),
+                     generate_series(0,{n}) t(i))
+          TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
 
 
 def main() -> int:

@@ -4416,3 +4416,605 @@ def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_jaccard"),
         )
     )
+
+
+# ------------------------------------------- r07: dedup/ANN evaluation ops
+# The round-7 additions audit the pipeline itself: packing inputs,
+# dedup-stage quality (precision/recall, threshold sweeps, cluster
+# shapes), outlier gates, and the LSH layout's balance/probe cost —
+# the measurements a curation run reads before committing 100 TB of
+# compute to a configuration.
+
+
+@query(
+    "llm_seq_len_histogram",
+    oracle=f"""
+    WITH ws AS (
+      SELECT len({_DUCK_WORDS.format(col="text")}) AS n FROM documents
+    ), docs AS (
+      SELECT CASE WHEN n <= 0 THEN -1
+                  ELSE CAST(floor(log2(n)) AS BIGINT) END AS k, n
+      FROM ws
+    ), b AS (
+      SELECT k, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM docs GROUP BY k
+    )
+    SELECT CASE WHEN k < 0 THEN 0
+                ELSE CAST(power(2, k) AS BIGINT) END AS bucket_lo,
+           n_docs, n_tokens,
+           CAST(floor(n_tokens * 10000.0 / (sum(n_tokens) OVER ()) + 0.5)
+                AS BIGINT) AS token_share_bp,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY k)) * 10000.0
+                      / (sum(n_tokens) OVER ()) + 0.5)
+                AS BIGINT) AS cum_share_bp
+    FROM b
+    """,
+)
+def llm_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram on power-of-two buckets — the input a
+    packing planner (context length, padding waste) reads. One scan to
+    per-doc token counts, one tiny groupBy; the share windows run over
+    the reduced <=64-row bucket frame (agg_abc_pareto precedent), never
+    the corpus."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    n = F.size(T.words(F.col("text")))
+    docs = t.documents.select(
+        F.when(n <= 0, F.lit(-1))
+        .otherwise(F.floor(F.log2(n)))
+        .cast("bigint")
+        .alias("k"),
+        n.alias("n"),
+    )
+    b = docs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_cum = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return b.select(
+        F.when(F.col("k") < 0, F.lit(0))
+        .otherwise(F.pow(2, F.col("k")))
+        .cast("bigint")
+        .alias("bucket_lo"),
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.col("n_tokens") * 10000.0 / F.sum("n_tokens").over(w_all)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("token_share_bp"),
+        F.floor(
+            F.sum("n_tokens").over(w_cum)
+            * 10000.0
+            / F.sum("n_tokens").over(w_all)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cum_share_bp"),
+    )
+
+
+@query(
+    "llm_doc_len_mad_outliers",
+    oracle=f"""
+    WITH ws AS (
+      SELECT len({_DUCK_WORDS.format(col="text")}) AS n FROM documents
+    ), med AS (
+      SELECT median(n) AS m FROM ws
+    ), mad AS (
+      SELECT median(abs(n - m)) AS d FROM ws, med
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(any_value(m) * 100 + 0.5) AS BIGINT) AS median_tokens_c,
+           CAST(floor(any_value(d) * 100 + 0.5) AS BIGINT) AS mad_tokens_c,
+           CAST(count(*) FILTER (WHERE abs(n - m) > 3 * d) AS BIGINT)
+             AS n_outliers,
+           CAST(floor(count(*) FILTER (WHERE abs(n - m) > 3 * d)
+                      * 10000.0 / count(*) + 0.5) AS BIGINT) AS outlier_bp
+    FROM ws, med, mad
+    """,
+)
+def llm_doc_len_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier gate: docs whose token count deviates more
+    than 3 MAD from the corpus median (the filter that survives skew
+    where mean/std gates don't). Two exact medians over the per-doc
+    count frame; the scalars broadcast back as 1-row frames (the
+    allowlisted scalar NLJ pattern). At 100 TB swap exact median for
+    percentile_approx — the gate is a heuristic, the sketch error is
+    noise."""
+    t = Tables(spark, sf_dir)
+    ws = t.documents.select(
+        F.size(T.words(F.col("text"))).alias("n")
+    )
+    med = ws.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    with_m = ws.crossJoin(F.broadcast(med))
+    mad = with_m.agg(F.expr("percentile(abs(n - m), 0.5)").alias("d"))
+    return (
+        with_m.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.floor(F.first("m") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("median_tokens_c"),
+            F.floor(F.first("d") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("mad_tokens_c"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n") - F.col("m")) > 3 * F.col("d"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "n_docs",
+            "median_tokens_c",
+            "mad_tokens_c",
+            "n_outliers",
+            F.floor(
+                F.col("n_outliers") * 10000.0 / F.col("n_docs") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("outlier_bp"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_rate_by_threshold",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST(floor(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                       / len(list_distinct(list_concat(sa.s, sb.s)))
+                  ELSE 0.0 END * 10000 + 0.5) AS BIGINT) AS j_bp
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    ), agg AS (
+      SELECT count(*) FILTER (WHERE j_bp >= 5000) AS p50,
+             count(*) FILTER (WHERE j_bp >= 7000) AS p70,
+             count(*) FILTER (WHERE j_bp >= 9000) AS p90,
+             count(DISTINCT id_b) FILTER (WHERE j_bp >= 5000) AS f50,
+             count(DISTINCT id_b) FILTER (WHERE j_bp >= 7000) AS f70,
+             count(DISTINCT id_b) FILTER (WHERE j_bp >= 9000) AS f90
+      FROM scored
+    ), tot AS (SELECT count(*) AS total FROM documents)
+    SELECT threshold_pct,
+           CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs,
+           CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged,
+           CAST(total - n_docs_flagged AS BIGINT) AS n_survivors
+    FROM (
+      SELECT 50 AS threshold_pct, p50 AS n_dup_pairs, f50 AS n_docs_flagged FROM agg
+      UNION ALL SELECT 70, p70, f70 FROM agg
+      UNION ALL SELECT 90, p90, f90 FROM agg
+    ), tot
+    """,
+)
+def llm_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup threshold sweep: how many verified duplicate pairs,
+    flagged docs, and survivors each Jaccard threshold (0.5 / 0.7 / 0.9)
+    would produce — the report a curation run reads before committing a
+    threshold. ONE pass over the verified candidate frame (conditional
+    aggregates per threshold, integer-bp compares so both engines make
+    identical keep/drop calls), stacked to one row per threshold; never
+    three pipeline re-runs."""
+    t = Tables(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
+    jp = D.jaccard_pairs(t.documents, cand, n=2)
+    j_bp = (
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
+    )
+    scored = jp.select("id_a", "id_b", j_bp.alias("j_bp"))
+    agg = scored.agg(
+        *[
+            F.sum(F.when(F.col("j_bp") >= bp, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"p{bp}")
+            for bp in (5000, 7000, 9000)
+        ],
+        *[
+            F.count_distinct(
+                F.when(F.col("j_bp") >= bp, F.col("id_b"))
+            )
+            .cast("bigint")
+            .alias(f"f{bp}")
+            for bp in (5000, 7000, 9000)
+        ],
+    )
+    tot = t.documents.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "stack(3, 50, p5000, f5000, 70, p7000, f7000, 90, p9000, f9000)"
+            " AS (threshold_pct, n_dup_pairs, n_docs_flagged)",
+            "total",
+        )
+        .select(
+            "threshold_pct",
+            "n_dup_pairs",
+            "n_docs_flagged",
+            (F.col("total") - F.col("n_docs_flagged"))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+    )
+
+
+@query(
+    "llm_lsh_quality",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), smp AS (
+      SELECT * FROM sh WHERE doc_id % 10 = 0
+    ), truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(floor(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                  THEN len(list_intersect(a.s, b.s)) * 1.0
+                       / len(list_distinct(list_concat(a.s, b.s)))
+                  ELSE 0.0 END * 10000 + 0.5) AS BIGINT) AS j_bp
+      FROM smp a JOIN smp b ON a.doc_id < b.doc_id
+    ), stacked AS (
+{_pair_stack}
+    ), cand_s AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0
+    ), tp AS (
+      SELECT c.id_a FROM cand_s c
+      JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+      WHERE t.j_bp >= 5000
+    )
+    SELECT CAST((SELECT count(*) FROM smp) AS BIGINT) AS n_sample_docs,
+           CAST((SELECT count(*) FROM truth WHERE j_bp >= 5000) AS BIGINT)
+             AS n_true_pairs,
+           CAST((SELECT count(*) FROM cand_s) AS BIGINT) AS n_candidate_pairs,
+           CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_true_positive,
+           CAST(CASE WHEN (SELECT count(*) FROM cand_s) = 0 THEN 10000
+                ELSE floor((SELECT count(*) FROM tp) * 10000.0
+                           / (SELECT count(*) FROM cand_s) + 0.5) END
+                AS BIGINT) AS precision_bp,
+           CAST(CASE WHEN (SELECT count(*) FROM truth WHERE j_bp >= 5000) = 0
+                THEN 10000
+                ELSE floor((SELECT count(*) FROM tp) * 10000.0
+                           / (SELECT count(*) FROM truth WHERE j_bp >= 5000)
+                           + 0.5) END
+                AS BIGINT) AS recall_bp
+    """,
+)
+def llm_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-stage quality audit: precision/recall of the
+    banding stage against EXACT all-pairs Jaccard (>= 0.5) on a
+    deterministic 10% sample — the measurement that justifies a band/
+    shingle configuration before a corpus-scale run. The all-pairs
+    ground truth is the deliberate, bounded cartesian (allowlisted in
+    tests/test_plan_audit.py): it exists ONLY on the sample, which at
+    100 TB must carry an absolute row cap — the audit's cost is the
+    sample's square, never the corpus's. The square itself rides
+    near_dedup's size-ratio bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    so pairs that cannot reach the 0.5 truth threshold are pruned
+    while only (id, n_shingles) ints have moved — the heavy
+    shingle-array join runs on the surviving ~60% (10x-measured), and
+    the pruned pairs are by construction non-true, leaving every
+    output count identical (the margin admits the 4-decimal HALF_UP
+    window, same as near_dedup)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    sample = docs.filter(F.col("doc_id") % 10 == 0)
+    shf = D._hashed_shingle_frame(sample, "text", "doc_id", 2, True)
+    sizes = shf.select("doc_id", F.size("sh").alias("ns"))
+    allpairs = (
+        sizes.select(F.col("doc_id").alias("id_a"), F.col("ns").alias("na"))
+        .crossJoin(
+            sizes.select(
+                F.col("doc_id").alias("id_b"), F.col("ns").alias("nb")
+            )
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("na", "nb")
+            >= F.greatest("na", "nb") * F.lit(0.5 - 5e-5 - 1e-9)
+        )
+        .select("id_a", "id_b")
+    )
+    truth = D.jaccard_pairs(sample, allpairs, n=2, sh=shf).select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("j_bp"),
+    )
+    true_pairs = truth.filter(F.col("j_bp") >= 5000)
+    cand_s = D.minhash_candidate_pairs(docs, bands=_P_BANDS, n=2).filter(
+        (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 == 0)
+    )
+    tp = cand_s.join(true_pairs, ["id_a", "id_b"])
+    ns = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample_docs"))
+    nt = true_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    nc = cand_s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+    )
+    ntp = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_positive"))
+    bp = lambda num, den: (  # noqa: E731 — tiny scalar-ratio helper
+        F.when(F.col(den) == 0, F.lit(10000))
+        .otherwise(
+            F.floor(F.col(num) * 10000.0 / F.col(den) + F.lit(0.5))
+        )
+        .cast("bigint")
+    )
+    return (
+        ns.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ntp))
+        .select(
+            "n_sample_docs",
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_true_positive",
+            bp("n_true_positive", "n_candidate_pairs").alias("precision_bp"),
+            bp("n_true_positive", "n_true_pairs").alias("recall_bp"),
+        )
+    )
+
+
+@query(
+    "llm_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE ws AS (
+      SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), stacked AS (
+{_pair_stack}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST(floor(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                  THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                       / len(list_distinct(list_concat(sa.s, sb.s)))
+                  ELSE 0.0 END * 10000 + 0.5) AS BIGINT) AS j_bp
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM scored WHERE j_bp >= 8000
+      UNION ALL
+      SELECT id_b, id_a FROM scored WHERE j_bp >= 8000
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id, min(lab) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, count(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def llm_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-shape report: the size distribution of >= 0.8
+    Jaccard components (how much of the corpus sits in pairwise dups vs
+    boilerplate mega-clusters — the number that decides keep-best vs
+    drop-all policy). Rides the pointer-jumped connected_components;
+    singleton docs (no >= 0.8 pair) are deliberately absent. The oracle
+    replays the clustering as a recursive min-label CTE — a genuinely
+    independent cross-engine check of the component labels themselves."""
+    t = Tables(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
+    jp = D.jaccard_pairs(t.documents, cand, n=2)
+    verified = jp.filter(
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) >= 8000
+    ).select("id_a", "id_b")
+    comp = D.connected_components(verified)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
+
+
+# Quantized sign-LSH layout audits: hyperplanes are seeded and quantized
+# to integers (floor(x*1000)) so the sign of every dot product is EXACT
+# integer arithmetic — cross-engine-deterministic with no float-sign
+# risk at the decision boundary (the reason llm_lsh_topk's oracle is a
+# contract, not a bucket replay). All products stay < 2^53, so DuckDB's
+# double list_dot_product is exact too.
+_QLSH_PLANES = [
+    [int(__import__("math").floor(x * 1000)) for x in p]
+    for p in S.train_hyperplanes(dim=64, n_planes=8, seed=42)
+]
+
+
+def _duck_qlsh_bucket() -> str:
+    """DuckDB expression for the quantized sign-LSH bucket id of one
+    embedding row (column `embedding`)."""
+    qe = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> floor(x * 1000))"
+    )
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product({qe}, "
+        f"[{', '.join(f'{c}.0' for c in plane)}]) >= 0 "
+        f"THEN {2**b} ELSE 0 END"
+        for b, plane in enumerate(_QLSH_PLANES)
+    )
+    return f"({bits})"
+
+
+def _qlsh_bucket_col() -> F.Column:
+    """Spark expression mirroring :func:`_duck_qlsh_bucket` (int64 dots)."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(_QLSH_PLANES):
+        p = F.array(*[F.lit(int(c)).cast("long") for c in plane])
+        dot = F.aggregate(
+            F.zip_with(q, p, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(2**b)).otherwise(F.lit(0))
+    return bucket
+
+
+@query(
+    "llm_lsh_bucket_balance",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT {_duck_qlsh_bucket()} AS bucket, count(*) AS sz
+      FROM embeddings GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(sz) AS BIGINT) AS n_vectors,
+           CAST(floor(sum(sz) * 100.0 / count(*) + 0.5) AS BIGINT)
+             AS mean_bucket_c,
+           CAST(floor(max(sz) * count(*) * 10000.0 / sum(sz) + 0.5)
+                AS BIGINT) AS imbalance_bp,
+           CAST(floor(max(sz) * 10000.0 / sum(sz) + 0.5) AS BIGINT)
+             AS top_share_bp
+    FROM sizes
+    """,
+)
+def llm_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH layout balance audit: bucket count, max/mean bucket size,
+    imbalance (max/mean, bp) and the hottest bucket's corpus share — the
+    skew report that predicts whether an LSH-bucketed join (write-time
+    partition key, ANN probe) will straggle at 100 TB. One scan, one
+    8-bit-keyed aggregate; the stats aggregate runs on the <=256-row
+    bucket frame."""
+    t = Tables(spark, sf_dir)
+    sizes = t.embeddings.groupBy(
+        _qlsh_bucket_col().alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.sum("sz").cast("bigint").alias("n_vectors"),
+        F.floor(
+            F.sum("sz") * 100.0 / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_bucket_c"),
+        F.floor(
+            F.max("sz") * F.count(F.lit(1)) * 10000.0 / F.sum("sz")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("imbalance_bp"),
+        F.floor(F.max("sz") * 10000.0 / F.sum("sz") + F.lit(0.5))
+        .cast("bigint")
+        .alias("top_share_bp"),
+    )
+
+
+@query(
+    "llm_lsh_probe_cost",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT {_duck_qlsh_bucket()} AS bucket, count(*) AS sz
+      FROM embeddings GROUP BY 1
+    ), probes AS (
+      SELECT s.bucket, s.sz,
+             CASE WHEN m.m = 0 THEN s.bucket ELSE xor(s.bucket, m.m) END AS pb
+      FROM sizes s, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m) m
+    ), probed AS (
+      SELECT p.bucket, any_value(p.sz) AS sz,
+             sum(COALESCE(s2.sz, 0)) AS pr
+      FROM probes p LEFT JOIN sizes s2 ON s2.bucket = p.pb
+      GROUP BY p.bucket
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(floor(sum(sz * pr) * 10000.0
+                      / (sum(sz) * sum(sz)) + 0.5) AS BIGINT)
+             AS mean_probe_bp,
+           CAST(floor(max(pr) * 10000.0 / sum(sz) + 0.5) AS BIGINT)
+             AS max_probe_bp
+    FROM probed
+    """,
+)
+def llm_lsh_probe_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe cost audit: the corpus fraction a Hamming<=1 probe
+    (own bucket + 8 one-bit flips) scans, query-weighted mean and worst
+    bucket — mean_probe_bp IS the expected per-query scan cost of
+    llm_lsh_topk's layout, computed from bucket sizes alone (no vector
+    math). The probe fan-out joins the <=256-row bucket-size frame to
+    itself on XOR keys — constant work regardless of corpus size."""
+    t = Tables(spark, sf_dir)
+    sizes = t.embeddings.groupBy(
+        _qlsh_bucket_col().alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    masks = F.array(*[F.lit(m) for m in (0, 1, 2, 4, 8, 16, 32, 64, 128)])
+    probes = sizes.select(
+        "bucket",
+        "sz",
+        F.explode(
+            F.transform(
+                masks,
+                lambda m: F.when(m == 0, F.col("bucket")).otherwise(
+                    F.col("bucket").bitwiseXOR(m)
+                ),
+            )
+        ).alias("pb"),
+    )
+    s2 = sizes.select(
+        F.col("bucket").alias("pb"), F.col("sz").alias("sz2")
+    )
+    probed = (
+        probes.join(s2, "pb", "left")
+        .groupBy("bucket")
+        .agg(
+            F.first("sz").alias("sz"),
+            F.sum(F.coalesce(F.col("sz2"), F.lit(0))).alias("pr"),
+        )
+    )
+    return probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.floor(
+            F.sum(F.col("sz") * F.col("pr"))
+            * 10000.0
+            / (F.sum("sz") * F.sum("sz"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_probe_bp"),
+        F.floor(F.max("pr") * 10000.0 / F.sum("sz") + F.lit(0.5))
+        .cast("bigint")
+        .alias("max_probe_bp"),
+    )

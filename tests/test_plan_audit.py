@@ -46,6 +46,9 @@ ALLOWED_NLJ = {
     "llm_dsir_weights",        # 1-row token-total scalar into 128-row lambda
     "llm_dsir_resample",       # same lambda assembly as llm_dsir_weights
     "llm_shard_plan",          # 1-row grand-total broadcast into 32-row frame
+    "llm_lsh_quality",         # deliberate bounded-sample all-pairs ground truth
+    "llm_dedup_rate_by_threshold",  # 1-row totals broadcast
+    "llm_doc_len_mad_outliers",     # 1-row median/MAD scalar broadcasts
 }
 
 SF = "/root/testdata/sf0.001"

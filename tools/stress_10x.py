@@ -61,6 +61,11 @@ HEAVY = [
     # under 10x duplication pressure every doc has 9 true near-dups, the
     # worst-realistic-case pair volume for the attribution joins
     "llm_cross_source_dups",
+    # r07 additions: the batched ANN cogroup (every vector a query), the
+    # LSH-quality audit's bounded-sample all-pairs (its cost IS the
+    # sample square — this pins that the square stays affordable), and
+    # the cluster histogram riding near-dedup + pointer-jumped components
+    "llm_ann_batch_topk", "llm_lsh_quality", "llm_cluster_size_histogram",
 ]
 
 

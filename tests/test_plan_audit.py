@@ -455,6 +455,10 @@ def test_pagerank_constant_shuffles_per_iteration(spark):
         _pagerank_ranks,
     )
 
+    # earlier tests construct graph_pagerank, whose internal persist()
+    # stays in the cache manager and would substitute InMemoryRelations
+    # into these plans (changing exchange counts order-dependently)
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         t = Tables(spark, SF)

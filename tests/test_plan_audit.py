@@ -531,3 +531,27 @@ def test_connected_components_round_shuffle_topology(spark):
             assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_seq_len_histogram_single_scan_no_explode(spark):
+    """llm_seq_len_histogram counts tokens with size(split) per row —
+    ONE documents scan reading only text, no Generate (explode); the
+    share windows run post-aggregation on the tiny bucket frame."""
+    plan = _plan(spark, "llm_seq_len_histogram")
+    assert "Generate" not in plan
+    assert plan.count("ReadSchema") == 1
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_lsh_probe_cost_no_corpus_reshuffle(spark):
+    """llm_lsh_probe_cost reduces the corpus to <=256 (bucket, size)
+    rows in its FIRST aggregate; the probe fan-out (Generate) and the
+    xor self-join must ride that reduced frame — the embedding scan
+    feeds exactly one hashpartitioning exchange (the bucket groupBy),
+    and no exchange key ever includes the embedding column."""
+    import re
+
+    plan = _plan(spark, "llm_lsh_probe_cost")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), m.group(0)

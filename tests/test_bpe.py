@@ -138,3 +138,20 @@ def test_scan_path_equals_fold_on_adversarial_tokens(spark):
         for r in B.apply_merges_df(tagged, "toks", rules).collect()
     }
     assert got == expected
+
+
+def test_apply_merges_df_single_chain_per_slice(spark):
+    """The DataFrame split form exists to keep ONE expression chain per
+    slice (ADVICE r06): the clean slice's plan must contain exactly one
+    regexp_replace per rule and NO aggregate() fold, while the when()
+    column form embeds both chains."""
+    rules = [("t", "h"), ("th", "e"), ("a", "a"), ("_", "the")]
+    df = spark.createDataFrame([(["t", "h", "e"],)], "toks array<string>")
+    out = B.apply_merges_df(df, "toks", rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union of two slices: clean = scan chain only, degenerate = fold only
+    assert plan.count("regexp_replace") == len(rules), plan
+    both = df.select(B.apply_merges_scan(F.col("toks"), rules).alias("t"))
+    both_plan = both._jdf.queryExecution().executedPlan().toString()
+    assert both_plan.count("regexp_replace") == len(rules)
+    assert "aggregate(" in both_plan  # the embedded fold chain

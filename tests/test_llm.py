@@ -2148,3 +2148,34 @@ def test_tiff_old_style_jpeg_compression6():
         decode_tiff(
             tiff6([(513, 4, 1, "PAYLOAD"), (514, 4, 1, 10**6)], jpeg)
         )
+
+
+def test_probe_cells_matches_driver_side_ranking(spark):
+    """The JVM probe-ranking expression (similarity.probe_cells) must
+    order cells exactly like ivf_topk's driver-side math.dist ranking,
+    ties by cell id — the batched and single-query paths must never
+    disagree on which cells a vector probes."""
+    import math
+
+    from cartodb_importer_spark.llm import similarity as S
+
+    centroids = [
+        [0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.5, 0.5],
+    ]
+    vecs = [[0.2, 0.1], [0.9, 0.9], [0.5, 0.5], [0.49, 0.51], [1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.probes
+        for r in df.select(
+            "vec_id", S.probe_cells(centroids, 3).alias("probes")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        dists = [
+            (math.dist(v, c), ci) for ci, c in enumerate(centroids)
+        ]
+        want = [ci for _, ci in sorted(dists)[:3]]
+        assert got[i] == want, (v, got[i], want)

@@ -215,7 +215,12 @@ def assign_ivf_cell(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
     """Attach the nearest-centroid cell id — pure JVM expression (argmin
-    over literal centroid arrays), suitable as a write-time partition key."""
+    over literal centroid arrays), suitable as a write-time partition key.
+
+    Exact-distance ties break toward the LOWEST cell id — the same rule
+    ``probe_cells`` applies (array_sort over (d2, cell) ascending) — so a
+    vector's home cell is always its rank-1 probe cell and ann_batch_topk's
+    "self always found" invariant holds even under centroid ties."""
     v = F.col(vec_col).cast("array<double>")
     packed = []
     for i, c in enumerate(centroids):
@@ -225,9 +230,11 @@ def assign_ivf_cell(
             F.lit(0.0),
             lambda acc, val: acc + val,
         )
-        packed.append(F.struct((-d2).alias("negd"), F.lit(i).alias("cell")))
+        packed.append(
+            F.struct((-d2).alias("negd"), F.lit(-i).alias("negcell"))
+        )
     best = F.greatest(*packed)
-    return df.withColumn("ivf_cell", best.getField("cell"))
+    return df.withColumn("ivf_cell", -best.getField("negcell"))
 
 
 def ivf_topk(
@@ -365,7 +372,16 @@ def ann_batch_topk(
                 out_m.extend(mids[order])
                 out_c.extend(row[order])
         return pd.DataFrame(
-            {"qid": out_q, "vec_id": out_m, "cosine_sim": out_c}
+            {
+                "qid": out_q,
+                "vec_id": out_m,
+                # nullable Float64: NaN (zero-norm member or query) crosses
+                # Arrow as NULL, and the global merge window's desc ordering
+                # puts NULLs last — plain float64 would surface NaN as a
+                # double that Spark's desc ranks ABOVE every real cosine
+                # (same convention as cosine_topk_per_label_blas).
+                "cosine_sim": pd.array(out_c, dtype="Float64"),
+            }
         )
 
     candidates = probes.groupBy("cell").cogroup(

@@ -2179,3 +2179,61 @@ def test_probe_cells_matches_driver_side_ranking(spark):
         ]
         want = [ci for _, ci in sorted(dists)[:3]]
         assert got[i] == want, (v, got[i], want)
+
+
+def test_assign_ivf_cell_tie_breaks_low_like_probe_cells(spark):
+    """On an exact centroid-distance tie, assign_ivf_cell must pick the
+    LOWEST cell id — the rule probe_cells already applies — so the home
+    cell is always the rank-1 probe cell and ann_batch_topk's self-found
+    invariant survives duplicate/tied centroids (ADVICE r07)."""
+    from cartodb_importer_spark.llm import similarity as S
+
+    # cells 1 and 3 are identical; every vector near them is tied
+    centroids = [[9.0, 9.0], [0.5, 0.5], [9.0, 0.0], [0.5, 0.5]]
+    vecs = [[0.5, 0.5], [0.4, 0.6], [9.0, 9.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    homes = {
+        r.vec_id: r.ivf_cell
+        for r in S.assign_ivf_cell(df, centroids).collect()
+    }
+    first_probe = {
+        r.vec_id: r.probes[0]
+        for r in df.select(
+            "vec_id", S.probe_cells(centroids, 2).alias("probes")
+        ).collect()
+    }
+    assert homes == first_probe
+    assert homes[0] == 1 and homes[1] == 1  # tied -> lowest id, never 3
+
+
+def test_ann_batch_topk_zero_norm_ranks_last(spark):
+    """A zero-norm vector's cosine is undefined (NaN): it must cross the
+    Arrow boundary as NULL and rank LAST in the global merge window —
+    never jump to rank 1 the way a raw NaN does under Spark's desc
+    ordering (ADVICE r07)."""
+    from cartodb_importer_spark.llm import similarity as S
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.8, 0.2]),
+        (3, [0.0, 1.0]),
+        (99, [0.0, 0.0]),  # zero norm: NaN cosine against everything
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    got = S.ann_batch_topk(df, centroids, k=5, nprobe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cosine_sim))
+    # query 0's list: finite cosines first, the zero-norm member LAST
+    # with a NULL (not NaN) similarity
+    q0 = by_q[0]
+    assert q0[0][0] == 0 and q0[0][1] == 1.0  # self first
+    assert q0[-1][0] == 99 and q0[-1][1] is None
+    assert all(sim is not None for _, sim in q0[:-1])
+    # the zero-norm QUERY gets NULL everywhere, still self-consistent
+    assert all(sim is None for _, sim in by_q[99])

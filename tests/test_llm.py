@@ -2237,3 +2237,77 @@ def test_ann_batch_topk_zero_norm_ranks_last(spark):
     assert all(sim is not None for _, sim in q0[:-1])
     # the zero-norm QUERY gets NULL everywhere, still self-consistent
     assert all(sim is None for _, sim in by_q[99])
+
+
+def test_ivf_auto_sizing_scales_with_sqrt_n(spark):
+    """The DEFAULT index config must scale: n_cells = max(16, ceil(sqrt(N)))
+    (a fixed cell count makes the batched-ANN per-cell stage ~N²/cells —
+    the one measured super-linearity, SCALE.md r07) and the derived
+    nprobe = max(6, 2*ceil(sqrt(n_cells))) keeps the probed fraction
+    shrinking while holding the recall floor (VERDICT r07 item 1)."""
+    from cartodb_importer_spark.llm.similarity import (
+        _ceil_sqrt,
+        train_ivf_centroids,
+    )
+
+    assert [_ceil_sqrt(n) for n in (0, 1, 2, 4, 5, 500, 2000)] == [
+        0, 1, 2, 2, 3, 23, 45,
+    ]
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb)  # N=500 -> ceil(sqrt)=23 > 16
+    assert len(cents) == 23
+    # tiny corpora floor at 16 cells
+    cents_small = train_ivf_centroids(emb.limit(30))
+    assert len(cents_small) == 16
+
+
+def test_lsh_quality_sample_modulus_absolute_cap():
+    """Both sides of the lsh_quality ground-truth cartesian must be the
+    SAME absolute-capped sample: m = max(10, ceil(N/2000)) keeps the
+    sample <= 2000 docs at any corpus size (a fractional sample squares
+    with the corpus — VERDICT r07 item 2) while staying m=10 at every
+    test SF so historic verdicts remain comparable."""
+    from cartodb_importer_spark.queries.llm import _audit_sample_modulus
+
+    assert _audit_sample_modulus(500) == 10
+    assert _audit_sample_modulus(5_000) == 10
+    assert _audit_sample_modulus(20_000) == 10
+    for n in (50_000, 10**6, 10**9, 10**12):
+        m = _audit_sample_modulus(n)
+        assert m > 10
+        assert n / m <= 2000, (n, m)  # the absolute cap, both sides
+
+
+def test_rank_cells_pd_matches_jvm_probe_ranking(spark):
+    """The BLAS-batched cell ranking (large indexes) must produce the
+    SAME probe lists as the literal-expression path (small indexes):
+    ascending (d2, cell id), element 0 = home cell — so crossing the
+    _PROBE_EXPR_MAX_CELLS threshold can never change which cells a
+    vector probes or lives in."""
+    from cartodb_importer_spark.llm import similarity as S
+
+    centroids = [
+        [0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0],
+        [0.5, 0.5], [0.5, 0.5],  # duplicate pair: exact ties
+    ]
+    vecs = [[0.2, 0.1], [0.9, 0.9], [0.5, 0.5], [0.49, 0.51], [1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    jvm = {
+        r.vec_id: list(r.p)
+        for r in df.select(
+            "vec_id", S.probe_cells(centroids, 4).alias("p")
+        ).collect()
+    }
+    blas = {
+        r.vec_id: list(r.probe_cells)
+        for r in S.rank_cells_pd(df, centroids, 4).collect()
+    }
+    assert jvm == blas
+    homes = {
+        r.vec_id: r.ivf_cell
+        for r in S.assign_ivf_cell(df, centroids).collect()
+    }
+    assert homes == {i: p[0] for i, p in blas.items()}

@@ -114,8 +114,27 @@ def generate() -> None:
                      generate_series(0,{n}) t(i))
           TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
     if wanted("lineitem"):
+        # STRESS_SHIFT_PARTKEY=1: shift l_partkey per copy too — the
+        # TPC-H-faithful growth shape for the part co-purchase GRAPH
+        # queries (SF grows parts AND orders together, so the graph gains
+        # NODES at constant density; shifting only orderkeys instead
+        # densifies the same 20k parts toward a clique, which no real
+        # corpus does). Graph-rehearsal mode only: part-joining queries
+        # would see orphaned partkeys, so don't mix it into general runs.
+        pk = "l_partkey"
+        if os.environ.get("STRESS_SHIFT_PARTKEY") == "1":
+            mp = con.sql(
+                f"SELECT max(l_partkey) "
+                f"FROM read_parquet('{SRC}/lineitem.parquet')"
+            ).fetchone()[0]
+            pk = f"l_partkey + i*{mp + 1} AS l_partkey"
+            print(
+                "STRESS_SHIFT_PARTKEY: graph node-growth mode — "
+                "run only lineitem-only (graph_*) queries on this corpus",
+                flush=True,
+            )
         con.sql(f"""
-          COPY (SELECT l_orderkey + i*{mx + 1} AS l_orderkey, l_partkey,
+          COPY (SELECT l_orderkey + i*{mx + 1} AS l_orderkey, {pk},
                        l_suppkey, l_linenumber, l_quantity, l_extendedprice,
                        l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
                 FROM read_parquet('{SRC}/lineitem.parquet'),

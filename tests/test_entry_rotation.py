@@ -60,3 +60,26 @@ def test_no_oracle_pin_releases_when_oracle_added(monkeypatch):
     # simulate a later round adding the oracle: the pin must release
     monkeypatch.setitem(ORACLES, "llm_bpe_train", "SELECT 1")
     assert "llm_bpe_train" not in entry._previously_verified()
+
+
+def test_stale_rotation_fronts_generated_order():
+    """In the full-coverage regime (every query has a verdict), the sweep
+    front must be: this round's semantics-changed pins, then the head of
+    the GENERATED staleness order (tools/rotation.py) — module changed
+    after grading round, oldest verdict first. A regression here silently
+    re-spends the 50-slot budget on fresh verdicts."""
+    from cartodb_importer_spark.queries._rotation import SWEEP_ORDER
+
+    unknown = [n for n in SWEEP_ORDER if n not in QUERIES]
+    assert not unknown, f"generated order names not in registry: {unknown}"
+    verified = entry._previously_verified()
+    if any(n not in verified for n in QUERIES):
+        return  # new queries pending: covered by the front50 test above
+    front = list(entry.queries())[:SWEEP_CAP]
+    pins = [
+        n
+        for n in ("llm_ann_batch_topk", "llm_lsh_quality")
+        if n in QUERIES
+    ]
+    head = [n for n in SWEEP_ORDER if n not in pins][: SWEEP_CAP - len(pins)]
+    assert front == pins + head

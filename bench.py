@@ -51,9 +51,15 @@ HEADLINE = [
     # udf_apply_in_pandas, 3.5x faster because it skips the per-group
     # Arrow<->pandas conversion. Both forms stay registered + oracle-checked.
     "udf_apply_in_arrow",
-    # Heavy tail (VERDICT r07 item 6): the sweep's slowest family must
-    # regress HERE, not only in sweep timings — degree-ordered triangle
-    # enumeration and the pointer-jump components + keep-best election.
+]
+
+# Heavy tail (VERDICT r07 item 6, the "heavy section" form): the sweep's
+# slowest family must regress HERE, not only in sweep timings — degree-
+# ordered triangle enumeration and the pointer-jump components + keep-best
+# election. Kept OUT of the headline total so "value" stays comparable to
+# the r01 baseline anchor (14.026s over the same 17 queries); the compact
+# line carries them under "heavy" with their own min-of-5 total.
+HEAVY_TAIL = [
     "graph_clustering_coefficient",
     "llm_dedup_keep_best",
 ]
@@ -142,7 +148,9 @@ def main() -> None:
     medians: dict[str, float] = {}
     maxes: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    heavy: dict[str, float] = {}
+
+    def _time(name: str, into: dict[str, float]) -> None:
         fn = QUERIES[name]
         start = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -153,9 +161,14 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
         runs.sort()
-        timings[name] = round(runs[0], 3)
+        into[name] = round(runs[0], 3)
         medians[name] = round(statistics.median(runs), 3)
         maxes[name] = round(runs[-1], 3)
+
+    for name in HEADLINE:
+        _time(name, timings)
+    for name in HEAVY_TAIL:
+        _time(name, heavy)
 
     # end-to-end importer throughput (single cold run — the reference's
     # import is always cold; inference/sniffing cost is part of the job)
@@ -166,9 +179,12 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # noise spread over the HEADLINE set only, so the number stays
+    # comparable to the r01-r07 artifacts (heavy tail reported separately)
+    head_max = sum(maxes[n] for n in timings)
     noise_spread_pct = round(
         100.0
-        * (sum(maxes.values()) - sum(timings.values()))
+        * (head_max - sum(timings.values()))
         / max(sum(timings.values()), 1e-9),
         1,
     )
@@ -186,7 +202,11 @@ def main() -> None:
         "queries_min": timings,
         "queries_median": medians,
         "queries_max": maxes,
-        "median_total_sec": round(sum(medians.values()), 3),
+        "heavy_min": heavy,
+        "heavy_total_sec": round(sum(heavy.values()), 3),
+        "median_total_sec": round(
+            sum(medians[n] for n in timings), 3
+        ),
         "noise_spread_pct": noise_spread_pct,
         "cold_queries": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
@@ -209,6 +229,8 @@ def main() -> None:
                 "timed_runs": n_runs,
                 "agg": "min",
                 "noise_spread_pct": noise_spread_pct,
+                "heavy": heavy,
+                "heavy_total_sec": round(sum(heavy.values()), 3),
                 "import_rows_per_sec": imp["rows_per_sec"],
                 "sf": sf_val,
             }

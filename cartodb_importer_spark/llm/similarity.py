@@ -224,7 +224,9 @@ def train_ivf_centroids(
     if n_cells is None or sample_fraction is None:
         n = df.count()  # one bounded scalar action, reused by both knobs
     if n_cells is None:
-        n_cells = max(16, _ceil_sqrt(n))
+        # the 16-cell floor can't exceed the corpus itself (k-means needs
+        # k <= points): a <16-vector corpus gets one cell per vector
+        n_cells = max(1, min(n, max(16, _ceil_sqrt(n))))
     if sample_fraction is None:
         sample_fraction = 1.0 if n <= sample_cap else sample_cap / n
     sample = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed)

@@ -2259,6 +2259,9 @@ def test_ivf_auto_sizing_scales_with_sqrt_n(spark):
     # tiny corpora floor at 16 cells
     cents_small = train_ivf_centroids(emb.limit(30))
     assert len(cents_small) == 16
+    # ... but never more cells than vectors (k-means needs k <= points)
+    cents_tiny = train_ivf_centroids(emb.limit(5))
+    assert len(cents_tiny) == 5
 
 
 def test_lsh_quality_sample_modulus_absolute_cap():

@@ -106,7 +106,7 @@ def analyze(plan: str) -> dict:
 
 
 def main() -> int:
-    from bench import HEADLINE
+    from bench import HEADLINE, HEAVY_TAIL
 
     from cartodb_importer_spark.queries import QUERIES
     from cartodb_importer_spark.session import get_spark
@@ -138,7 +138,7 @@ def main() -> int:
             out.append((name, a))
         return out
 
-    rows = review(HEADLINE)
+    rows = review(HEADLINE + HEAVY_TAIL)
     tail_rows = review(sweep_tail_names())
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 

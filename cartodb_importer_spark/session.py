@@ -72,6 +72,14 @@ def get_spark(
             ),
         )
     )
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — ops passthrough for knobs that
+    # are deployment-specific rather than engine semantics (e.g.
+    # spark.io.compression.codec=zstd halves shuffle-spill bytes on the
+    # single-disk rehearsal box; a cluster sets it in spark-defaults).
+    for item in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

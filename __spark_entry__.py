@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,6 +141,41 @@ _PRIORITY = (
 )
 
 
+#: queries whose SEMANTICS changed in a given build round: their prior
+#: verdicts are the least trustworthy of all, so they jump even the stale
+#: queue UNTIL a driver verdict from >= that round re-greens them (then the
+#: pin self-retires — it must not burn front-50 slots forever).
+#: r08: scale-safe auto IVF sizing; absolute-capped lsh_quality sample.
+_SEMANTICS_CHANGED: dict[str, int] = {
+    "llm_ann_batch_topk": 8,
+    "llm_lsh_quality": 8,
+}
+
+
+def _green_in_round(name: str, min_round: int) -> bool:
+    """True if CORRECTNESS_r{N}.json with N >= min_round records the query
+    fully green (the pin-retire check for _SEMANTICS_CHANGED)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) < min_round:
+            continue
+        try:
+            with open(path) as f:
+                r = json.load(f).get(name)
+        except Exception:
+            continue
+        if (
+            isinstance(r, dict)
+            and not r.get("err")
+            and r.get("rows_match")
+            and r.get("schema_match") is not False
+            and r.get("hash_match") is not False
+        ):
+            return True
+    return False
+
+
 def _previously_verified() -> set[str]:
     """Names already driver-green in any prior round's CORRECTNESS_r*.json.
 
@@ -198,11 +234,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, fn in QUERIES.items():
         if name not in ordered and name not in verified:
             ordered[name] = fn
-    # Queries whose SEMANTICS changed this round: their prior verdicts are
-    # the least trustworthy of all, so they jump even the stale queue
-    # (r08: scale-safe auto IVF sizing; absolute-capped lsh_quality sample).
-    for name in ("llm_ann_batch_topk", "llm_lsh_quality"):
-        if name in QUERIES and name not in ordered:
+    # Semantics-changed pins (self-retiring — see _SEMANTICS_CHANGED)
+    for name, rnd in _SEMANTICS_CHANGED.items():
+        if (
+            name in QUERIES
+            and name not in ordered
+            and not _green_in_round(name, rnd)
+        ):
             ordered[name] = QUERIES[name]
     try:
         from cartodb_importer_spark.queries._rotation import SWEEP_ORDER

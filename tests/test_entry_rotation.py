@@ -78,8 +78,41 @@ def test_stale_rotation_fronts_generated_order():
     front = list(entry.queries())[:SWEEP_CAP]
     pins = [
         n
-        for n in ("llm_ann_batch_topk", "llm_lsh_quality")
-        if n in QUERIES
+        for n, rnd in entry._SEMANTICS_CHANGED.items()
+        if n in QUERIES and not entry._green_in_round(n, rnd)
     ]
     head = [n for n in SWEEP_ORDER if n not in pins][: SWEEP_CAP - len(pins)]
     assert front == pins + head
+
+
+def test_semantics_pins_self_retire(monkeypatch, tmp_path):
+    """A pin must drop out once a CORRECTNESS_r{N}.json with N >= the
+    change round re-greens the query — otherwise it burns a front-50
+    slot every round forever (and must survive a malformed artifact)."""
+    import json as _json
+    import os as _os
+
+    assert entry._SEMANTICS_CHANGED  # the mechanism is in active use
+    name = next(iter(entry._SEMANTICS_CHANGED))
+    # no artifact from >= round 99 exists, so a pin at round 99 holds
+    assert not entry._green_in_round(name, 99)
+    # fabricate a round-99 green verdict in an isolated copy of the repo
+    # layout: point the module's __file__ at tmp_path
+    art = tmp_path / "CORRECTNESS_r99.json"
+    art.write_text(
+        _json.dumps(
+            {name: {"rows_match": True, "schema_match": True, "hash_match": True}}
+        )
+    )
+    (tmp_path / "CORRECTNESS_rbad.json").write_text("{not json")
+    monkeypatch.setattr(
+        entry, "__file__", _os.path.join(str(tmp_path), "__spark_entry__.py")
+    )
+    assert entry._green_in_round(name, 99)
+    # a failed verdict does not retire the pin
+    art.write_text(
+        _json.dumps(
+            {name: {"rows_match": True, "schema_match": True, "hash_match": False}}
+        )
+    )
+    assert not entry._green_in_round(name, 99)

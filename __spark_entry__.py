@@ -145,11 +145,14 @@ _PRIORITY = (
 #: verdicts are the least trustworthy of all, so they jump even the stale
 #: queue UNTIL a driver verdict from >= that round re-greens them (then the
 #: pin self-retires — it must not burn front-50 slots forever).
-#: r08: scale-safe auto IVF sizing; absolute-capped lsh_quality sample.
-_SEMANTICS_CHANGED: dict[str, int] = {
-    "llm_ann_batch_topk": 8,
-    "llm_lsh_quality": 8,
-}
+#: Retire invariant (ADVICE r08): the driver's sweep runs strictly at END
+#: of round, after the builder's final commit, so CORRECTNESS_r{N}.json is
+#: always graded at post-change HEAD for semantics changed in round N —
+#: min_round == change_round is therefore safe. If the driver ever sweeps
+#: mid-round, bump pins to change_round + 1.
+#: r08 pins (llm_ann_batch_topk, llm_lsh_quality) retired: driver-green in
+#: CORRECTNESS_r08 under the new semantics.
+_SEMANTICS_CHANGED: dict[str, int] = {}
 
 
 def _green_in_round(name: str, min_round: int) -> bool:
@@ -165,13 +168,20 @@ def _green_in_round(name: str, min_round: int) -> bool:
                 r = json.load(f).get(name)
         except Exception:
             continue
+        if not isinstance(r, dict):
+            continue
         if (
-            isinstance(r, dict)
-            and not r.get("err")
+            not r.get("err")
             and r.get("rows_match")
             and r.get("schema_match") is not False
             and r.get("hash_match") is not False
         ):
+            return True
+        # oracle-less queries get a rows-only verdict (err='no_oracle',
+        # rows_match absent) — accept it exactly as _previously_verified
+        # does, or a pinned oracle-less query would burn a front-50 slot
+        # every round forever (ADVICE r08).
+        if r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
             return True
     return False
 

@@ -82,7 +82,11 @@ def _import_corpus() -> list[str]:
         os.path.join(out, f"orders_geo_{i:02d}.csv")
         for i in range(IMPORT_FILES)
     ]
-    if all(os.path.exists(p) for p in paths):
+    # done-marker guards against a half-generated cache from an interrupted
+    # run passing the bare exists() check (ADVICE r08, same fix as
+    # tools/import_scale.py).
+    done = os.path.join(out, ".corpus_complete")
+    if os.path.exists(done) and all(os.path.exists(p) for p in paths):
         return paths
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -95,6 +99,8 @@ def _import_corpus() -> list[str]:
                 FROM read_parquet('{SF_DIR}/orders.parquet')
                 WHERE o_orderkey % {IMPORT_FILES} = {i})
           TO '{p}' (FORMAT CSV, HEADER)""")
+    with open(done, "w") as f:
+        f.write(f"{IMPORT_FILES}\n")
     return paths
 
 
@@ -192,6 +198,12 @@ def main() -> None:
     # r06 driver failed to parse the bench line ("parsed": null) because the
     # enriched emission outran its tail-capture buffer. The LAST stdout line
     # must stay compact and machine-parseable (the r01-r05 shape).
+    # Headline/heavy split is applied to EVERY per-query dict (ADVICE r08):
+    # _time writes heavy-tail runs into the shared cold/medians/maxes maps,
+    # so without the split cold_total_sec silently grows and queries_median
+    # carries more keys than queries_min — reading cross-round as a fake
+    # regression. Totals sum over headline names only; heavy gets its own
+    # median/max/cold keys.
     detail = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -200,16 +212,19 @@ def main() -> None:
         "timed_runs": n_runs,
         "agg": "min",
         "queries_min": timings,
-        "queries_median": medians,
-        "queries_max": maxes,
+        "queries_median": {n: medians[n] for n in timings},
+        "queries_max": {n: maxes[n] for n in timings},
         "heavy_min": heavy,
+        "heavy_median": {n: medians[n] for n in heavy},
+        "heavy_max": {n: maxes[n] for n in heavy},
+        "heavy_cold": {n: cold[n] for n in heavy},
         "heavy_total_sec": round(sum(heavy.values()), 3),
         "median_total_sec": round(
             sum(medians[n] for n in timings), 3
         ),
         "noise_spread_pct": noise_spread_pct,
-        "cold_queries": cold,
-        "cold_total_sec": round(sum(cold.values()), 3),
+        "cold_queries": {n: cold[n] for n in timings},
+        "cold_total_sec": round(sum(cold[n] for n in timings), 3),
         "import_bench": imp,
     }
     here = os.path.dirname(os.path.abspath(__file__))

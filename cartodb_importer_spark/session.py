@@ -76,10 +76,31 @@ def get_spark(
     # are deployment-specific rather than engine semantics (e.g.
     # spark.io.compression.codec=zstd halves shuffle-spill bytes on the
     # single-disk rehearsal box; a cluster sets it in spark-defaults).
+    requested: dict[str, str] = {}
     for item in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
         if "=" in item:
             k, v = item.split("=", 1)
+            requested[k.strip()] = v.strip()
             builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # builder.config is a no-op when a SparkSession already exists in the
+    # process, so explicitly-requested env knobs (e.g. the zstd spill codec
+    # a SCALE rehearsal depends on) can be silently dropped — surface that
+    # instead of letting the rehearsal measure the wrong config (ADVICE r08).
+    for k, v in requested.items():
+        try:
+            actual = spark.conf.get(k, None)
+        except Exception:  # noqa: BLE001 — static confs raise on get
+            continue
+        if actual is not None and actual != v:
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_EXTRA_CONF requested {k}={v} but the existing "
+                f"SparkSession has {k}={actual}; restart the process (or "
+                f"stop the session) for the knob to take effect",
+                stacklevel=2,
+            )
+    return spark

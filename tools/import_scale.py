@@ -39,7 +39,12 @@ def corpus() -> list[str]:
     paths = [
         os.path.join(out, f"orders_geo_{i:03d}.csv") for i in range(N_FILES)
     ]
-    if all(os.path.exists(p) for p in paths):
+    # done-marker written AFTER the generation loop: an interrupted run
+    # leaves a partial last CSV that would pass a bare exists() check, and
+    # every later run would silently benchmark a truncated corpus
+    # (ADVICE r08).
+    done = os.path.join(out, ".corpus_complete")
+    if os.path.exists(done) and all(os.path.exists(p) for p in paths):
         return paths
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -57,6 +62,8 @@ def corpus() -> list[str]:
                      generate_series(0, {COPIES - 1}) c(i)
                 WHERE (o_orderkey + c.i) % {N_FILES} = {i})
           TO '{p}' (FORMAT CSV, HEADER)""")
+    with open(done, "w") as f:
+        f.write(f"{N_FILES}\n")
     return paths
 
 

@@ -21,6 +21,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class Catalog:
@@ -46,6 +47,32 @@ class Catalog:
 
     def count(self, spark: SparkSession, name: str) -> int:
         return self.read(spark, name).count()
+
+    # ----------------------------------------------------- streaming batches
+    def replace_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
+        """Idempotently land one micro-batch: any rows a previous attempt of
+        the SAME batch_id wrote are replaced, rows from other batches are
+        untouched — the exactly-once building block for foreachBatch sinks
+        (streaming/sinks.py).
+
+        Base implementation is the portable read-filter-union-rewrite: it
+        works on any catalog but costs O(table) per batch — table size
+        grows per trigger, so N batches do O(N^2) total writes. Catalogs
+        with a cheaper idempotent primitive MUST override (LocalCatalog
+        lands each batch as a ``__batch_id=N`` partition directory,
+        O(batch) per trigger; a Delta catalog would use replaceWhere, a
+        JDBC one DELETE WHERE __batch_id + append)."""
+        tagged = df.withColumn("__batch_id", F.lit(batch_id))
+        if self.exists(name):
+            existing = self.read(df.sparkSession, name)
+            kept = existing.filter(F.col("__batch_id") != batch_id)
+            merged = kept.unionByName(tagged)
+            staging = f"{name}__rewrite"
+            self.write(merged, staging)
+            self.drop(name)
+            self.rename(staging, name)
+        else:
+            self.write(tagged, name)
 
     # ------------------------------------------------------- publish protocol
     def staging_name(self, name: str) -> str:
@@ -100,6 +127,19 @@ class LocalCatalog(Catalog):
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._path(name))
+
+    def replace_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
+        """O(batch) idempotent landing: each micro-batch becomes a
+        ``__batch_id=N`` partition directory under the table dir, written
+        with per-directory overwrite — a replayed batch_id replaces exactly
+        its own directory, other batches' files are never touched or even
+        listed. ``read`` recovers ``__batch_id`` as a partition column, so
+        the table schema matches the base implementation's tagged column.
+        Per-trigger cost is the batch's rows, not the table's — the
+        landing-zone pattern that holds at 100 TB (the base rewrite is
+        O(table) per trigger, quadratic across a backlog)."""
+        part_dir = os.path.join(self._path(name), f"__batch_id={batch_id}")
+        df.drop("__batch_id").write.mode("overwrite").parquet(part_dir)
 
 
 class VersionedLocalCatalog(LocalCatalog):

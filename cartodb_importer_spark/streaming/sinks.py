@@ -13,7 +13,6 @@ catalog that supports append.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def stream_to_catalog(
@@ -27,18 +26,11 @@ def stream_to_catalog(
     ``catalog``/``table``. Returns the StreamingQuery (caller awaits)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tagged = batch_df.withColumn("__batch_id", F.lit(batch_id))
-        if catalog.exists(table):
-            # idempotent replay: drop any rows this batch_id wrote before
-            existing = catalog.read(batch_df.sparkSession, table)
-            kept = existing.filter(F.col("__batch_id") != batch_id)
-            merged = kept.unionByName(tagged)
-            staging = f"{table}__rewrite"
-            catalog.write(merged, staging)
-            catalog.drop(table)
-            catalog.rename(staging, table)
-        else:
-            catalog.write(tagged, table)
+        # idempotent replay is the CATALOG's primitive: a replayed batch_id
+        # replaces exactly its own rows (LocalCatalog: per-batch partition
+        # directory, O(batch) per trigger; generic catalogs: documented
+        # O(table) rewrite fallback — sinks/catalog.py replace_batch)
+        catalog.replace_batch(batch_df, table, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -628,3 +628,41 @@ def test_continuous_csv_import_headerless_bom(spark, tmp_path):
     # null field_1 for 10 and 30
     assert rows == {10: 5, 20: 7, 30: 9}
     assert dict(got.dtypes)["field_1"] == "int"
+
+
+def test_replace_batch_idempotent_and_o_batch(spark, tmp_path):
+    """replace_batch contract (streaming/sinks.py exactly-once building
+    block): replaying a batch_id replaces exactly its own rows; other
+    batches are untouched. LocalCatalog's override must land each batch as
+    a __batch_id=N partition directory (O(batch) per trigger — the base
+    rewrite is O(table)), and the generic base implementation must give
+    the same visible table state."""
+    import os
+
+    from cartodb_importer_spark.sinks.catalog import Catalog, LocalCatalog
+
+    def drive(cat):
+        b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+        cat.replace_batch(b0, "t", 0)
+        cat.replace_batch(b1, "t", 1)
+        # replay batch 1 with different content — must REPLACE, not append
+        b1r = spark.createDataFrame([(4, "d"), (5, "e")], "id long, v string")
+        cat.replace_batch(b1r, "t", 1)
+        got = cat.read(spark, "t")
+        assert "__batch_id" in got.columns
+        return sorted((r["id"], r["v"]) for r in got.collect())
+
+    local = LocalCatalog(str(tmp_path / "wh_local"))
+    assert drive(local) == [(1, "a"), (2, "b"), (4, "d"), (5, "e")]
+    # physical layout: one partition dir per batch, nothing else
+    tdir = os.path.join(str(tmp_path / "wh_local"), "t")
+    parts = sorted(d for d in os.listdir(tdir) if d.startswith("__batch_id="))
+    assert parts == ["__batch_id=0", "__batch_id=1"]
+
+    # base-implementation fallback (any catalog without a cheap primitive)
+    class BaseOnly(LocalCatalog):
+        replace_batch = Catalog.replace_batch
+
+    generic = BaseOnly(str(tmp_path / "wh_generic"))
+    assert drive(generic) == [(1, "a"), (2, "b"), (4, "d"), (5, "e")]

@@ -26,7 +26,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.1")
-DST = os.environ.get("STRESS_DIR", "/tmp/sfstress")
+#: STRESS_HOT=0.2 — hot-key mode (VERDICT r08 item 1): the given fraction
+#: of each fact table's rows is redirected onto ONE key (one orderkey for
+#: lineitem, one custkey for orders, one user_id for events, one 40-variant
+#: boilerplate family for documents). Real 100 TB corpora are Zipf-
+#: distributed; every prior rehearsal replayed uniform duplication, so this
+#: is the mode that exercises AQE skew-join splits, single-hot-partition
+#: windows, and degenerate LSH buckets.
+HOT = float(os.environ.get("STRESS_HOT", "0") or 0)
+DST = os.environ.get("STRESS_DIR") or (
+    "/tmp/sfstress" if HOT <= 0 else f"/tmp/sfskew_h{int(HOT * 100)}"
+)
 COPIES = int(os.environ.get("STRESS_COPIES", "10"))
 
 HEAVY = [
@@ -69,8 +79,20 @@ HEAVY = [
 ]
 
 
-def generate() -> None:
+def generate(
+    src: str | None = None,
+    dst: str | None = None,
+    copies: int | None = None,
+    hot: float | None = None,
+) -> None:
     import duckdb
+
+    global SRC, DST, COPIES, HOT  # noqa: PLW0603 — CLI module, env-driven
+    SRC = src or SRC
+    DST = dst or DST
+    COPIES = copies if copies is not None else COPIES
+    HOT = hot if hot is not None else HOT
+    pct = int(round(HOT * 100))
 
     # STRESS_TABLES=documents,events restricts COPIES-x duplication to the
     # listed fact tables (the rest are copied at 1x) — a 100x documents-only
@@ -102,13 +124,48 @@ def generate() -> None:
         if not wanted(t):
             shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     n = COPIES - 1
+    # hot keys are picked so they SURVIVE the flagship filters (q3 keeps
+    # BUILDING-segment customers; q5 keeps ASIA customers): a hot key the
+    # dimension filter drops would skew only the shuffle sort, not the
+    # join output. min() keeps the choice deterministic.
+    hot_ok = hot_ck = hot_uid = 0
+    if HOT > 0:
+        hot_ok = con.sql(f"""
+          SELECT min(o.o_orderkey)
+          FROM read_parquet('{SRC}/orders.parquet') o
+          JOIN read_parquet('{SRC}/customer.parquet') c
+            ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'""").fetchone()[0]
+        hot_ck = con.sql(f"""
+          SELECT min(c.c_custkey)
+          FROM read_parquet('{SRC}/customer.parquet') c
+          JOIN read_parquet('{SRC}/nation.parquet') nt
+            ON c.c_nationkey = nt.n_nationkey
+          JOIN read_parquet('{SRC}/region.parquet') r
+            ON nt.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'""").fetchone()[0]
+        hot_uid = con.sql(
+            f"SELECT min(user_id) FROM read_parquet('{SRC}/events.parquet')"
+        ).fetchone()[0]
+        print(
+            f"STRESS_HOT={HOT}: hot orderkey={hot_ok} custkey={hot_ck} "
+            f"user_id={hot_uid} ({pct}% of fact rows each)",
+            flush=True,
+        )
     if wanted("orders") or wanted("lineitem"):
         mx = con.sql(
             f"SELECT max(o_orderkey) FROM read_parquet('{SRC}/orders.parquet')"
         ).fetchone()[0]
     if wanted("orders"):
+        ck = "o_custkey"
+        if HOT > 0:
+            # hot foreign key: pct% of ALL order rows point at one customer
+            ck = (
+                f"CASE WHEN hash(o_orderkey*2654435761 + i) % 100 < {pct} "
+                f"THEN {hot_ck} ELSE o_custkey END AS o_custkey"
+            )
         con.sql(f"""
-          COPY (SELECT o_orderkey + i*{mx + 1} AS o_orderkey, o_custkey,
+          COPY (SELECT o_orderkey + i*{mx + 1} AS o_orderkey, {ck},
                        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
                 FROM read_parquet('{SRC}/orders.parquet'),
                      generate_series(0,{n}) t(i))
@@ -133,8 +190,17 @@ def generate() -> None:
                 "run only lineitem-only (graph_*) queries on this corpus",
                 flush=True,
             )
+        ok = f"l_orderkey + i*{mx + 1} AS l_orderkey"
+        if HOT > 0:
+            # hot join key: pct% of ALL lineitem rows carry one orderkey —
+            # the probe-side shuffle skew AQE's skew-join split must absorb
+            ok = (
+                f"CASE WHEN hash(l_orderkey*31 + l_linenumber + i) % 100 "
+                f"< {pct} THEN {hot_ok} "
+                f"ELSE l_orderkey + i*{mx + 1} END AS l_orderkey"
+            )
         con.sql(f"""
-          COPY (SELECT l_orderkey + i*{mx + 1} AS l_orderkey, {pk},
+          COPY (SELECT {ok}, {pk},
                        l_suppkey, l_linenumber, l_quantity, l_extendedprice,
                        l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
                 FROM read_parquet('{SRC}/lineitem.parquet'),
@@ -145,9 +211,19 @@ def generate() -> None:
             f"SELECT max(event_id), max(user_id) "
             f"FROM read_parquet('{SRC}/events.parquet')"
         ).fetchone()
+        uid = f"user_id + i*{mu + 1} AS user_id"
+        if HOT > 0:
+            # hot window-partition key: pct% of ALL events land on one
+            # user — window/sessionization partitions can't be split by
+            # AQE, so this measures the single-hot-task wall directly
+            uid = (
+                f"CASE WHEN hash(event_id*131 + i) % 100 < {pct} "
+                f"THEN {hot_uid} "
+                f"ELSE user_id + i*{mu + 1} END AS user_id"
+            )
         con.sql(f"""
           COPY (SELECT event_id + i*{me + 1} AS event_id, ts,
-                       user_id + i*{mu + 1} AS user_id, event_type, value, props
+                       {uid}, event_type, value, props
                 FROM read_parquet('{SRC}/events.parquet'),
                      generate_series(0,{n}) t(i))
           TO '{DST}/events.parquet' (FORMAT PARQUET)""")
@@ -155,9 +231,26 @@ def generate() -> None:
         md = con.sql(
             f"SELECT max(doc_id) FROM read_parquet('{SRC}/documents.parquet')"
         ).fetchone()[0]
+        txt = "text || ' v' || i::VARCHAR AS text"
+        if HOT > 0:
+            # boilerplate contamination: pct% of ALL docs collapse onto 40
+            # near-identical template variants (same long body, tiny
+            # per-variant + per-copy suffix) — every variant's members land
+            # in the same LSH bucket, the worst-realistic near-dup shape
+            # (mirrored ToS/nav chrome pages). Exercises the star-pattern
+            # bucket guard and the pair-volume bound under Zipf text.
+            txt = (
+                f"CASE WHEN hash(doc_id*17 + i) % 100 < {pct} THEN "
+                f"'terms of service boilerplate mirrored across corpus "
+                f"edition pages with navigation chrome header footer and "
+                f"cookie notice text repeated verbatim on every crawled "
+                f"snapshot of the site variant ' || (doc_id % 40)::VARCHAR "
+                f"|| ' v' || i::VARCHAR "
+                f"ELSE text || ' v' || i::VARCHAR END AS text"
+            )
         con.sql(f"""
           COPY (SELECT doc_id + i*{md + 1} AS doc_id,
-                       text || ' v' || i::VARCHAR AS text, lang, source,
+                       {txt}, lang, source,
                        n_chars + 3 AS n_chars
                 FROM read_parquet('{SRC}/documents.parquet'),
                      generate_series(0,{n}) t(i))

@@ -120,9 +120,24 @@ def _make_session_updater(gap_us: int):
                     open_s = (t, t, 1, float(v))
                 else:
                     open_s = (start, max(last, t), n + 1, total + float(v))
-        state.update(open_s)
-        # event-time timeout at last+gap: fires when the watermark passes it
-        state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
+        # event-time timeout at last+gap: fires when the watermark passes
+        # it. The watermark may ALREADY be past last+gap — any micro-batch
+        # spanning more event time than the watermark delay leaves its
+        # early users' sessions expired by the time the batch's own max ts
+        # advances the watermark (found by the r09 throughput rehearsal:
+        # setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP on a
+        # timestamp at-or-before the current watermark). Such a session is
+        # closed BY DEFINITION — emit it now instead of asking for an
+        # impossible wake-up; Spark would only have delivered the timeout
+        # one trigger later.
+        timeout_ms = (open_s[1] + gap_us) // 1000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            closed.append(row(open_s[0], open_s[1], open_s[2], open_s[3]))
+            if state.exists:
+                state.remove()
+        else:
+            state.update(open_s)
+            state.setTimeoutTimestamp(timeout_ms)
         if closed:
             yield pd.DataFrame(closed)
 

@@ -31,9 +31,17 @@ COPIES = int(os.environ.get("IMPORT_COPIES", "10"))
 PARALLEL = int(os.environ.get("IMPORT_PARALLEL", "8"))
 
 
-def corpus() -> list[str]:
+def corpus(
+    sf_dir: str | None = None,
+    n_files: int | None = None,
+    copies: int | None = None,
+) -> list[str]:
     import duckdb
 
+    global SF_DIR, N_FILES, COPIES  # noqa: PLW0603 — CLI module, env-driven
+    SF_DIR = sf_dir or SF_DIR
+    N_FILES = n_files if n_files is not None else N_FILES
+    COPIES = copies if copies is not None else COPIES
     tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
     out = f"/tmp/import_scale_{tag}_{COPIES}x_{N_FILES}f"
     paths = [

@@ -125,7 +125,32 @@ class Importer:
                         F.col("the_geom").isNull().cast("int")
                     ).alias("n_null_geom"),
                 )
-            rows = self.catalog.publish(df, self.suggested_name)
+            # Publish with collision retry: the name was unique when this
+            # import derived it, but a concurrent import can win it in the
+            # meantime — in a fleet, archive explosion retargets names mid-
+            # run (importer.rb:106), AFTER import_fleet's pre-reservation,
+            # so N zips sharing one member stem all race for the same table
+            # (found by the r09 mixed-format rehearsal). The no-clobber
+            # guard makes the loser safe; re-deriving against the live
+            # catalog and retrying gives it the reference's _n suffix
+            # behavior instead of a failed import.
+            attempts = 0
+            while True:
+                try:
+                    rows = self.catalog.publish(df, self.suggested_name)
+                    break
+                except (ValueError, OSError):
+                    attempts += 1
+                    if attempts > 8 or not self.catalog.exists(
+                        self.suggested_name
+                    ):
+                        raise  # not a name collision (or livelock): surface
+                    self.suggested_name = naming.get_valid_name(
+                        self.suggested_name, self.catalog.table_names()
+                    )
+                    self.log(
+                        f"publish collision, retrying as {self.suggested_name}"
+                    )
             self.log(f"published {self.suggested_name} ({rows} rows)")
             if obs is not None:
                 metrics = obs.get

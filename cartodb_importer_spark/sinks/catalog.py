@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,7 +77,13 @@ class Catalog:
 
     # ------------------------------------------------------- publish protocol
     def staging_name(self, name: str) -> str:
-        return f"importing_{int(time.time())}_{name}"  # importer.rb:355
+        # importer.rb:355 format is importing_<unix-ts>_<name>; the
+        # reference runs one import per process, so second-resolution was
+        # unique enough. A FLEET publishing the same table name twice in
+        # one second collided on the staging path mid-write (found by the
+        # r09 mixed-format rehearsal) — a uuid slug keeps the prefix
+        # contract and makes staging names process- and thread-unique.
+        return f"importing_{int(time.time())}_{uuid.uuid4().hex[:8]}_{name}"
 
     def publish(self, df: DataFrame, name: str) -> int:
         """Write staging, atomically rename, return landed row count.

@@ -92,8 +92,11 @@ def test_semantics_pins_self_retire(monkeypatch, tmp_path):
     import json as _json
     import os as _os
 
-    assert entry._SEMANTICS_CHANGED  # the mechanism is in active use
-    name = next(iter(entry._SEMANTICS_CHANGED))
+    # pins come and go (r08's retired in r09); when present they must name
+    # registered queries, or an unretirable typo would burn a front-50
+    # slot every round forever (ADVICE r08)
+    assert set(entry._SEMANTICS_CHANGED) <= set(entry.queries())
+    name = "q1_pricing_summary"  # any registered name exercises the check
     # no artifact from >= round 99 exists, so a pin at round 99 holds
     assert not entry._green_in_round(name, 99)
     # fabricate a round-99 green verdict in an isolated copy of the repo
@@ -115,4 +118,11 @@ def test_semantics_pins_self_retire(monkeypatch, tmp_path):
             {name: {"rows_match": True, "schema_match": True, "hash_match": False}}
         )
     )
+    assert not entry._green_in_round(name, 99)
+    # an oracle-less query's rows-only verdict DOES retire its pin, exactly
+    # as _previously_verified accepts it (ADVICE r08) — but only when the
+    # sweep actually produced rows
+    art.write_text(_json.dumps({name: {"err": "no_oracle", "spark_rows": 7}}))
+    assert entry._green_in_round(name, 99)
+    art.write_text(_json.dumps({name: {"err": "no_oracle", "spark_rows": None}}))
     assert not entry._green_in_round(name, 99)

@@ -2314,3 +2314,38 @@ def test_rank_cells_pd_matches_jvm_probe_ranking(spark):
         for r in S.assign_ivf_cell(df, centroids).collect()
     }
     assert homes == {i: p[0] for i, p in blas.items()}
+
+
+def test_ann_batch_topk_large_path_equals_small_path(spark, monkeypatch):
+    """ann_batch_topk's >64-cell path (BLAS cell ranking via mapInPandas)
+    must return EXACTLY the JVM-expression small path's rows: same
+    (qid, vec_id) sets, same 1e-6-grid similarities, same tie-breaks,
+    NULLs for zero-norm vectors on both sides. Forced onto identical
+    small inputs by moving the _PROBE_EXPR_MAX_CELLS threshold in both
+    directions — implementation-agnostic, so it guards any future
+    large-path rewrite (r09 measured a role-tagged single-shuffle fusion
+    through this test before rejecting it on wall-time)."""
+    import numpy as np
+
+    from cartodb_importer_spark.llm import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.standard_normal(6).tolist()) for i in range(40)]
+    vecs.append((99, [0.0] * 6))  # zero-norm: NULL cosine everywhere
+    df = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<double>"
+    )
+    centroids = rng.standard_normal((7, 6)).tolist()
+
+    def run():
+        rows = S.ann_batch_topk(df, centroids, k=4, nprobe=3).collect()
+        return sorted(
+            (r.qid, r.vec_id, r.cosine_sim) for r in rows
+        )
+
+    monkeypatch.setattr(S, "_PROBE_EXPR_MAX_CELLS", 1000)
+    small = run()
+    monkeypatch.setattr(S, "_PROBE_EXPR_MAX_CELLS", 1)
+    large = run()
+    assert small == large
+    assert len(small) > 0

@@ -31,20 +31,49 @@ from pyspark.sql import functions as F
 
 from . import Tables, query
 
-# Shared oracle CTE: distinct oriented co-purchase edges.
-_PAIRS_CTE = """
+#: Giant-basket guard (r09 skew rehearsal): pair generation is QUADRATIC
+#: per order, so one pathological basket with k items emits k^2/2 edges —
+#: the hot-key corpus's 1.2M-row order would project a ~20k-part clique
+#: (~2x10^8 edges, ~10^12 triangles) and wedge every graph query. Real
+#: co-occurrence pipelines cap the basket: an order with more than this
+#: many line rows is bot/aggregation noise, not a co-purchase signal, and
+#: is dropped from the projection. Line count (not distinct parts) keeps
+#: the guard a plain count on the same key the self-join shuffles on;
+#: TPC-H orders have <= 7 lines, so the cap never binds on real testdata
+#: and every graph oracle mirrors it exactly.
+MAX_BASKET_LINES = 1000
+
+# Shared oracle CTE: distinct oriented co-purchase edges over capped
+# baskets (mirror of _copurchase_pairs, including MAX_BASKET_LINES).
+_PAIRS_CTE = f"""
+    sane_orders AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(*) <= {MAX_BASKET_LINES}
+    ),
     pairs AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a
       JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey IN (SELECT l_orderkey FROM sane_orders)
     )
 """
 
 
 def _copurchase_pairs(t: Tables) -> DataFrame:
-    """Distinct oriented (src < dst) part co-purchase pairs."""
+    """Distinct oriented (src < dst) part co-purchase pairs over capped
+    baskets (MAX_BASKET_LINES — see the guard note above). The guard is a
+    count on the SAME key the self-join shuffles on, so its exchange is
+    reused by the join stages; on sane corpora it filters nothing and
+    costs one co-partitioned semi-join."""
     li = t.lineitem.select("l_orderkey", "l_partkey")
+    sane = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n_lines"))
+        .filter(F.col("__n_lines") <= MAX_BASKET_LINES)
+        .select("l_orderkey")
+    )
+    li = li.join(sane, "l_orderkey", "left_semi")
     a = li.alias("a")
     b = li.alias("b")
     return (

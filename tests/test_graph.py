@@ -90,3 +90,28 @@ def test_common_neighbors_are_nonadjacent_and_correct(spark, edge_set):
             m for m in adj[a] & adj[b] if deg[m] <= 60
         }
         assert r["n_common"] == len(common)
+
+
+def test_giant_basket_guard_drops_pathological_orders(spark, tmp_path):
+    """r09 skew finding: one k-item basket emits k^2/2 edges, so a hot-key
+    corpus's million-line order projects a corpus-wide clique. Orders with
+    more than MAX_BASKET_LINES line rows must be dropped from the
+    co-purchase projection; sane orders must be unaffected."""
+    from cartodb_importer_spark.queries.graph import MAX_BASKET_LINES
+
+    giant = [(1, 100 + i % 500) for i in range(MAX_BASKET_LINES + 1)]
+    sane = [(2, 10), (2, 11), (3, 10), (3, 12)]
+    df = spark.createDataFrame(
+        giant + sane, "l_orderkey bigint, l_partkey bigint"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "lineitem.parquet"))
+    got = {
+        (r["src"], r["dst"])
+        for r in _copurchase_pairs(Tables(spark, sf)).collect()
+    }
+    # only the sane orders' pairs survive; nothing from the giant basket
+    assert got == {(10, 11), (10, 12)}

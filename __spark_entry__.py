@@ -152,7 +152,20 @@ _PRIORITY = (
 #: mid-round, bump pins to change_round + 1.
 #: r08 pins (llm_ann_batch_topk, llm_lsh_quality) retired: driver-green in
 #: CORRECTNESS_r08 under the new semantics.
-_SEMANTICS_CHANGED: dict[str, int] = {}
+#: r09: the giant-basket guard (queries/graph.py MAX_BASKET_LINES) is
+#: value-identical at every testdata SF (the cap never binds on <=7-line
+#: TPC-H orders; 6/6 re-verified locally at sf0.01), but the shared pairs
+#: plan changed under all six graph queries and their r08-era verdicts
+#: rank too late in the 97-deep stale queue to re-verify naturally — pin
+#: them so the r09 sweep re-grades the new plan, then self-retire.
+_SEMANTICS_CHANGED: dict[str, int] = {
+    "graph_pagerank": 9,
+    "graph_triangle_count": 9,
+    "graph_clustering_coefficient": 9,
+    "graph_degree_stats": 9,
+    "graph_common_neighbors": 9,
+    "graph_khop_reach": 9,
+}
 
 
 def _green_in_round(name: str, min_round: int) -> bool:

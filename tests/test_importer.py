@@ -601,3 +601,32 @@ def test_cr_only_detection_counts_not_presence(spark, tmp_path):
     # not staged: staging would have normalized the in-field CR to LF
     cell = {r["id"]: r["name"] for r in df2.collect()}["1"]
     assert cell == "a\rb"
+
+
+def test_publish_collision_retries_with_fresh_suffix(spark, catalog, tmp_path):
+    """r09 fleet race: a concurrent import can win a table name AFTER this
+    import derived it (archive explosion retargets names mid-run, past
+    import_fleet's pre-reservation). The loser must land under the
+    reference's _n suffix instead of failing."""
+    src = _write(tmp_path, "race.csv", "a,b\n1,2\n3,4\n")
+    imp = Importer(spark, catalog, src)
+    assert imp.suggested_name == "race"
+    # another import wins the name between derivation and publish
+    catalog.publish(spark.createDataFrame([(9,)], "x int"), "race")
+    res = imp.run()
+    assert res.name == "race_1"
+    assert res.rows_imported == 2
+    # the winner's table is untouched
+    assert catalog.read(spark, "race").count() == 1
+
+
+def test_staging_names_unique_within_one_second(catalog):
+    """r09 fleet race: importing_<unix-ts>_<name> collides when two fleet
+    threads publish the same table name in one second — the slug must make
+    consecutive staging names distinct while keeping the reference's
+    importing_ prefix (importer.rb:355)."""
+    a = catalog.staging_name("t")
+    b = catalog.staging_name("t")
+    assert a != b
+    assert a.startswith("importing_") and b.startswith("importing_")
+    assert a.endswith("_t") and b.endswith("_t")

@@ -13,7 +13,7 @@ over the partially-aggregated rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,3 +87,77 @@ def salted_join(
     salted_right = right.select("*", salts)
     out = salted_left.join(salted_right, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    chunk_col: Column,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Two-phase prefix sum for HOT window partitions — the window-family
+    counterpart of salted_agg. A running total's window partition cannot
+    be split by AQE: one hot key (power-law user, bot session) serializes
+    its entire history through one task. This decomposition bounds the
+    per-task work by a CHUNK instead:
+
+    1. intra-chunk prefix sums, window partitioned by (key, chunk) —
+       per-task work is the chunk's rows, chosen by the caller (e.g. a
+       calendar day of the ordering timestamp);
+    2. chunk offsets: each chunk's sum of all EARLIER chunks, a window
+       over the per-(key, chunk) totals — one row per (key, chunk),
+       orders of magnitude smaller than the input;
+    3. a co-partitioned join on (key, chunk) adds offset to intra.
+
+    ``chunk_col`` must be non-decreasing along ``order_cols`` within each
+    key (a truncation of the leading order column qualifies). Exact NULL
+    semantics match the single-window form: a row whose frame has seen no
+    non-null value yet yields NULL, not 0 (tracked via running non-null
+    counts, phase 1 + phase 2).
+
+    Measured context (r09 skew rehearsal, SCALE.md): the single-window
+    form absorbed 50% single-key heat at 10x local scale, so flagship
+    queries keep it; this operator is the documented lever for corpora
+    where one key's history outgrows a task."""
+    k = list(key_cols)
+    chunked = df.withColumn("__chunk", chunk_col)
+    w_intra = (
+        Window.partitionBy(*k, "__chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = chunked.withColumn(
+        "__intra", F.sum(value_col).over(w_intra)
+    ).withColumn("__intra_n", F.count(value_col).over(w_intra))
+    totals = chunked.groupBy(*k, "__chunk").agg(
+        F.sum(value_col).alias("__chunk_sum"),
+        F.count(value_col).alias("__chunk_n"),
+    )
+    w_prev = (
+        Window.partitionBy(*k)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *k,
+        "__chunk",
+        F.coalesce(F.sum("__chunk_sum").over(w_prev), F.lit(0.0)).alias(
+            "__offset"
+        ),
+        F.coalesce(F.sum("__chunk_n").over(w_prev), F.lit(0)).alias(
+            "__offset_n"
+        ),
+    )
+    return (
+        intra.join(offsets, [*k, "__chunk"])
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__intra_n") + F.col("__offset_n") > 0,
+                F.coalesce(F.col("__intra"), F.lit(0.0)) + F.col("__offset"),
+            ),
+        )
+        .drop("__chunk", "__intra", "__intra_n", "__offset", "__offset_n")
+    )

@@ -218,3 +218,47 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_chunked_running_sum_matches_single_window_and_null_semantics(spark):
+    """operators/skew.py chunked_running_sum: the two-phase (intra-chunk +
+    offset) decomposition must equal the single-window running sum row for
+    row — including exact NULL semantics (a row whose frame has seen no
+    non-null value yields NULL, not 0.0, even across chunk boundaries)."""
+    from pyspark.sql import Window
+
+    from cartodb_importer_spark.operators.skew import chunked_running_sum
+
+    rows = [
+        # user 1: leading NULLs spanning two chunks, then values
+        (1, 1, 10, None), (2, 1, 10, None), (3, 1, 20, None),
+        (4, 1, 20, 5.0), (5, 1, 30, 2.5), (6, 1, 30, None), (7, 1, 40, 1.0),
+        # user 2: all null
+        (8, 2, 10, None), (9, 2, 20, None),
+        # user 3: single chunk
+        (10, 3, 10, 4.0), (11, 3, 10, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, bucket long, value double"
+    )
+    got = {
+        r["event_id"]: r["running_total"]
+        for r in chunked_running_sum(
+            df, ["user_id"], ["bucket", "event_id"], "value",
+            chunk_col=F.col("bucket"),
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["event_id"]: r["rt"]
+        for r in df.select(
+            "event_id", F.sum("value").over(w).alias("rt")
+        ).collect()
+    }
+    assert got == want
+    assert want[1] is None and got[3] is None  # NULL until first value
+    assert got[6] == 7.5  # NULL row inherits the running total, not 0

@@ -147,6 +147,62 @@ def run_importer(spark) -> dict:
     return stats
 
 
+def run_recovery(spark) -> dict:
+    """Kill-and-resume exactly-once at volume: start the continuous
+    importer over the full backlog, HARD-STOP it mid-run (after ~1/3 of
+    the expected triggers), restart from the same checkpoint, and verify
+    the landed table holds exactly one copy of every source row — the
+    exactly-once contract the toy-scale pytest pins, exercised at
+    rehearsal volume with a mid-batch interruption."""
+    import time as _time
+
+    import import_scale
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+    from cartodb_importer_spark.streaming.ingest import stream_import_csv
+
+    paths = import_scale.corpus(sf_dir=SRC, n_files=IMPORT_FILES, copies=COPIES)
+    land = os.path.dirname(paths[0])
+    wh = tempfile.mkdtemp(prefix="stream_recovery_wh_")
+    ckpt = tempfile.mkdtemp(prefix="stream_recovery_ckpt_")
+    cat = LocalCatalog(wh)
+    try:
+        def start():
+            return stream_import_csv(
+                spark, land, cat, "orders_geo", ckpt,
+                max_files_per_trigger=4,
+            )
+
+        q = start()
+        target = max(1, IMPORT_FILES // 4 // 3)
+        while len(q.recentProgress) < target and q.isActive:
+            _time.sleep(0.5)
+        q.stop()  # hard stop, possibly mid-batch
+        interrupted_batches = len(q.recentProgress)
+
+        t0 = time.perf_counter()
+        q2 = start()
+        q2.awaitTermination()
+        resume_stats = _progress_stats(q2)
+        resume_stats["resume_wall_sec"] = round(time.perf_counter() - t0, 2)
+
+        landed = cat.read(spark, "orders_geo")
+        total = landed.count()
+        distinct = landed.select("o_orderkey").distinct().count()
+        expected = spark.read.option("header", True).csv(land).count()
+        return {
+            "interrupted_after_batches": interrupted_batches,
+            "expected_rows": expected,
+            "landed_rows": total,
+            "landed_distinct_keys": distinct,
+            "exactly_once": total == expected == distinct,
+            **resume_stats,
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _noop_available_now(df, ckpt: str):
     return (
         df.writeStream.format("noop")
@@ -200,7 +256,7 @@ def main() -> int:
         else ["importer", "user_totals", "sessions", "tumbling"]
     )
     land = None
-    if any(n != "importer" for n in names):
+    if any(n not in ("importer", "recovery") for n in names):
         land = _events_landing(spark)
 
     results: dict[str, dict] = {}
@@ -208,6 +264,8 @@ def main() -> int:
         try:
             if name == "importer":
                 r = run_importer(spark)
+            elif name == "recovery":
+                r = run_recovery(spark)
             else:
                 r = run_stateful(spark, name, land)
         except Exception as e:  # noqa: BLE001 — report and continue

@@ -259,8 +259,21 @@ def generate(
         mv = con.sql(
             f"SELECT max(vec_id) FROM read_parquet('{SRC}/embeddings.parquet')"
         ).fetchone()[0]
+        emb = "embedding"
+        if HOT > 0:
+            # hot embedding: pct% of ALL vectors become ONE identical
+            # vector (vec_id 0's) — the mode-collapse / mass-duplication
+            # shape that concentrates a single IVF or k-means cell with
+            # 20% of the corpus, turning per-cell pairwise stages into a
+            # single-task quadratic
+            emb = (
+                f"CASE WHEN hash(vec_id*41 + i) % 100 < {pct} THEN "
+                f"(SELECT embedding FROM read_parquet("
+                f"'{SRC}/embeddings.parquet') WHERE vec_id = 0) "
+                f"ELSE embedding END AS embedding"
+            )
         con.sql(f"""
-          COPY (SELECT vec_id + i*{mv + 1} AS vec_id, embedding, label
+          COPY (SELECT vec_id + i*{mv + 1} AS vec_id, {emb}, label
                 FROM read_parquet('{SRC}/embeddings.parquet'),
                      generate_series(0,{n}) t(i))
           TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")

@@ -50,6 +50,12 @@ SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("STREAM_COPIES", "10"))
 N_FILES = int(os.environ.get("STREAM_FILES", "32"))
 IMPORT_FILES = int(os.environ.get("STREAM_IMPORT_FILES", "32"))
+#: STREAM_HOT=0.2 — hot-user events corpus (stress_10x STRESS_HOT): one
+#: user_id receives pct% of ALL events, so every stateful micro-batch
+#: funnels that share through ONE applyInPandasWithState group/task —
+#: the per-key serialization wall the batch window rehearsal measured,
+#: now on the streaming path.
+HOT = float(os.environ.get("STREAM_HOT", "0") or 0)
 
 
 def _events_landing(spark) -> str:

@@ -193,8 +193,15 @@ def _green_in_round(name: str, min_round: int) -> bool:
         # oracle-less queries get a rows-only verdict (err='no_oracle',
         # rows_match absent) — accept it exactly as _previously_verified
         # does, or a pinned oracle-less query would burn a front-50 slot
-        # every round forever (ADVICE r08).
-        if r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+        # every round forever (ADVICE r08). Mirror that function's guard
+        # too (ADVICE r09): if the query has since GAINED an oracle, a
+        # stale rows-only verdict must not retire the pin — the new
+        # oracle has to be checked first.
+        if (
+            r.get("err") == "no_oracle"
+            and r.get("spark_rows") is not None
+            and name not in ORACLES
+        ):
             return True
     return False
 

@@ -16,6 +16,7 @@ staging tables so a failed import never clobbers an existing table
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
 from dataclasses import dataclass, field
@@ -139,10 +140,24 @@ class Importer:
                 try:
                     rows = self.catalog.publish(df, self.suggested_name)
                     break
-                except (ValueError, OSError):
+                except (ValueError, OSError) as exc:
+                    # Only genuine name collisions retry (ADVICE r09: a
+                    # bare-OSError catch re-published full datasets on
+                    # disk-full etc.): publish's explicit no-clobber
+                    # ValueError, or LocalCatalog's rename losing the
+                    # race (EEXIST/ENOTEMPTY on the target dir).
+                    is_collision = (
+                        isinstance(exc, ValueError)
+                        and "already exists" in str(exc)
+                    ) or (
+                        isinstance(exc, OSError)
+                        and exc.errno in (errno.EEXIST, errno.ENOTEMPTY)
+                    )
                     attempts += 1
-                    if attempts > 8 or not self.catalog.exists(
-                        self.suggested_name
+                    if (
+                        not is_collision
+                        or attempts > 8
+                        or not self.catalog.exists(self.suggested_name)
                     ):
                         raise  # not a name collision (or livelock): surface
                     self.suggested_name = naming.get_valid_name(

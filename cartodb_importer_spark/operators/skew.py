@@ -115,7 +115,13 @@ def chunked_running_sum(
     key (a truncation of the leading order column qualifies). Exact NULL
     semantics match the single-window form: a row whose frame has seen no
     non-null value yet yields NULL, not 0 (tracked via running non-null
-    counts, phase 1 + phase 2).
+    counts, phase 1 + phase 2). NULL keys and NULL chunks are groups too —
+    a window partition keeps NULL-key rows as one partition, so the phase-3
+    join uses null-safe equality (``<=>``) on every key and the chunk;
+    Catalyst extracts ``<=>`` as equi-join keys, so the join still plans as
+    a co-partitioned sort-merge, never a NestedLoop (ADVICE r09: a plain
+    inner join silently dropped NULL-key/NULL-ts rows the single-window
+    form keeps).
 
     Measured context (r09 skew rehearsal, SCALE.md): the single-window
     form absorbed 50% single-key heat at 10x local scale, so flagship
@@ -150,8 +156,21 @@ def chunked_running_sum(
             "__offset_n"
         ),
     )
+    # Null-safe co-partitioned join: offsets-side keys are renamed so the
+    # <=> condition is unambiguous (both frames share the `chunked` parent).
+    renames = {c: f"__off_k{i}" for i, c in enumerate([*k, "__chunk"])}
+    off2 = offsets.select(
+        *[F.col(c).alias(n) for c, n in renames.items()],
+        "__offset",
+        "__offset_n",
+    )
+    cond = None
+    for c, n in renames.items():
+        term = F.col(c).eqNullSafe(F.col(n))
+        cond = term if cond is None else cond & term
+    joined = intra.join(off2, cond).drop(*renames.values())
     return (
-        intra.join(offsets, [*k, "__chunk"])
+        joined
         .withColumn(
             out_col,
             F.when(

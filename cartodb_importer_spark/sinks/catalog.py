@@ -62,13 +62,26 @@ class Catalog:
         with a cheaper idempotent primitive MUST override (LocalCatalog
         lands each batch as a ``__batch_id=N`` partition directory,
         O(batch) per trigger; a Delta catalog would use replaceWhere, a
-        JDBC one DELETE WHERE __batch_id + append)."""
+        JDBC one DELETE WHERE __batch_id + append).
+
+        Crash windows of this portable path (ADVICE r09): a crash after
+        the staging write used to leave ``{name}__rewrite`` behind and
+        fail every later trigger's errorifexists write — so any leftover
+        staging table is dropped before writing (safe: its contents are
+        always a rebuildable merge of live table + replayable batch). A
+        crash between drop(name) and rename still loses the live table
+        until the staging table is renamed in by hand or the stream
+        replays; catalogs with an atomic swap primitive (Delta/Iceberg
+        commit, LocalCatalog partition-dir rename) don't have this window
+        — one more reason the override is required of real catalogs."""
         tagged = df.withColumn("__batch_id", F.lit(batch_id))
         if self.exists(name):
             existing = self.read(df.sparkSession, name)
             kept = existing.filter(F.col("__batch_id") != batch_id)
             merged = kept.unionByName(tagged)
             staging = f"{name}__rewrite"
+            if self.exists(staging):  # leftover from a crashed trigger
+                self.drop(staging)
             self.write(merged, staging)
             self.drop(name)
             self.rename(staging, name)
@@ -144,9 +157,31 @@ class LocalCatalog(Catalog):
         the table schema matches the base implementation's tagged column.
         Per-trigger cost is the batch's rows, not the table's — the
         landing-zone pattern that holds at 100 TB (the base rewrite is
-        O(table) per trigger, quadratic across a backlog)."""
-        part_dir = os.path.join(self._path(name), f"__batch_id={batch_id}")
-        df.drop("__batch_id").write.mode("overwrite").parquet(part_dir)
+        O(table) per trigger, quadratic across a backlog).
+
+        Atomicity (ADVICE r09): the batch is written to a dot-prefixed
+        temp sibling (hidden from Spark's partition discovery) and
+        os.rename'd into ``__batch_id=N`` — readers see the old replay's
+        complete directory or the new one, never a half-written one. The
+        replaced directory is moved aside before the swap and deleted
+        after, so the only reader-visible gap is the instant between the
+        two renames, and only during a replay of an already-failed batch."""
+        table_dir = self._path(name)
+        part_dir = os.path.join(table_dir, f"__batch_id={batch_id}")
+        tmp_dir = os.path.join(
+            table_dir, f".batch_tmp_{batch_id}_{uuid.uuid4().hex[:8]}"
+        )
+        df.drop("__batch_id").write.mode("overwrite").parquet(tmp_dir)
+        old_dir = None
+        if os.path.isdir(part_dir):  # replay: move the old attempt aside
+            # dot-prefixed so partition discovery never parses it as a value
+            old_dir = os.path.join(
+                table_dir, f".batch_old_{batch_id}_{uuid.uuid4().hex[:8]}"
+            )
+            os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        if old_dir is not None:
+            shutil.rmtree(old_dir, ignore_errors=True)
 
 
 class VersionedLocalCatalog(LocalCatalog):

@@ -262,3 +262,49 @@ def test_chunked_running_sum_matches_single_window_and_null_semantics(spark):
     assert got == want
     assert want[1] is None and got[3] is None  # NULL until first value
     assert got[6] == 7.5  # NULL row inherits the running total, not 0
+
+
+def test_chunked_running_sum_keeps_null_key_and_null_chunk_rows(spark):
+    """ADVICE r09: the phase-3 join must be null-safe — a NULL key column
+    or NULL chunk value (e.g. to_date of a NULL ts) is a window PARTITION
+    in the single-window form, so the chunked form must keep those rows
+    and produce identical running totals, not silently drop them."""
+    from pyspark.sql import Window
+
+    from cartodb_importer_spark.operators.skew import chunked_running_sum
+
+    rows = [
+        # NULL user key: its own partition in a window
+        (1, None, 10, 1.0), (2, None, 20, 2.0), (3, None, 20, 3.0),
+        # NULL bucket (-> NULL chunk) sorts first within the key
+        (4, 7, None, 5.0), (5, 7, None, 7.0), (6, 7, 10, 11.0),
+        # NULL key AND NULL chunk together
+        (7, None, None, 0.5),
+        # plain rows as control
+        (8, 9, 10, 1.5), (9, 9, 20, 2.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, bucket long, value double"
+    )
+    out = chunked_running_sum(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"),
+    )
+    assert out.count() == len(rows)  # nothing dropped
+    got = {r["event_id"]: r["running_total"] for r in out.collect()}
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["event_id"]: r["rt"]
+        for r in df.select(
+            "event_id", F.sum("value").over(w).alias("rt")
+        ).collect()
+    }
+    assert got == want
+    # the null-safe condition must still plan as an equi-join (sort-merge
+    # or shuffled-hash), never a NestedLoop / cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -145,8 +145,55 @@ class LocalCatalog(Catalog):
     def drop(self, name: str) -> None:
         shutil.rmtree(self._path(name), ignore_errors=True)
 
+    #: compacted-batch subdir name — underscore-prefixed so Spark's file
+    #: listing never includes it in a partition-discovered read of the
+    #: table dir (same mechanism that hides Delta's _delta_log)
+    BASE_DIR = "_base"
+    #: marker file inside BASE_DIR recording the highest __batch_id folded
+    #: into the base — the recovery authority: partitioned rows at or
+    #: below it are stale leftovers of a crashed compaction, never read
+    MARKER = "_compacted_up_to"
+
+    def compacted_up_to(self, name: str) -> int:
+        """Highest __batch_id folded into the table's ``_base`` dir, or -1
+        when the table has never been compacted."""
+        marker = os.path.join(self._path(name), self.BASE_DIR, self.MARKER)
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                return int(f.read().strip())
+        return -1
+
+    def batch_ids(self, name: str) -> list[int]:
+        """__batch_id values with a live partition directory."""
+        path = self._path(name)
+        out = []
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if d.startswith("__batch_id="):
+                    v = d.split("=", 1)[1]
+                    if v.lstrip("-").isdigit():
+                        out.append(int(v))
+        return sorted(out)
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self._path(name))
+        """Plain tables read as-is. Streaming tables compacted by
+        sinks/maintenance.compact_batches read as base ∪ recent: the
+        ``_base`` dir (``__batch_id`` as a data column) plus partition
+        dirs whose id exceeds the compaction marker — ids at or below it
+        are crashed-compaction leftovers and are filtered out, which is
+        what makes the compaction swap atomic for readers."""
+        path = self._path(name)
+        base = os.path.join(path, self.BASE_DIR)
+        if not os.path.isdir(base):
+            return spark.read.parquet(path)
+        bdf = spark.read.parquet(base)
+        marker = self.compacted_up_to(name)
+        if not any(i > marker for i in self.batch_ids(name)):
+            return bdf
+        rest = spark.read.parquet(path).filter(
+            F.col("__batch_id") > marker
+        )
+        return bdf.unionByName(rest)
 
     def replace_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
         """O(batch) idempotent landing: each micro-batch becomes a

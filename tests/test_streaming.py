@@ -666,3 +666,99 @@ def test_replace_batch_idempotent_and_o_batch(spark, tmp_path):
 
     generic = BaseOnly(str(tmp_path / "wh_generic"))
     assert drive(generic) == [(1, "a"), (2, "b"), (4, "d"), (5, "e")]
+
+
+# --------------------------------------------------------------- properties
+# r09's throughput rehearsal found the sessionizer crashing with
+# INVALID_TIMEOUT_TIMESTAMP whenever a micro-batch spanned more event time
+# than the watermark delay (a backfill batch expires its own early users'
+# sessions). The example test above locks that instance; this property
+# test locks the CLASS: for ANY two batch time-spans — overlapping,
+# disjoint, late, or wider than the delay — the stream must complete and
+# emit well-formed, non-duplicated sessions (VERDICT r09 item 6).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+
+@given(
+    delay_sec=hst.integers(min_value=5, max_value=120),
+    gap_sec=hst.integers(min_value=5, max_value=120),
+    span1=hst.integers(min_value=1, max_value=900),
+    jump=hst.integers(min_value=-600, max_value=1800),
+    span2=hst.integers(min_value=1, max_value=900),
+    offs1=hst.lists(
+        hst.tuples(hst.integers(0, 3), hst.floats(0, 1)), min_size=1, max_size=10
+    ),
+    offs2=hst.lists(
+        hst.tuples(hst.integers(0, 3), hst.floats(0, 1)), min_size=1, max_size=10
+    ),
+)
+@settings(
+    max_examples=4,  # ~20s/example (full streaming query per draw)
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionizer_survives_any_batch_time_span(
+    spark, delay_sec, gap_sec, span1, jump, span2, offs1, offs2
+):
+    import datetime
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from cartodb_importer_spark.streaming.stateful import sessionize_events
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def rows(offsets, span, start, first_id):
+        out = []
+        for i, (user, frac) in enumerate(offsets):
+            ts = base + datetime.timedelta(seconds=start + frac * span)
+            out.append(
+                (first_id + i, ts, user, "click", 1.0, "{}")
+            )
+        return out
+
+    batches = [
+        rows(offs1, span1, 0, 0),
+        rows(offs2, span2, jump, 1000),
+    ]
+    d = tempfile.mkdtemp(prefix="prop_sess_")
+    try:
+        for i, b in enumerate(batches):
+            df = spark.createDataFrame(b, S.EVENTS_SCHEMA)
+            tmp = os.path.join(d, f"tmp{i}")
+            df.coalesce(1).write.parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = os.path.join(d, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            shutil.rmtree(tmp)
+            # explicit mtimes -> deterministic trigger order, no sleeping
+            os.utime(dst, (1700000000 + i * 10, 1700000000 + i * 10))
+        qname = f"prop_sess_{_uuid.uuid4().hex[:8]}"
+        q = (
+            sessionize_events(
+                S.read_events_stream(spark, d),
+                gap_sec=gap_sec,
+                watermark=f"{delay_sec} seconds",
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # the r09 crash class surfaces here
+        emitted = spark.table(qname).collect()
+        seen = set()
+        for r in emitted:
+            assert r["session_end"] >= r["session_start"]
+            assert r["n_events"] >= 1
+            key = (r["user_id"], r["session_start"])
+            assert key not in seen, f"duplicate session {key}"
+            seen.add(key)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

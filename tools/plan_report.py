@@ -189,8 +189,20 @@ def main() -> int:
     for name, a in tail_rows:
         lines.append(table_row(name, a))
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    # hand-written evidence (bench A/B controls, noise-window notes) lives
+    # under '## Notes' and SURVIVES regeneration — the r06 control
+    # paragraph was silently dropped by a regen; don't repeat that.
+    notes = ""
+    if os.path.exists(out):
+        with open(out) as f:
+            old = f.read()
+        i = old.find("## Notes")
+        if i >= 0:
+            notes = old[i:].rstrip() + "\n"
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
+        if notes:
+            f.write("\n" + notes)
     print(f"wrote {out}")
     for name, a in rows + tail_rows:
         print(name, a)

@@ -158,6 +158,14 @@ _PRIORITY = (
 #: plan changed under all six graph queries and their r08-era verdicts
 #: rank too late in the 97-deep stale queue to re-verify naturally — pin
 #: them so the r09 sweep re-grades the new plan, then self-retire.
+#: r10 status: ALL SIX retired — CORRECTNESS_r09 graded each fully green
+#: (verified via _green_in_round at r10 start), so none is served; the
+#: entries stay as the audit record of what was pinned and why.
+#: r10: chunked_running_sum's phase-3 join became null-safe (ADVICE r09
+#: — value-identical on null-free testdata, verified by oracle at
+#: sf0.01, but the executed join plan changed) — pin its one consumer so
+#: the r10 sweep re-grades the new plan, then self-retire, exactly the
+#: r09 graph-family precedent.
 _SEMANTICS_CHANGED: dict[str, int] = {
     "graph_pagerank": 9,
     "graph_triangle_count": 9,
@@ -165,6 +173,7 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     "graph_degree_stats": 9,
     "graph_common_neighbors": 9,
     "graph_khop_reach": 9,
+    "window_running_sum_chunked": 10,
 }
 
 

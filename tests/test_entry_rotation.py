@@ -119,10 +119,23 @@ def test_semantics_pins_self_retire(monkeypatch, tmp_path):
         )
     )
     assert not entry._green_in_round(name, 99)
-    # an oracle-less query's rows-only verdict DOES retire its pin, exactly
+    # an ORACLED query's rows-only verdict must NOT retire its pin — the
+    # stale verdict predates the oracle, which has to be checked first
+    # (ADVICE r09: mirror _previously_verified's 'name not in ORACLES'
+    # guard)
+    art.write_text(_json.dumps({name: {"err": "no_oracle", "spark_rows": 7}}))
+    assert name in entry.ORACLES  # q1 is oracled: the guard must bind
+    assert not entry._green_in_round(name, 99)
+    # an oracle-LESS query's rows-only verdict DOES retire its pin, exactly
     # as _previously_verified accepts it (ADVICE r08) — but only when the
     # sweep actually produced rows
-    art.write_text(_json.dumps({name: {"err": "no_oracle", "spark_rows": 7}}))
-    assert entry._green_in_round(name, 99)
-    art.write_text(_json.dumps({name: {"err": "no_oracle", "spark_rows": None}}))
-    assert not entry._green_in_round(name, 99)
+    rows_only = "llm_bpe_train"  # rows-only by design, absent from ORACLES
+    assert rows_only not in entry.ORACLES
+    art.write_text(
+        _json.dumps({rows_only: {"err": "no_oracle", "spark_rows": 7}})
+    )
+    assert entry._green_in_round(rows_only, 99)
+    art.write_text(
+        _json.dumps({rows_only: {"err": "no_oracle", "spark_rows": None}})
+    )
+    assert not entry._green_in_round(rows_only, 99)

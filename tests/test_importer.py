@@ -691,3 +691,30 @@ def test_concurrent_publish_any_name_collisions(spark, names, prepublish):
             assert len(pre) == 1 and pre[0]["marker"] == 99
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_publish_retry_surfaces_non_collision_errors(spark, catalog, tmp_path):
+    """ADVICE r09: the retry loop must NOT re-publish on failures that
+    merely coincide with the target name existing (e.g. disk full during
+    staging) — only explicit collision signals retry. A catalog whose
+    write always fails with a generic OSError must surface it on the
+    FIRST attempt even though the suggested name exists."""
+    src = _write(tmp_path, "boom.csv", "a,b\n1,2\n")
+    # the name exists (would have satisfied the old exists() retry test)
+    catalog.publish(spark.createDataFrame([(1,)], "x int"), "boom_1")
+
+    calls = {"n": 0}
+    orig_write = catalog.write
+
+    def failing_write(df, name):
+        calls["n"] += 1
+        raise OSError(28, "No space left on device")  # ENOSPC, not EEXIST
+
+    catalog.write = failing_write
+    try:
+        imp = Importer(spark, catalog, src)
+        with pytest.raises(OSError, match="No space left"):
+            imp.run()
+        assert calls["n"] == 1, "non-collision error must not retry"
+    finally:
+        catalog.write = orig_write

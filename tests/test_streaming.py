@@ -668,6 +668,31 @@ def test_replace_batch_idempotent_and_o_batch(spark, tmp_path):
     assert drive(generic) == [(1, "a"), (2, "b"), (4, "d"), (5, "e")]
 
 
+def test_replace_batch_survives_crashed_staging_leftover(spark, tmp_path):
+    """ADVICE r09: a crash after the base implementation's staging write
+    left ``{name}__rewrite`` behind, and every later trigger's
+    errorifexists write then failed until manual cleanup. A leftover
+    staging table must be dropped, not wedge the stream."""
+    from cartodb_importer_spark.sinks.catalog import Catalog, LocalCatalog
+
+    class BaseOnly(LocalCatalog):
+        replace_batch = Catalog.replace_batch
+
+    cat = BaseOnly(str(tmp_path / "wh"))
+    b0 = spark.createDataFrame([(1, "a")], "id long, v string")
+    cat.replace_batch(b0, "t", 0)
+    # simulate the crash window: a stale staging table from a dead trigger
+    cat.write(spark.createDataFrame([(99, "zz")], "id long, v string"),
+              "t__rewrite")
+    b1 = spark.createDataFrame([(2, "b")], "id long, v string")
+    cat.replace_batch(b1, "t", 1)  # used to raise: staging already exists
+    got = sorted(
+        (r["id"], r["v"]) for r in cat.read(spark, "t").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    assert "t__rewrite" not in cat.table_names()
+
+
 # --------------------------------------------------------------- properties
 # r09's throughput rehearsal found the sessionizer crashing with
 # INVALID_TIMEOUT_TIMESTAMP whenever a micro-batch spanned more event time

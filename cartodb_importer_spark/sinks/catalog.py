@@ -157,7 +157,11 @@ class LocalCatalog(Catalog):
     def compacted_up_to(self, name: str) -> int:
         """Highest __batch_id folded into the table's ``_base`` dir, or -1
         when the table has never been compacted."""
-        marker = os.path.join(self._path(name), self.BASE_DIR, self.MARKER)
+        return self._marker_at(self._path(name))
+
+    @staticmethod
+    def _marker_at(path: str) -> int:
+        marker = os.path.join(path, LocalCatalog.BASE_DIR, LocalCatalog.MARKER)
         if os.path.isfile(marker):
             with open(marker) as f:
                 return int(f.read().strip())
@@ -165,7 +169,10 @@ class LocalCatalog(Catalog):
 
     def batch_ids(self, name: str) -> list[int]:
         """__batch_id values with a live partition directory."""
-        path = self._path(name)
+        return self._batch_ids_at(self._path(name))
+
+    @staticmethod
+    def _batch_ids_at(path: str) -> list[int]:
         out = []
         if os.path.isdir(path):
             for d in os.listdir(path):
@@ -175,25 +182,31 @@ class LocalCatalog(Catalog):
                         out.append(int(v))
         return sorted(out)
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        """Plain tables read as-is. Streaming tables compacted by
-        sinks/maintenance.compact_batches read as base ∪ recent: the
-        ``_base`` dir (``__batch_id`` as a data column) plus partition
-        dirs whose id exceeds the compaction marker — ids at or below it
-        are crashed-compaction leftovers and are filtered out, which is
-        what makes the compaction swap atomic for readers."""
-        path = self._path(name)
-        base = os.path.join(path, self.BASE_DIR)
+    @classmethod
+    def _read_table_dir(cls, spark: SparkSession, path: str) -> DataFrame:
+        """Base-aware read of one table directory: plain tables read
+        as-is; tables compacted by sinks/maintenance.compact_batches read
+        as base ∪ recent — the ``_base`` dir (``__batch_id`` as a data
+        column) plus partition dirs whose id exceeds the compaction
+        marker. Ids at or below the marker are crashed-compaction
+        leftovers and are filtered out, which is what makes the
+        compaction swap atomic for readers. Shared by ``read`` and
+        ``VersionedLocalCatalog.read_version`` (a version snapshot of a
+        compacted table carries its _base dir with it)."""
+        base = os.path.join(path, cls.BASE_DIR)
         if not os.path.isdir(base):
             return spark.read.parquet(path)
         bdf = spark.read.parquet(base)
-        marker = self.compacted_up_to(name)
-        if not any(i > marker for i in self.batch_ids(name)):
+        marker = cls._marker_at(path)
+        if not any(i > marker for i in cls._batch_ids_at(path)):
             return bdf
         rest = spark.read.parquet(path).filter(
             F.col("__batch_id") > marker
         )
         return bdf.unionByName(rest)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return self._read_table_dir(spark, self._path(name))
 
     def replace_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
         """O(batch) idempotent landing: each micro-batch becomes a
@@ -269,7 +282,9 @@ class VersionedLocalCatalog(LocalCatalog):
         return sorted(out)
 
     def read_version(self, spark: SparkSession, name: str, v: int) -> DataFrame:
-        return spark.read.parquet(self._path(f"{name}{self.VSEP}{v}"))
+        # base-aware: a snapshot of a compacted streaming table carries
+        # its _base dir, which a bare parquet read would silently skip
+        return self._read_table_dir(spark, self._path(f"{name}{self.VSEP}{v}"))
 
     def publish_version(self, df: DataFrame, name: str) -> int:
         staging = self.staging_name(name)

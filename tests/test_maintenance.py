@@ -192,3 +192,22 @@ def test_committed_high_water_mark_from_real_checkpoint(spark, tmp_path):
     assert landed.count() == events.count()
     assert landed.select("event_id").distinct().count() == events.count()
     assert M.committed_high_water_mark(ckpt) > hwm
+
+
+def test_version_snapshot_of_compacted_table_reads_base(spark, tmp_path):
+    """A VersionedLocalCatalog snapshot of a compacted streaming table
+    carries its _base dir; read_version must include those rows (a bare
+    parquet read of the version dir would silently skip the hidden dir)."""
+    from cartodb_importer_spark.sinks.catalog import VersionedLocalCatalog
+
+    cat = VersionedLocalCatalog(str(tmp_path / "wh"), keep_versions=2)
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(3):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 3 == i), "t", i)
+    M.compact_batches(spark, cat, "t", keep_after_batch_id=2)
+    before = _canon_rows(cat.read(spark, "t"))
+    # version-publish a replacement; the old (compacted) table becomes v1
+    cat.publish_version(
+        spark.createDataFrame([(0, "x")], "id long, v string"), "t"
+    )
+    assert _canon_rows(cat.read_version(spark, "t", 1)) == before

@@ -118,7 +118,11 @@ def compact_batches(
 
     Returns the number of batch directories folded in (0 = nothing to
     do). LocalCatalog-layout only; other catalogs bound their landing
-    zone natively (Delta OPTIMIZE, Iceberg rewrite_data_files)."""
+    zone natively (Delta OPTIMIZE, Iceberg rewrite_data_files).
+    Single-compactor assumption: run from ONE maintenance actor per
+    table (the stream's own foreachBatch hook, streaming/sinks.py, or
+    one cron) — two concurrent compactions of the same table could sweep
+    each other's temp dirs mid-build."""
     from pyspark.sql import functions as F
 
     from .catalog import LocalCatalog

@@ -21,9 +21,20 @@ def stream_to_catalog(
     table: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Start a foreachBatch query appending micro-batches into
-    ``catalog``/``table``. Returns the StreamingQuery (caller awaits)."""
+    ``catalog``/``table``. Returns the StreamingQuery (caller awaits).
+
+    ``compact_every=N`` bounds the landing zone in-band: every N batches
+    the sink folds batch directories strictly below the checkpoint's
+    committed high-water mark into the table's compacted base
+    (sinks/maintenance.compact_batches) — without it a long-running
+    stream accretes one directory per trigger forever. Replay-safe by
+    construction: while batch B is being written, ``commits/`` holds at
+    most B-1, so compaction never touches a batch the engine could still
+    replay. LocalCatalog-layout only; other catalogs run their native
+    maintenance (Delta OPTIMIZE, Iceberg rewrite_data_files) out-of-band."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent replay is the CATALOG's primitive: a replayed batch_id
@@ -31,6 +42,17 @@ def stream_to_catalog(
         # directory, O(batch) per trigger; generic catalogs: documented
         # O(table) rewrite fallback — sinks/catalog.py replace_batch)
         catalog.replace_batch(batch_df, table, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from ..sinks.maintenance import (
+                committed_high_water_mark, compact_batches,
+            )
+
+            compact_batches(
+                batch_df.sparkSession,
+                catalog,
+                table,
+                committed_high_water_mark(checkpoint_dir),
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)

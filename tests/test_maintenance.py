@@ -211,3 +211,69 @@ def test_version_snapshot_of_compacted_table_reads_base(spark, tmp_path):
         spark.createDataFrame([(0, "x")], "id long, v string"), "t"
     )
     assert _canon_rows(cat.read_version(spark, "t", 1)) == before
+
+
+def test_stream_to_catalog_inband_compaction(spark, tmp_path):
+    """compact_every=N folds committed batch dirs during the stream
+    itself: after draining many single-file micro-batches the landing
+    zone must hold the compacted base plus only recent batch dirs, with
+    exactly-once data — including across a checkpoint restart."""
+    import time
+
+    from cartodb_importer_spark.queries import read_parquet_normalized
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+    from cartodb_importer_spark.streaming import streams as S
+    from cartodb_importer_spark.streaming.sinks import stream_to_catalog
+
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    events = read_parquet_normalized(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    lo, hi = 0, 1000
+    step = (hi - lo) // 5
+    for i in range(5):  # 5 files -> 5 micro-batches (maxFilesPerTrigger=1)
+        chunk = events.filter(
+            (F.col("event_id") >= lo + i * step)
+            & (F.col("event_id") < (hi if i == 4 else lo + (i + 1) * step))
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = glob.glob(str(tmp_path / f"stage{i}") + "/part-*.parquet")[0]
+        import shutil as _sh
+
+        _sh.copy(part, f"{src_dir}/f{i}.parquet")
+        os.utime(f"{src_dir}/f{i}.parquet", (1700000000 + i, 1700000000 + i))
+    expected = events.filter(F.col("event_id") < hi).count()
+
+    q = stream_to_catalog(
+        S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination()
+    table_path = cat._path("ev")
+    assert os.path.isdir(os.path.join(table_path, "_base"))  # compacted
+    live = _batch_dirs(table_path)
+    assert len(live) <= 3  # base + only the recent tail of 5 batches
+    assert cat.read(spark, "ev").count() == expected
+
+    # restart from the checkpoint with one more file: exactly-once holds
+    more = events.filter(F.col("event_id") >= hi)
+    more.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage5"))
+    part = glob.glob(str(tmp_path / "stage5") + "/part-*.parquet")[0]
+    import shutil as _sh
+
+    _sh.copy(part, f"{src_dir}/f5.parquet")
+    q2 = stream_to_catalog(
+        S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
+        compact_every=2,
+    )
+    q2.awaitTermination()
+    got = cat.read(spark, "ev")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()

@@ -153,10 +153,31 @@ def run_import_bench(spark, n_runs: int = 3) -> dict:
     }
 
 
+def host_calibration() -> float:
+    """Fixed-work CPU anchor, independent of Spark: median of 5 timed
+    single-threaded numpy matmuls (deterministic input). Round-over-round
+    bench totals have swung ±16-45% with ZERO code change (PLANS.md
+    Notes, r06/r10 A/B controls) — this number lets a reader normalize a
+    round's totals by the host window it ran in instead of inferring
+    noise from spread alone."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4)
+
+
 def main() -> None:
     from cartodb_importer_spark.queries import QUERIES
     from cartodb_importer_spark.session import get_spark
 
+    calib = host_calibration()
     spark = get_spark(app_name="bench")
     # one tiny warmup action so JVM startup doesn't land on q1
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -249,6 +270,7 @@ def main() -> None:
         "cold_queries": {n: cold[n] for n in timings},
         "cold_total_sec": round(sum(cold[n] for n in timings), 3),
         "import_bench": imp,
+        "host_calibration_sec": calib,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -270,6 +292,7 @@ def main() -> None:
                 "heavy": heavy,
                 "heavy_total_sec": round(sum(heavy.values()), 3),
                 "import_rows_per_sec": imp["rows_per_sec"],
+                "host_calibration_sec": calib,
                 "sf": sf_val,
             }
         )

@@ -277,3 +277,14 @@ def test_stream_to_catalog_inband_compaction(spark, tmp_path):
     got = cat.read(spark, "ev")
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_compact_batches_refuses_non_local_catalog(spark):
+    """compact_batches depends on the LocalCatalog partition-dir layout;
+    any other catalog must be refused loudly, not silently no-op."""
+    import pytest
+
+    from cartodb_importer_spark.sinks.catalog import Catalog
+
+    with pytest.raises(ValueError, match="LocalCatalog"):
+        M.compact_batches(spark, Catalog(), "t", keep_after_batch_id=5)

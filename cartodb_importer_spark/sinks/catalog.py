@@ -225,8 +225,24 @@ class LocalCatalog(Catalog):
         complete directory or the new one, never a half-written one. The
         replaced directory is moved aside before the swap and deleted
         after, so the only reader-visible gap is the instant between the
-        two renames, and only during a replay of an already-failed batch."""
+        two renames, and only during a replay of an already-failed batch.
+
+        A batch id at or below the table's compaction marker is REFUSED:
+        its partition dir would be invisible to every read (the marker
+        filter treats it as a crashed-compaction leftover), silently
+        dropping the write. Structured Streaming never replays a
+        committed batch and compact_batches only folds committed ids, so
+        this fires only on contract violations — a wrong checkpoint dir,
+        a manual rerun — which must fail loudly, not vanish (found by
+        the r10 compaction property test)."""
         table_dir = self._path(name)
+        compacted = self.compacted_up_to(name)
+        if batch_id <= compacted:
+            raise ValueError(
+                f"batch {batch_id} of table {name!r} is already compacted "
+                f"(marker {compacted}); a replay here means the stream is "
+                "running against the wrong checkpoint"
+            )
         part_dir = os.path.join(table_dir, f"__batch_id={batch_id}")
         tmp_dir = os.path.join(
             table_dir, f".batch_tmp_{batch_id}_{uuid.uuid4().hex[:8]}"

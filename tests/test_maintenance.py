@@ -288,3 +288,83 @@ def test_compact_batches_refuses_non_local_catalog(spark):
 
     with pytest.raises(ValueError, match="LocalCatalog"):
         M.compact_batches(spark, Catalog(), "t", keep_after_batch_id=5)
+
+
+# --------------------------------------------------------------- properties
+# compact_batches is new r10 code on the exactly-once read path; the
+# example tests lock instances, this locks the invariant: for ANY
+# sequence of batch writes, replays, and compaction points, the table
+# must read exactly as if no compaction ever happened.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+
+@given(
+    ops=hst.lists(
+        hst.one_of(
+            # (write, batch_id, payload-salt): replays reuse an id
+            hst.tuples(hst.just("write"), hst.integers(0, 6), hst.integers(0, 9)),
+            # compact at the current committed frontier minus a margin
+            hst.tuples(hst.just("compact"), hst.integers(0, 6), hst.just(0)),
+        ),
+        min_size=3,
+        max_size=10,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compact_batches_any_schedule_reads_like_uncompacted(spark, ops):
+    import shutil
+    import tempfile
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+
+    root = tempfile.mkdtemp(prefix="prop_compact_")
+    try:
+        cat = LocalCatalog(f"{root}/wh")
+        plain = LocalCatalog(f"{root}/wh_plain")  # never compacted
+        live: dict[int, int] = {}  # batch_id -> payload salt (last write wins)
+        frontier = -1  # highest compacted id so far
+        for kind, bid, salt in ops:
+            if kind == "write":
+                df = spark.createDataFrame(
+                    [(bid * 100 + i, salt) for i in range(3)],
+                    "id long, salt long",
+                )
+                if bid <= frontier:
+                    # contract violation (a committed batch never replays):
+                    # must be REFUSED loudly, never silently dropped —
+                    # this schedule found the original silent-drop bug
+                    import pytest
+
+                    with pytest.raises(ValueError, match="already compacted"):
+                        cat.replace_batch(df, "t", bid)
+                    continue
+                cat.replace_batch(df, "t", bid)
+                plain.replace_batch(df, "t", bid)
+                live[bid] = salt
+            elif live:  # compact below some written frontier
+                folded = M.compact_batches(
+                    spark, cat, "t", keep_after_batch_id=bid
+                )
+                if folded:
+                    frontier = max(
+                        i for i in live if i < bid
+                    )
+        if not live:
+            return
+        got = _canon_rows(cat.read(spark, "t"))
+        want = _canon_rows(plain.read(spark, "t"))
+        assert got == want
+        # and the set of visible batch ids is exactly the live ones
+        ids = {
+            r["__batch_id"]
+            for r in cat.read(spark, "t").select("__batch_id").collect()
+        }
+        assert ids == set(live)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

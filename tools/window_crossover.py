@@ -91,7 +91,15 @@ def main() -> int:
             chunked(events.filter(F.col("user_id") == head_user))
             .orderBy(F.desc("running_total")).first()
         )
-        assert abs(a["running_total"] - b["running_total"]) < 1e-6, (a, b)
+        # relative tolerance: the two forms fold the same values in a
+        # different order (per-chunk partial sums + offsets vs one
+        # sequential frame), so a million-term ~1e7-magnitude total
+        # drifts by O(n·eps·|sum|) — observed 3e-14 relative at 1.15M
+        # terms, which is float behavior, not a semantic divergence
+        rel = abs(a["running_total"] - b["running_total"]) / max(
+            abs(a["running_total"]), 1.0
+        )
+        assert rel < 1e-9, (a, b, rel)
         print(json.dumps({"corpus": d, "head_user_parity": True}), flush=True)
     ratios = {}
     for d in DIRS:

@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is driven to completion with the noop sink (full execution, no
 driver-side collect cost). Session startup is excluded from timings.
+
+Contention rule (VERDICT r10 item 6): a recording whose host calibration
+anchor reads more than 3x the idle reference (IDLE_CALIBRATION_SEC, the
+r10 idle-host measurement) is not comparable across rounds — the timed
+pass re-runs once and the cooler pass is recorded, with the rerun count
+and both anchors in the artifact. Set SPARK_GRAFT_BENCH_NO_RERUN=1 to
+skip the re-run (driver budget safety).
 """
 
 from __future__ import annotations
@@ -120,9 +127,7 @@ def run_import_bench(spark, n_runs: int = 3) -> dict:
     from cartodb_importer_spark.sinks.catalog import LocalCatalog
 
     paths = _import_corpus()
-    walls: list[float] = []
-    rows = 0
-    errors: list[str] = []
+    runs: list[tuple[float, int, list[str]]] = []
     for _ in range(max(1, n_runs)):
         wh = tempfile.mkdtemp(prefix="bench_wh_")
         try:
@@ -130,13 +135,20 @@ def run_import_bench(spark, n_runs: int = 3) -> dict:
             items = import_fleet(
                 spark, LocalCatalog(wh), paths, max_parallel=8
             )
-            walls.append(time.perf_counter() - start)
+            wall = time.perf_counter() - start
         finally:
             shutil.rmtree(wh, ignore_errors=True)
-        rows = sum(i.result.rows_imported for i in items if i.result)
-        errors.extend(i.error for i in items if i.error)
-    walls.sort()
-    best = walls[0]
+        runs.append((
+            wall,
+            sum(i.result.rows_imported for i in items if i.result),
+            [i.error for i in items if i.error],
+        ))
+    runs.sort(key=lambda r: r[0])
+    # rows/errors come from the SAME run as the headline wall time, not
+    # accumulated across runs (ADVICE r10: N runs reported one failing
+    # file N times while rows came from the last run only)
+    best, rows, errors = runs[0]
+    walls = sorted(r[0] for r in runs)
     return {
         "files": len(paths),
         "rows": rows,
@@ -151,6 +163,11 @@ def run_import_bench(spark, n_runs: int = 3) -> dict:
         "rows_per_sec": round(rows / max(best, 1e-9), 1),
         "errors": errors,
     }
+
+
+#: host_calibration() on the r10 idle end-of-round host (PLANS.md Notes);
+#: the 3x-this threshold marks a recording as contended
+IDLE_CALIBRATION_SEC = 0.0178
 
 
 def host_calibration() -> float:
@@ -177,7 +194,6 @@ def main() -> None:
     from cartodb_importer_spark.queries import QUERIES
     from cartodb_importer_spark.session import get_spark
 
-    calib = host_calibration()
     spark = get_spark(app_name="bench")
     # one tiny warmup action so JVM startup doesn't land on q1
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -192,31 +208,63 @@ def main() -> None:
     # regression (min moved) from machine noise (min stable, max wild).
     # First-run times are recorded separately in "cold_queries".
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    maxes: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    heavy: dict[str, float] = {}
 
-    def _time(name: str, into: dict[str, float]) -> None:
-        fn = QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - start, 3)
-        runs: list[float] = []
-        for _ in range(n_runs):
+    def timed_pass() -> dict:
+        calib_pre = host_calibration()
+        timings: dict[str, float] = {}
+        medians: dict[str, float] = {}
+        maxes: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        heavy: dict[str, float] = {}
+
+        def _time(name: str, into: dict[str, float]) -> None:
+            fn = QUERIES[name]
             start = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - start)
-        runs.sort()
-        into[name] = round(runs[0], 3)
-        medians[name] = round(statistics.median(runs), 3)
-        maxes[name] = round(runs[-1], 3)
+            cold[name] = round(time.perf_counter() - start, 3)
+            runs: list[float] = []
+            for _ in range(n_runs):
+                start = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - start)
+            runs.sort()
+            into[name] = round(runs[0], 3)
+            medians[name] = round(statistics.median(runs), 3)
+            maxes[name] = round(runs[-1], 3)
 
-    for name in HEADLINE:
-        _time(name, timings)
-    for name in HEAVY_TAIL:
-        _time(name, heavy)
+        for name in HEADLINE:
+            _time(name, timings)
+        for name in HEAVY_TAIL:
+            _time(name, heavy)
+        calib_post = host_calibration()
+        return {
+            "timings": timings,
+            "medians": medians,
+            "maxes": maxes,
+            "cold": cold,
+            "heavy": heavy,
+            "calib_pre": calib_pre,
+            "calib_post": calib_post,
+            "hot": max(calib_pre, calib_post),
+        }
+
+    # Contention rule (VERDICT r10 item 6): anchor >3x the idle reference
+    # means the recording isn't comparable across rounds — re-run the
+    # timed pass once and keep the cooler one. r10's driver artifact
+    # (anchor 0.1182 vs 0.0178 idle) inflated every headline 1.0-1.4x
+    # with zero plan change; this converts that postmortem into an
+    # automatic retry.
+    passes = [timed_pass()]
+    rerun_allowed = os.environ.get("SPARK_GRAFT_BENCH_NO_RERUN") != "1"
+    if rerun_allowed and passes[0]["hot"] > 3 * IDLE_CALIBRATION_SEC:
+        passes.append(timed_pass())
+    chosen = min(passes, key=lambda p: p["hot"])
+    timings, medians, maxes, heavy = (
+        chosen["timings"], chosen["medians"], chosen["maxes"], chosen["heavy"]
+    )
+    cold = passes[0]["cold"]  # pass 1's first runs are the only true colds
+    calib = chosen["hot"]
+    calibration_reruns = len(passes) - 1
 
     # end-to-end importer throughput, min-of-3 (each run cold on a fresh
     # warehouse; inference/sniffing cost is part of the job)
@@ -270,7 +318,13 @@ def main() -> None:
         "cold_queries": {n: cold[n] for n in timings},
         "cold_total_sec": round(sum(cold[n] for n in timings), 3),
         "import_bench": imp,
+        # the chosen pass's max(pre, post) anchor; >3x IDLE_CALIBRATION_SEC
+        # marks the whole artifact as host-contended (VERDICT r10 item 6)
         "host_calibration_sec": calib,
+        "host_calibration_pre_sec": chosen["calib_pre"],
+        "host_calibration_post_sec": chosen["calib_post"],
+        "calibration_reruns": calibration_reruns,
+        "calibration_idle_ref_sec": IDLE_CALIBRATION_SEC,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -293,6 +347,7 @@ def main() -> None:
                 "heavy_total_sec": round(sum(heavy.values()), 3),
                 "import_rows_per_sec": imp["rows_per_sec"],
                 "host_calibration_sec": calib,
+                "calibration_reruns": calibration_reruns,
                 "sf": sf_val,
             }
         )

@@ -159,9 +159,46 @@ class LocalCatalog(Catalog):
         when the table has never been compacted."""
         return self._marker_at(self._path(name))
 
+    @classmethod
+    def _effective_base(cls, path: str) -> str | None:
+        """Directory serving as the table's compacted base. Normally
+        ``_base``; when a compactor crashed between its two renames (old
+        base moved aside, complete replacement never moved in) the table
+        has no ``_base`` — and falling back to partition dirs would
+        silently LOSE folded batches whose ``__batch_id`` dirs were
+        deleted by earlier compactions (ADVICE r10). A ``.base_tmp_*`` /
+        ``.base_old_*`` dir that CONTAINS the marker file is complete by
+        construction (the marker is written only after the parquet write
+        finishes and before any rename), so the highest-marker candidate
+        is byte-equal to a base a crash-free run would have produced;
+        reads serve it in place, and the next ``compact_batches`` renames
+        it back in (sinks/maintenance._recover_base)."""
+        base = os.path.join(path, cls.BASE_DIR)
+        if os.path.isdir(base):
+            return base
+        best, best_marker = None, -1
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if not d.startswith((".base_tmp_", ".base_old_")):
+                    continue
+                mfile = os.path.join(path, d, cls.MARKER)
+                if not os.path.isfile(mfile):
+                    continue  # incomplete build — never a valid base
+                try:
+                    with open(mfile) as f:
+                        v = int(f.read().strip())
+                except (OSError, ValueError):
+                    continue
+                if v > best_marker:
+                    best, best_marker = os.path.join(path, d), v
+        return best
+
     @staticmethod
     def _marker_at(path: str) -> int:
-        marker = os.path.join(path, LocalCatalog.BASE_DIR, LocalCatalog.MARKER)
+        base = LocalCatalog._effective_base(path)
+        if base is None:
+            return -1
+        marker = os.path.join(base, LocalCatalog.MARKER)
         if os.path.isfile(marker):
             with open(marker) as f:
                 return int(f.read().strip())
@@ -192,9 +229,11 @@ class LocalCatalog(Catalog):
         leftovers and are filtered out, which is what makes the
         compaction swap atomic for readers. Shared by ``read`` and
         ``VersionedLocalCatalog.read_version`` (a version snapshot of a
-        compacted table carries its _base dir with it)."""
-        base = os.path.join(path, cls.BASE_DIR)
-        if not os.path.isdir(base):
+        compacted table carries its _base dir with it). The base is
+        resolved through ``_effective_base`` so a crashed compaction's
+        no-``_base`` window still reads every folded row (ADVICE r10)."""
+        base = cls._effective_base(path)
+        if base is None:
             return spark.read.parquet(path)
         bdf = spark.read.parquet(base)
         marker = cls._marker_at(path)

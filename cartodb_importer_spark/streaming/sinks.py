@@ -33,8 +33,28 @@ def stream_to_catalog(
     stream accretes one directory per trigger forever. Replay-safe by
     construction: while batch B is being written, ``commits/`` holds at
     most B-1, so compaction never touches a batch the engine could still
-    replay. LocalCatalog-layout only; other catalogs run their native
-    maintenance (Delta OPTIMIZE, Iceberg rewrite_data_files) out-of-band."""
+    replay. LocalCatalog-layout only — validated HERE so a
+    misconfiguration fails at stream setup, not as a ValueError inside
+    the Nth micro-batch killing a running query (ADVICE r10); other
+    catalogs run their native maintenance (Delta OPTIMIZE, Iceberg
+    rewrite_data_files) out-of-band. A compaction skipped because
+    another actor holds the table's advisory lock (e.g. the lock file a
+    kill left behind, within its stale window) is retried at the next
+    interval — maintenance is never worth killing the stream over."""
+    if compact_every is not None:
+        from ..sinks.catalog import LocalCatalog
+
+        if compact_every < 1:
+            raise ValueError(
+                f"compact_every must be >= 1, got {compact_every}"
+            )
+        if not isinstance(catalog, LocalCatalog):
+            raise ValueError(
+                "compact_every needs a LocalCatalog partition-dir layout; "
+                f"got {type(catalog).__name__} — run that catalog's native "
+                "maintenance (Delta OPTIMIZE, Iceberg rewrite_data_files) "
+                "out-of-band"
+            )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent replay is the CATALOG's primitive: a replayed batch_id
@@ -44,15 +64,19 @@ def stream_to_catalog(
         catalog.replace_batch(batch_df, table, batch_id)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             from ..sinks.maintenance import (
-                committed_high_water_mark, compact_batches,
+                CompactionInProgress, committed_high_water_mark,
+                compact_batches,
             )
 
-            compact_batches(
-                batch_df.sparkSession,
-                catalog,
-                table,
-                committed_high_water_mark(checkpoint_dir),
-            )
+            try:
+                compact_batches(
+                    batch_df.sparkSession,
+                    catalog,
+                    table,
+                    committed_high_water_mark(checkpoint_dir),
+                )
+            except CompactionInProgress:
+                pass  # retried compact_every batches later
 
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)

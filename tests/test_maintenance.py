@@ -368,3 +368,239 @@ def test_compact_batches_any_schedule_reads_like_uncompacted(spark, ops):
         assert ids == set(live)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------------------- r11: crash + lock
+# VERDICT r10 items 2+4 and ADVICE r10 (medium): the single-compactor
+# assumption becomes an enforced advisory lock, and the crash window
+# between compact_batches' two renames becomes a rehearsed, recoverable
+# state instead of a documented footgun. The "kill" is injected as an
+# exception at an exact filesystem point — byte-identical on-disk state
+# to a SIGKILL there, except the in-process lock release, which the
+# stale-takeover test covers by re-creating the orphaned lock file.
+
+import os
+import time
+
+import pytest
+
+from cartodb_importer_spark.sinks.catalog import LocalCatalog
+
+
+class _SimulatedCrash(Exception):
+    pass
+
+
+def _hidden_dirs(table_path):
+    return sorted(
+        d for d in os.listdir(table_path)
+        if d.startswith((".base_tmp_", ".base_old_", ".batch_tmp_", ".batch_old_"))
+    )
+
+
+def _seed_compacted_table(spark, tmp_path):
+    """A table whose _base is the ONLY copy of batches 0-2 (their dirs
+    were deleted by a first compaction), plus live batches 4-6 — the
+    exact state where the pre-r11 crash window lost data. A never-
+    compacted twin is the equality oracle."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    plain = LocalCatalog(str(tmp_path / "wh_plain"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(4):
+        b = nation.filter(F.col("n_nationkey") % 4 == i)
+        cat.replace_batch(b, "kt", i)
+        plain.replace_batch(b, "kt", i)
+    assert M.compact_batches(spark, cat, "kt", keep_after_batch_id=3) == 3
+    for i in range(4, 7):
+        b = nation.filter(F.col("n_nationkey") % 3 == i % 3)
+        cat.replace_batch(b, "kt", i)
+        plain.replace_batch(b, "kt", i)
+    return cat, plain
+
+
+@pytest.mark.parametrize(
+    "kill_point", ["before_swap", "mid_swap", "after_swap_before_sweep"]
+)
+def test_compact_batches_kill_and_resume(spark, tmp_path, kill_point, monkeypatch):
+    """SIGKILL-equivalent faults at three points inside compact_batches:
+    after the temp build (no rename ran), between the two renames (the
+    ADVICE r10 data-loss window: no _base on disk), and after the swap
+    before the sweep. Every read in the crashed state must be byte-equal
+    to the never-compacted twin, and the next compact_batches — entering
+    through a stale orphaned lock — must recover to a clean folded
+    layout with equal values."""
+    cat, plain = _seed_compacted_table(spark, tmp_path)
+    want = _canon_rows(plain.read(spark, "kt"))
+    table_path = cat._path("kt")
+    assert _canon_rows(cat.read(spark, "kt")) == want
+
+    if kill_point == "before_swap":
+        def boom(src, dst):
+            raise _SimulatedCrash("died before any rename")
+
+        monkeypatch.setattr(M, "_rename", boom)
+    elif kill_point == "mid_swap":
+        real, calls = os.rename, {"n": 0}
+
+        def boom(src, dst):
+            calls["n"] += 1
+            if calls["n"] == 2:  # after base->old, before tmp->base
+                raise _SimulatedCrash("died between the two renames")
+            real(src, dst)
+
+        monkeypatch.setattr(M, "_rename", boom)
+    else:
+        class _CrashingShutil:
+            @staticmethod
+            def rmtree(p, ignore_errors=False):
+                raise _SimulatedCrash("died before the sweep")
+
+        monkeypatch.setattr(M, "shutil", _CrashingShutil)
+
+    with pytest.raises(_SimulatedCrash):
+        M.compact_batches(spark, cat, "kt", keep_after_batch_id=6)
+    monkeypatch.undo()  # the "restarted process" sees plain os calls again
+
+    if kill_point == "mid_swap":
+        # the window under test really is the no-_base instant
+        assert not os.path.isdir(os.path.join(table_path, "_base"))
+        assert _hidden_dirs(table_path)  # data lives only in hidden dirs
+    # (1) reads in the crashed state lose nothing
+    assert _canon_rows(cat.read(spark, "kt")) == want
+    # and the marker authority still refuses replays of folded batches
+    assert cat.compacted_up_to("kt") >= 2
+
+    # a real kill leaves the lock file behind; recreate it stale
+    lockf = os.path.join(table_path, M.LOCK_FILE)
+    with open(lockf, "w") as f:
+        f.write("99999 0\n")
+    os.utime(lockf, (time.time() - 7200, time.time() - 7200))
+
+    # (2) the next compaction takes over the stale lock, recovers, folds
+    M.compact_batches(spark, cat, "kt", keep_after_batch_id=6)
+    assert _canon_rows(cat.read(spark, "kt")) == want
+    assert _batch_dirs(table_path) == [f"{table_path}/__batch_id=6"]
+    assert _hidden_dirs(table_path) == []
+    assert not os.path.exists(lockf)
+    # folded ids are refused on replay; the kept id still replays fine
+    with pytest.raises(ValueError, match="already compacted"):
+        cat.replace_batch(
+            spark.createDataFrame([(1,)], "x long"), "kt", 4
+        )
+    cat.replace_batch(
+        plain.read(spark, "kt").filter("__batch_id = 6").drop("__batch_id"),
+        "kt",
+        6,
+    )
+    assert _canon_rows(cat.read(spark, "kt")) == want
+
+
+def test_mid_swap_crash_then_noop_compact_does_not_sweep_data(
+    spark, tmp_path, monkeypatch
+):
+    """The exact ADVICE r10 scenario: crash between the renames, then a
+    compaction with NOTHING new to fold. The pre-r11 code swept
+    .base_tmp_*/.base_old_* — the only copies of folded batches — as
+    'crashed leftovers'; now recovery renames the complete candidate in
+    before any sweep."""
+    cat, plain = _seed_compacted_table(spark, tmp_path)
+    want = _canon_rows(plain.read(spark, "kt"))
+    real, calls = os.rename, {"n": 0}
+
+    def boom(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _SimulatedCrash()
+        real(src, dst)
+
+    monkeypatch.setattr(M, "_rename", boom)
+    with pytest.raises(_SimulatedCrash):
+        M.compact_batches(spark, cat, "kt", keep_after_batch_id=6)
+    monkeypatch.undo()
+    table_path = cat._path("kt")
+    # no-op run: marker after recovery is 5, nothing below 6 left to fold
+    assert M.compact_batches(spark, cat, "kt", keep_after_batch_id=6) == 0
+    assert os.path.isdir(os.path.join(table_path, "_base"))
+    assert _hidden_dirs(table_path) == []
+    assert _canon_rows(cat.read(spark, "kt")) == want
+
+
+def test_concurrent_compactors_exactly_one_wins(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 2: two compactors launched at a barrier — one
+    folds, the other raises CompactionInProgress instead of racing the
+    winner's temp-dir build/sweep."""
+    import threading
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(4):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 4 == i), "t", i)
+
+    real_compact = M.compact
+
+    def slow_compact(*a, **kw):  # hold the critical section long enough
+        time.sleep(1.0)          # that the loser's O_EXCL attempt lands
+        return real_compact(*a, **kw)
+
+    monkeypatch.setattr(M, "compact", slow_compact)
+    barrier = threading.Barrier(2)
+    results: list = [None, None]
+
+    def run(slot):
+        barrier.wait()
+        try:
+            results[slot] = M.compact_batches(
+                spark, cat, "t", keep_after_batch_id=3
+            )
+        except M.CompactionInProgress as e:
+            results[slot] = e
+
+    ts = [threading.Thread(target=run, args=(s,)) for s in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    winners = [r for r in results if isinstance(r, int)]
+    losers = [r for r in results if isinstance(r, M.CompactionInProgress)]
+    assert len(winners) == 1 and winners[0] == 3
+    assert len(losers) == 1
+    # lock released: a later compaction is a clean no-op
+    assert M.compact_batches(spark, cat, "t", keep_after_batch_id=3) == 0
+
+
+def test_fresh_lock_refused_stale_lock_taken_over(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(3):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 3 == i), "t", i)
+    lockf = os.path.join(cat._path("t"), M.LOCK_FILE)
+    with open(lockf, "w") as f:
+        f.write(f"{os.getpid()} {time.time()}\n")
+    with pytest.raises(M.CompactionInProgress, match="another compactor"):
+        M.compact_batches(spark, cat, "t", keep_after_batch_id=2)
+    assert os.path.exists(lockf)  # the loser never unlinks a live lock
+    os.utime(lockf, (time.time() - 7200, time.time() - 7200))
+    assert M.compact_batches(spark, cat, "t", keep_after_batch_id=2) == 2
+    assert not os.path.exists(lockf)
+
+
+def test_stream_to_catalog_compact_every_fails_fast(spark, tmp_path):
+    """ADVICE r10 (low): compact_every with a non-LocalCatalog catalog
+    must be rejected at stream SETUP, not as a ValueError inside the Nth
+    micro-batch killing a running query."""
+    from cartodb_importer_spark.sinks.catalog import Catalog
+    from cartodb_importer_spark.streaming.sinks import stream_to_catalog
+
+    rate = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="LocalCatalog"):
+        stream_to_catalog(
+            rate, Catalog(), "t", str(tmp_path / "ck1"), compact_every=2
+        )
+    with pytest.raises(ValueError, match="compact_every"):
+        stream_to_catalog(
+            rate,
+            LocalCatalog(str(tmp_path / "wh")),
+            "t",
+            str(tmp_path / "ck2"),
+            compact_every=0,
+        )

@@ -89,6 +89,66 @@ def salted_join(
     return out.drop("__salt")
 
 
+#: chunked_running_sum engagement threshold (rows in the hottest window
+#: partition). Measured crossover, not a guess (SCALE.md r10 window-
+#: crossover table): at a 419k-row head partition the single window wins
+#: 1.40x (chunking overhead: extra agg + join); at a 1.15M-row head the
+#: chunked form wins by 22%. The default sits conservatively at the
+#: break-even side of that bracket — below it the single window is never
+#: worse locally, above it one task's serialized history starts to
+#: dominate the stage.
+HOT_PARTITION_ROWS = 1_000_000
+
+
+def running_sum_auto(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    chunk_col: Column,
+    out_col: str = "running_total",
+    hot_partition_rows: int = HOT_PARTITION_ROWS,
+) -> DataFrame:
+    """Running total that PICKS its physical form from the data (VERDICT
+    r10 item 5): probe the hottest key's row count with one cheap
+    hash-aggregate (map-side partial combine, tiny shuffle — no window
+    sort), then
+
+    * below ``hot_partition_rows``: the plain single window — identical
+      plan to a hand-written ``F.sum().over(window)``, ZERO added
+      exchanges (plan-audit-pinned);
+    * at or above it: ``chunked_running_sum`` — per-task work bounded by
+      one (key, chunk) instead of one key's whole history.
+
+    The probe is an eager driver-side decision (one small job) — the
+    price of choosing the right plan before a power-law key serializes a
+    100 TB stage through one task. Both branches produce identical
+    values (the chunked form's NULL semantics were built to match the
+    window's; oracled both ways in tests). ``hot_partition_rows``
+    defaults to the measured local crossover; callers on clusters with
+    different per-task budgets tune it.
+
+    Note the branches' result TYPE matches only for fractional
+    ``value_col`` (the chunked form's offset arithmetic is double);
+    pass a double column, as every registry user does."""
+    hottest = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n"))
+        .first()[0]
+    )
+    if hottest is not None and hottest >= hot_partition_rows:
+        return chunked_running_sum(
+            df, key_cols, order_cols, value_col, chunk_col, out_col
+        )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
 def chunked_running_sum(
     df: DataFrame,
     key_cols: list[str],

@@ -596,3 +596,40 @@ def window_running_sum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round("running_total", 2).alias("running_total"),
     )
+
+
+@query(
+    "window_running_sum_auto",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM events
+    """,
+)
+def window_running_sum_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-selecting running total (VERDICT r10 item 5): probes the
+    hottest user's row count and picks the single window below the
+    measured chunked crossover (operators/skew.HOT_PARTITION_ROWS, from
+    the r10 SCALE.md bracket) or the chunked decomposition above it. At
+    every test SF the probe picks the single window, so this entry's
+    plan is exactly window_running_sum's — the auto lever must cost
+    nothing when skew is absent (plan-audit-pinned); the chunked branch
+    is oracled under a forced threshold in tests/test_properties.py."""
+    from ..operators.skew import running_sum_auto
+
+    t = Tables(spark, sf_dir)
+    out = running_sum_auto(
+        t.events,
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+        chunk_col=F.to_date("ts"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round("running_total", 2).alias("running_total"),
+    )

@@ -308,3 +308,122 @@ def test_chunked_running_sum_keeps_null_key_and_null_chunk_rows(spark):
     # or shuffled-hash), never a NestedLoop / cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def _window_oracle(df, keys, orders, value):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return {
+        r["event_id"]: r["rt"]
+        for r in df.select(
+            "event_id", F.sum(value).over(w).alias("rt")
+        ).collect()
+    }
+
+
+def test_running_sum_auto_single_window_regime_adds_zero_exchanges(spark):
+    """VERDICT r10 item 5: on a uniform corpus the probe picks the plain
+    single window, whose physical plan must be EXACTLY the hand-written
+    window's — same exchange count, no chunk join. The auto lever must
+    cost nothing when skew is absent."""
+    from pyspark.sql import Window
+
+    from cartodb_importer_spark.operators.skew import running_sum_auto
+
+    df = (
+        spark.range(5000)
+        .selectExpr(
+            "id AS event_id",
+            "id % 50 AS user_id",
+            "id % 7 AS bucket",
+            "CAST(id % 13 AS double) / 2 AS value",
+        )
+    )
+    auto = running_sum_auto(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"),
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # single-window regime: no chunk join
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    manual = df.withColumn("running_total", F.sum("value").over(w))
+    manual_plan = manual._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == manual_plan.count("Exchange")
+    got = {r["event_id"]: r["running_total"] for r in auto.collect()}
+    assert got == _window_oracle(df, ["user_id"], ["bucket", "event_id"], "value")
+
+
+def test_running_sum_auto_engages_chunked_on_zipf_skew(spark):
+    """On a Zipf(1.5) key distribution with the threshold forced below
+    the hot key's count, the probe must pick the chunked decomposition
+    (join present in the plan) and the values must still equal the
+    single-window oracle row for row."""
+    import numpy as np
+
+    from cartodb_importer_spark.operators.skew import running_sum_auto
+
+    rng = np.random.default_rng(7)
+    keys = np.minimum(rng.zipf(1.5, 4000), 40)
+    rows = [
+        (i, int(k), int(i % 11), float((i * 7) % 23) / 4.0)
+        for i, k in enumerate(keys)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, bucket long, value double"
+    )
+    hot = df.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert hot >= 500  # the corpus really is skewed enough to trip it
+    auto = running_sum_auto(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"), hot_partition_rows=500,
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # chunked branch engaged
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    got = {r["event_id"]: r["running_total"] for r in auto.collect()}
+    assert got == _window_oracle(df, ["user_id"], ["bucket", "event_id"], "value")
+
+
+def test_running_sum_auto_uniform_corpus_forced_chunked_still_equal(spark):
+    """Both branches are value-equal on the SAME corpus: forcing the
+    chunked branch on the uniform corpus (threshold 1) must reproduce
+    the single-window branch's output exactly."""
+    from cartodb_importer_spark.operators.skew import running_sum_auto
+
+    df = (
+        spark.range(2000)
+        .selectExpr(
+            "id AS event_id",
+            "id % 25 AS user_id",
+            "id % 5 AS bucket",
+            "CAST(id % 9 AS double) / 4 AS value",
+        )
+    )
+    forced = running_sum_auto(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"), hot_partition_rows=1,
+    )
+    got = {r["event_id"]: r["running_total"] for r in forced.collect()}
+    assert got == _window_oracle(df, ["user_id"], ["bucket", "event_id"], "value")
+
+
+def test_running_sum_auto_empty_frame(spark):
+    from cartodb_importer_spark.operators.skew import running_sum_auto
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, bucket long, value double"
+    )
+    out = running_sum_auto(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"),
+    )
+    assert out.count() == 0 and "running_total" in out.columns

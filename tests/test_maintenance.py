@@ -604,3 +604,169 @@ def test_stream_to_catalog_compact_every_fails_fast(spark, tmp_path):
             str(tmp_path / "ck2"),
             compact_every=0,
         )
+
+
+def test_markerless_tmp_candidates_are_ignored_and_swept(spark, tmp_path):
+    """A compactor killed DURING the temp parquet write leaves a
+    .base_tmp_* dir with no marker — incomplete by construction. It must
+    never be served as a base (reads fall through correctly) and the
+    next compaction sweeps it."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(3):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 3 == i), "t", i)
+    want = _canon_rows(cat.read(spark, "t"))
+    junk = os.path.join(cat._path("t"), ".base_tmp_deadbeef")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00not parquet")  # truncated write, no marker
+    # never-compacted table + markerless candidate: no effective base
+    assert LocalCatalog._effective_base(cat._path("t")) is None
+    assert _canon_rows(cat.read(spark, "t")) == want
+    assert M.compact_batches(spark, cat, "t", keep_after_batch_id=2) == 2
+    assert not os.path.isdir(junk)  # swept
+    assert _canon_rows(cat.read(spark, "t")) == want
+
+    # mid-swap state PLUS a markerless junk candidate: the marker-bearing
+    # old base wins, the junk is never chosen
+    base = os.path.join(cat._path("t"), "_base")
+    aside = os.path.join(cat._path("t"), ".base_old_feedface")
+    os.rename(base, aside)
+    os.makedirs(junk)
+    with open(os.path.join(junk, "garbage"), "wb") as f:
+        f.write(b"\x00")
+    assert LocalCatalog._effective_base(cat._path("t")) == aside
+    assert _canon_rows(cat.read(spark, "t")) == want
+    M.compact_batches(spark, cat, "t", keep_after_batch_id=2)  # recovers
+    assert os.path.isdir(base) and not os.path.isdir(junk)
+    assert _canon_rows(cat.read(spark, "t")) == want
+
+
+def test_stream_survives_held_compaction_lock(spark, tmp_path):
+    """A lock file left by a killed compactor (within its stale window)
+    must NOT kill the stream: in-band compaction is skipped and retried
+    later, data stays exactly-once, dirs simply accrete meanwhile."""
+    import glob as _glob
+
+    from cartodb_importer_spark.queries import read_parquet_normalized
+    from cartodb_importer_spark.streaming import streams as S
+    from cartodb_importer_spark.streaming.sinks import stream_to_catalog
+
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    os.makedirs(cat._path("ev"))
+    lockf = os.path.join(cat._path("ev"), M.LOCK_FILE)
+    with open(lockf, "w") as f:
+        f.write(f"{os.getpid()} {time.time()}\n")
+
+    events = read_parquet_normalized(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    for i in range(4):
+        chunk = events.filter(F.col("event_id") % 4 == i).limit(50)
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = _glob.glob(str(tmp_path / f"stage{i}") + "/part-*.parquet")[0]
+        import shutil as _sh
+
+        _sh.copy(part, f"{src_dir}/f{i}.parquet")
+        os.utime(f"{src_dir}/f{i}.parquet", (1700000000 + i,) * 2)
+
+    q = stream_to_catalog(
+        S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination()  # would raise if a micro-batch died
+    assert not os.path.isdir(os.path.join(cat._path("ev"), "_base"))
+    assert len(cat.batch_ids("ev")) == 4  # nothing folded, nothing lost
+    got = cat.read(spark, "ev")
+    assert got.count() == 200
+    assert os.path.exists(lockf)  # the stream never steals a live lock
+
+
+@given(
+    ops=hst.lists(
+        hst.one_of(
+            hst.tuples(hst.just("write"), hst.integers(0, 5), hst.integers(0, 9)),
+            # compact below bid, killing the K-th rename (0 = clean run)
+            hst.tuples(hst.just("compact"), hst.integers(0, 5), hst.integers(0, 2)),
+        ),
+        min_size=3,
+        max_size=8,
+    ),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compaction_crash_schedules_read_like_uncompacted(spark, ops):
+    """Crash-closure of the r10 property: for ANY interleaving of batch
+    writes, replays, compactions, and compactor kills at either rename,
+    every read between ops equals a never-compacted twin. (The r10 test
+    locked crash-free schedules; ADVICE r10 showed the crashed ones were
+    the dangerous ones.)"""
+    import shutil as _sh
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="prop_crash_compact_")
+    real_rename = os.rename
+    try:
+        cat = LocalCatalog(f"{root}/wh")
+        plain = LocalCatalog(f"{root}/wh_plain")
+        live: dict[int, int] = {}
+        for kind, bid, arg in ops:
+            if kind == "write":
+                df = spark.createDataFrame(
+                    [(bid * 100 + i, arg) for i in range(3)],
+                    "id long, salt long",
+                )
+                if bid <= cat.compacted_up_to("t"):
+                    import pytest as _pt
+
+                    with _pt.raises(ValueError, match="already compacted"):
+                        cat.replace_batch(df, "t", bid)
+                    continue
+                cat.replace_batch(df, "t", bid)
+                plain.replace_batch(df, "t", bid)
+                live[bid] = arg
+            elif live:
+                if arg == 0:
+                    M.compact_batches(spark, cat, "t", keep_after_batch_id=bid)
+                else:
+                    calls = {"n": 0}
+
+                    def boom(src, dst, _c=calls, _k=arg):
+                        _c["n"] += 1
+                        if _c["n"] == _k:
+                            raise _SimulatedCrash()
+                        real_rename(src, dst)
+
+                    M._rename = boom
+                    try:
+                        try:
+                            M.compact_batches(
+                                spark, cat, "t", keep_after_batch_id=bid
+                            )
+                        except _SimulatedCrash:
+                            pass  # killed mid-compaction; state on disk
+                    finally:
+                        M._rename = real_rename
+                if live:
+                    got = _canon_rows(cat.read(spark, "t"))
+                    want = _canon_rows(plain.read(spark, "t"))
+                    assert got == want
+        if live:
+            # one final clean compaction must converge the layout
+            M.compact_batches(
+                spark, cat, "t", keep_after_batch_id=max(live) + 1
+            )
+            got = _canon_rows(cat.read(spark, "t"))
+            want = _canon_rows(plain.read(spark, "t"))
+            assert got == want
+    finally:
+        M._rename = real_rename
+        _sh.rmtree(root, ignore_errors=True)

@@ -64,17 +64,27 @@ class Catalog:
         O(batch) per trigger; a Delta catalog would use replaceWhere, a
         JDBC one DELETE WHERE __batch_id + append).
 
-        Crash windows of this portable path (ADVICE r09): a crash after
-        the staging write used to leave ``{name}__rewrite`` behind and
-        fail every later trigger's errorifexists write — so any leftover
-        staging table is dropped before writing (safe: its contents are
-        always a rebuildable merge of live table + replayable batch). A
-        crash between drop(name) and rename still loses the live table
-        until the staging table is renamed in by hand or the stream
-        replays; catalogs with an atomic swap primitive (Delta/Iceberg
-        commit, LocalCatalog partition-dir rename) don't have this window
-        — one more reason the override is required of real catalogs."""
+        Crash windows of this portable path (ADVICE r09 + VERDICT r10
+        finding 3): a crash after the staging write used to leave
+        ``{name}__rewrite`` behind and fail every later trigger's
+        errorifexists write — so any leftover staging table is dropped
+        before writing (safe: its contents are always a rebuildable
+        merge of live table + replayable batch). The swap itself is
+        rename-ASIDE, never drop-then-rename: the live table moves to
+        ``{name}__replaced`` before the staging table renames in, so a
+        crash at ANY point leaves the data recoverable — the next call
+        restores the aside table when the live name is missing (always
+        safe: the engine replays the batch that was being written).
+        What remains is a read-AVAILABILITY blip between the two
+        renames, which only an atomic swap primitive (Delta/Iceberg
+        commit, LocalCatalog partition-dir rename) can remove — one
+        more reason the override is required of real catalogs."""
         tagged = df.withColumn("__batch_id", F.lit(batch_id))
+        aside = f"{name}__replaced"
+        if not self.exists(name) and self.exists(aside):
+            # a previous trigger died between its two renames; restore
+            # the pre-swap table (its batch is about to be replayed)
+            self.rename(aside, name)
         if self.exists(name):
             existing = self.read(df.sparkSession, name)
             kept = existing.filter(F.col("__batch_id") != batch_id)
@@ -83,8 +93,11 @@ class Catalog:
             if self.exists(staging):  # leftover from a crashed trigger
                 self.drop(staging)
             self.write(merged, staging)
-            self.drop(name)
+            if self.exists(aside):  # leftover from a crash after rename-in
+                self.drop(aside)
+            self.rename(name, aside)
             self.rename(staging, name)
+            self.drop(aside)
         else:
             self.write(tagged, name)
 

@@ -787,3 +787,58 @@ def test_sessionizer_survives_any_batch_time_span(
             seen.add(key)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_generic_replace_batch_crash_between_renames_recovers(spark, tmp_path):
+    """VERDICT r10 finding 3: the portable replace_batch used to
+    drop-then-rename, so a crash between the two lost the live table
+    outright. The rename-aside protocol keeps the data recoverable at
+    every crash point: the next trigger restores the aside table and the
+    replayed batch lands exactly once."""
+    from cartodb_importer_spark.sinks.catalog import Catalog, LocalCatalog
+
+    class BaseOnly(LocalCatalog):
+        replace_batch = Catalog.replace_batch
+
+    class Boom(Exception):
+        pass
+
+    cat = BaseOnly(str(tmp_path / "wh"))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    cat.replace_batch(b0, "t", 0)
+
+    # crash exactly between rename(name -> aside) and rename(staging -> name)
+    real_rename, calls = cat.rename, {"n": 0}
+
+    def crashing_rename(old, new):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+        real_rename(old, new)
+
+    cat.rename = crashing_rename
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    import pytest as _pt
+
+    with _pt.raises(Boom):
+        cat.replace_batch(b1, "t", 1)
+    cat.rename = real_rename
+
+    # crashed state: live name gone, but the aside table holds batch 0
+    assert not cat.exists("t") and cat.exists("t__replaced")
+
+    # the engine replays batch 1: recovery restores, then the swap lands
+    cat.replace_batch(b1, "t", 1)
+    got = sorted((r["id"], r["v"]) for r in cat.read(spark, "t").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert not cat.exists("t__replaced") and not cat.exists("t__rewrite")
+
+    # crash AFTER the rename-in (before the aside drop): stale aside must
+    # be cleared by the next trigger, never restored over live data
+    cat.write(spark.createDataFrame([(9, "z")], "id long, v string"),
+              "t__replaced")
+    b2 = spark.createDataFrame([(4, "d")], "id long, v string")
+    cat.replace_batch(b2, "t", 2)
+    got = sorted((r["id"], r["v"]) for r in cat.read(spark, "t").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert not cat.exists("t__replaced")

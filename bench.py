@@ -166,7 +166,10 @@ def run_import_bench(spark, n_runs: int = 3) -> dict:
 
 
 #: host_calibration() on the r10 idle end-of-round host (PLANS.md Notes);
-#: the 3x-this threshold marks a recording as contended
+#: the 3x-this threshold marks a recording as contended. HOST-SPECIFIC by
+#: design — the driver re-runs this bench on the same box every round; on
+#: different hardware recalibrate the constant (or set
+#: SPARK_GRAFT_BENCH_NO_RERUN=1) or every run pays one spurious re-pass.
 IDLE_CALIBRATION_SEC = 0.0178
 
 

@@ -122,7 +122,10 @@ def running_sum_auto(
 
     The probe is an eager driver-side decision (one small job) — the
     price of choosing the right plan before a power-law key serializes a
-    100 TB stage through one task. Both branches produce identical
+    100 TB stage through one task. It evaluates ``df``'s full upstream
+    once in addition to the chosen branch's own evaluation: cheap when
+    ``df`` is a scan (every registry user), but callers feeding an
+    expensive uncached transform chain should ``persist()`` it first. Both branches produce identical
     values (the chunked form's NULL semantics were built to match the
     window's; oracled both ways in tests). ``hot_partition_rows``
     defaults to the measured local crossover; callers on clusters with

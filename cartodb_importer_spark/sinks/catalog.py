@@ -207,15 +207,20 @@ class LocalCatalog(Catalog):
         return best
 
     @staticmethod
-    def _marker_at(path: str) -> int:
-        base = LocalCatalog._effective_base(path)
-        if base is None:
-            return -1
-        marker = os.path.join(base, LocalCatalog.MARKER)
+    def _marker_of(base_dir: str) -> int:
+        """Marker value inside an already-resolved base dir (-1 if none)."""
+        marker = os.path.join(base_dir, LocalCatalog.MARKER)
         if os.path.isfile(marker):
             with open(marker) as f:
                 return int(f.read().strip())
         return -1
+
+    @staticmethod
+    def _marker_at(path: str) -> int:
+        base = LocalCatalog._effective_base(path)
+        if base is None:
+            return -1
+        return LocalCatalog._marker_of(base)
 
     def batch_ids(self, name: str) -> list[int]:
         """__batch_id values with a live partition directory."""
@@ -249,7 +254,10 @@ class LocalCatalog(Catalog):
         if base is None:
             return spark.read.parquet(path)
         bdf = spark.read.parquet(base)
-        marker = cls._marker_at(path)
+        # the marker comes from the SAME resolved dir the read serves —
+        # re-resolving via _marker_at(path) would double the listing work
+        # and could pair a filter marker with a different candidate dir
+        marker = cls._marker_of(base)
         if not any(i > marker for i in cls._batch_ids_at(path)):
             return bdf
         rest = spark.read.parquet(path).filter(

@@ -109,12 +109,28 @@ class CompactionInProgress(RuntimeError):
 @contextlib.contextmanager
 def _compactor_lock(table_dir: str, stale_sec: float = LOCK_STALE_SEC):
     """Enforce the single-compactor invariant (VERDICT r10 item 2): an
-    O_EXCL lock file with a pid+timestamp payload under the table dir.
-    A second compactor raises CompactionInProgress instead of racing the
-    first's temp-dir build/sweep; a lock older than ``stale_sec`` is a
-    crashed holder's and is taken over (unlink + one O_EXCL retry, so two
-    racing takeovers still elect exactly one winner)."""
+    O_EXCL lock file with a pid+timestamp+uuid payload under the table
+    dir. A second compactor raises CompactionInProgress instead of
+    racing the first's temp-dir build/sweep.
+
+    Stale takeover is single-winner BY RENAME: a lock older than
+    ``stale_sec`` is a crashed holder's, and a claimant first renames it
+    aside — exactly one renamer of the same source succeeds; the loser
+    re-enters the loop and now finds the winner's fresh lock live. (A
+    naive unlink+retry lets a second claimant delete the first claimant's
+    FRESH lock — both would then hold the table.)
+
+    Release deletes only the holder's OWN lock (payload compared before
+    unlink): a compaction that overran ``stale_sec`` and was taken over
+    must not cascade by deleting the usurper's live lock. Yields a
+    zero-arg heartbeat callable that refreshes the lock's mtime; the
+    compactor calls it between major steps so a long fold isn't
+    mistaken for a dead holder. A SINGLE step longer than ``stale_sec``
+    (one giant backlog build) can still be taken over — size
+    ``lock_stale_sec`` above the worst single-step build time (the
+    measured 10k-dir fold builds in ~31s against the 1800s default)."""
     lock = os.path.join(table_dir, LOCK_FILE)
+    token = f"{os.getpid()} {time.time()} {uuid.uuid4().hex}\n".encode()
     fd = None
     for _ in range(2):
         try:
@@ -131,19 +147,33 @@ def _compactor_lock(table_dir: str, stale_sec: float = LOCK_STALE_SEC):
                     "compact_batches runs from ONE maintenance actor per "
                     "table"
                 ) from None
-            try:  # stale: the holder died without cleanup — take over
-                os.unlink(lock)
+            claimed = f"{lock}.stale_{uuid.uuid4().hex[:8]}"
+            try:  # claim the stale lock: one renamer wins
+                os.rename(lock, claimed)
             except FileNotFoundError:
-                pass
+                continue  # lost the claim race; retry sees a fresh lock
+            os.unlink(claimed)
     if fd is None:
         raise CompactionInProgress(f"could not acquire {lock}")
     try:
-        os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+        os.write(fd, token)
         os.close(fd)
-        yield
+
+        def heartbeat() -> None:
+            try:
+                os.utime(lock)
+            except FileNotFoundError:
+                pass  # taken over after an overrun; release will no-op
+
+        yield heartbeat
     finally:
-        try:
-            os.unlink(lock)
+        try:  # release only our own lock (read-then-unlink: the residual
+            # race needs a takeover in the microseconds between, which
+            # itself requires the holder to have ALREADY overrun stale_sec)
+            with open(lock, "rb") as f:
+                own = f.read() == token
+            if own:
+                os.unlink(lock)
         except FileNotFoundError:
             pass
 
@@ -224,7 +254,7 @@ def compact_batches(
     if not os.path.isdir(path):
         return 0
     base = os.path.join(path, LocalCatalog.BASE_DIR)
-    with _compactor_lock(path, stale_sec=lock_stale_sec):
+    with _compactor_lock(path, stale_sec=lock_stale_sec) as heartbeat:
         _recover_base(path)
         marker = catalog.compacted_up_to(table)
         live_ids = catalog.batch_ids(table)
@@ -249,6 +279,7 @@ def compact_batches(
         new_marker = max(todo)
         tmp = os.path.join(path, f".base_tmp_{uuid.uuid4().hex[:8]}")
         compact(merged, tmp, cluster_by=["__batch_id"], target_file_bytes=target_file_bytes)
+        heartbeat()  # the build is the long pole; refresh before the swap
         with open(os.path.join(tmp, LocalCatalog.MARKER), "w") as f:
             f.write(str(new_marker))
         old = None
@@ -269,10 +300,15 @@ def compact_batches(
 def _sweep_hidden_tmp(table_dir: str) -> None:
     """Remove crashed-attempt leftovers: hidden temp/old dirs written by
     replace_batch and compact_batches (all dot-prefixed, so readers never
-    saw them)."""
+    saw them), plus stale-lock claim files a takeover crash orphaned."""
     for d in os.listdir(table_dir):
         if d.startswith((".batch_tmp_", ".batch_old_", ".base_tmp_", ".base_old_")):
             shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+        elif d.startswith(f"{LOCK_FILE}.stale_"):
+            try:
+                os.remove(os.path.join(table_dir, d))
+            except FileNotFoundError:
+                pass
 
 
 def file_stats(spark: SparkSession, path: str) -> DataFrame:

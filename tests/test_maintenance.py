@@ -770,3 +770,89 @@ def test_compaction_crash_schedules_read_like_uncompacted(spark, ops):
     finally:
         M._rename = real_rename
         _sh.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------------- r11 review: lock corners
+# Findings from the round's self-review: naive unlink-takeover let two
+# claimants both acquire (the second deleted the first's FRESH lock), and
+# unconditional release let an overrun holder delete its usurper's live
+# lock. Takeover is now claim-by-rename (single winner) and release is
+# own-token-only, with a heartbeat for long folds.
+
+
+def test_lock_release_never_deletes_usurpers_lock(tmp_path):
+    d = str(tmp_path)
+    lock = os.path.join(d, M.LOCK_FILE)
+    with M._compactor_lock(d) as heartbeat:
+        heartbeat()  # refresh path works while held
+        # simulate: we overran stale_sec and another actor took over
+        os.unlink(lock)
+        with open(lock, "wb") as f:
+            f.write(b"usurper token\n")
+    # our release must leave the usurper's live lock in place
+    assert os.path.exists(lock)
+    with open(lock, "rb") as f:
+        assert f.read() == b"usurper token\n"
+    os.unlink(lock)
+
+
+def test_lock_heartbeat_refreshes_mtime(tmp_path):
+    d = str(tmp_path)
+    lock = os.path.join(d, M.LOCK_FILE)
+    with M._compactor_lock(d) as heartbeat:
+        os.utime(lock, (time.time() - 7000, time.time() - 7000))
+        heartbeat()
+        assert time.time() - os.stat(lock).st_mtime < 60
+    assert not os.path.exists(lock)
+
+
+def test_stale_takeover_race_loser_raises_and_winner_keeps_lock(
+    tmp_path, monkeypatch
+):
+    """Two claimants race a stale lock: takeover is claim-by-RENAME, so
+    the loser's rename fails, its retry sees the winner's fresh lock, and
+    it raises — it must never unlink the winner's lock (the bug a naive
+    unlink+retry takeover has)."""
+    d = str(tmp_path)
+    lock = os.path.join(d, M.LOCK_FILE)
+    with open(lock, "w") as f:
+        f.write("dead holder\n")
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
+    real_rename = os.rename
+
+    def other_claimant_wins(src, dst):
+        if src == lock:
+            # interleave: the other claimant renames the stale lock away
+            # and acquires a fresh one before OUR rename runs
+            os.unlink(lock)
+            with open(lock, "w") as f:
+                f.write("winner fresh\n")
+            raise FileNotFoundError(src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", other_claimant_wins)
+    with pytest.raises(M.CompactionInProgress):
+        with M._compactor_lock(d):
+            pass
+    monkeypatch.undo()
+    with open(lock) as f:
+        assert f.read() == "winner fresh\n"  # never clobbered
+    os.unlink(lock)
+
+
+def test_orphaned_stale_claim_file_is_swept(spark, tmp_path):
+    """A takeover that crashed between its claim-rename and unlink leaves
+    .compact_lock.stale_* behind; the next compaction sweeps it."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    cat.replace_batch(nation, "t", 0)
+    orphan = os.path.join(cat._path("t"), f"{M.LOCK_FILE}.stale_dead1234")
+    with open(orphan, "w") as f:
+        f.write("orphan\n")
+    assert M.compact_batches(spark, cat, "t", keep_after_batch_id=1) == 1
+    assert not os.path.exists(orphan)
+    # and on a pure no-op run too
+    with open(orphan, "w") as f:
+        f.write("orphan\n")
+    assert M.compact_batches(spark, cat, "t", keep_after_batch_id=1) == 0
+    assert not os.path.exists(orphan)

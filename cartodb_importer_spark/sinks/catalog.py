@@ -366,8 +366,20 @@ class VersionedLocalCatalog(LocalCatalog):
         staging = self.staging_name(name)
         try:
             self.write(df, staging)
+            vs = self.versions(name)
+            if not self.exists(name) and vs:
+                # a previous publish died between its two renames: the
+                # live table had already moved into the newest version
+                # slot but the replacement never renamed in. Restore it
+                # so this publish re-snapshots exactly as a crash-free
+                # run would — no missing-live-table window survives a
+                # retry. (Side effect accepted: publish_version after an
+                # explicit drop(name) of a versioned table resurrects
+                # the newest snapshot into one extra version slot —
+                # preserving more history, never less.)
+                self.rename(f"{name}{self.VSEP}{vs[-1]}", name)
+                vs.pop()
             if self.exists(name):
-                vs = self.versions(name)
                 nxt = (vs[-1] + 1) if vs else 1
                 self.rename(name, f"{name}{self.VSEP}{nxt}")
                 vs.append(nxt)

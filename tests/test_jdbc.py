@@ -268,3 +268,46 @@ def test_pgwire_fatal_error_surfaces_diagnostics(monkeypatch):
     )
     with _pytest.raises(PgError):
         ex.copy_in("COPY t FROM STDIN", ["1\tx"])
+
+
+def test_publish_version_crash_between_renames_recovers(spark, tmp_path):
+    """r11: a publish_version that dies between rename(name -> @vN) and
+    rename(staging -> name) used to leave the live name missing until a
+    later publish. The retry must restore the snapshotted table first and
+    then re-snapshot it, so no publish is lost and reads of the live name
+    work after the replay."""
+    import pytest
+
+    from cartodb_importer_spark.sinks.catalog import VersionedLocalCatalog
+
+    class Boom(Exception):
+        pass
+
+    cat = VersionedLocalCatalog(str(tmp_path / "wh"), keep_versions=3)
+    v1 = spark.createDataFrame([(1, "one")], "id long, v string")
+    v2 = spark.createDataFrame([(2, "two")], "id long, v string")
+    cat.publish_version(v1, "t")
+
+    real_rename, calls = cat.rename, {"n": 0}
+
+    def crashing_rename(old, new):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after name -> @v1, before staging -> name
+            raise Boom()
+        real_rename(old, new)
+
+    cat.rename = crashing_rename
+    with pytest.raises(Boom):
+        cat.publish_version(v2, "t")
+    cat.rename = real_rename
+
+    # crashed state: live name gone, the data lives in the version slot
+    assert not cat.exists("t") and cat.versions("t") == [1]
+
+    # the retried publish restores, re-snapshots, and lands v2 live
+    cat.publish_version(v2, "t")
+    assert [r["v"] for r in cat.read(spark, "t").collect()] == ["two"]
+    assert cat.versions("t") == [1]
+    assert [
+        r["v"] for r in cat.read_version(spark, "t", 1).collect()
+    ] == ["one"]

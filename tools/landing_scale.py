@@ -175,7 +175,8 @@ def run_stream_phase(spark, workdir: str) -> None:
     t0 = time.perf_counter()
     q = stream_to_catalog(
         S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
-        compact_every=COMPACT_EVERY,
+        # COMPACT_EVERY=0 runs the uncompacted control (accretion allowed)
+        compact_every=COMPACT_EVERY or None,
     )
     max_dirs, samples = 0, 0
     while q.isActive:
@@ -192,7 +193,8 @@ def run_stream_phase(spark, workdir: str) -> None:
     # the invariant under test: the landing zone is O(recent), never
     # O(total triggers) — between compactions up to compact_every new
     # dirs accrete on top of the couple the last compaction kept live
-    bound = COMPACT_EVERY + 4
+    # (control mode, COMPACT_EVERY=0: dirs == triggers by construction)
+    bound = (COMPACT_EVERY + 4) if COMPACT_EVERY else STREAM_TRIGGERS
     assert max_dirs <= bound, (max_dirs, bound)
     assert n == expected and distinct == expected, (n, distinct, expected)
     print(json.dumps({

@@ -46,6 +46,24 @@ def get_spark(
         # was A/B-tested and under-parallelizes the sf0.1 shuffle-heavy
         # queries, e.g. llm_minhash_pairs 1.2s -> 2.5s.)
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # --- FAIR job scheduling: maintenance must not starve serving ---
+        # With the FIFO default, a background job's multi-task stages (an
+        # out-of-band landing-zone fold, a compaction) queue AHEAD of a
+        # live stream's tiny trigger jobs and inflate every batch duration
+        # (r12 rehearsal: +48% stream wall). FAIR round-robins task slots
+        # between pools, so concurrent actors share the executors instead
+        # of convoying; single-job workloads (the bench, the correctness
+        # sweep) are unaffected — one pool, one job, FIFO-equivalent.
+        # run_maintenance pins its jobs to a "maintenance" pool via a
+        # thread-local property; the shipped allocation file weights
+        # serving (default pool) 8:1 over maintenance so folds fill idle
+        # slots instead of competing head-on (r12: 8:1 takes the oob
+        # rehearsal's trigger overhead from +11% to ~2%).
+        .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "fair_pools.xml"),
+        )
         # --- python<->jvm transfer is Arrow-batched, never per-row ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- deterministic timestamp semantics vs the DuckDB oracle ---

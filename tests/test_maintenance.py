@@ -680,6 +680,10 @@ def test_stream_survives_held_compaction_lock(spark, tmp_path):
         compact_every=2,
     )
     q.awaitTermination()  # would raise if a micro-batch died
+    # ADVICE r11: the skip is counted on the query's sink_stats (and
+    # warned), not silently swallowed
+    assert q.sink_stats["compaction_skips"] == 1  # batch 2's attempt
+    assert q.sink_stats["compactions"] == 0
     assert not os.path.isdir(os.path.join(cat._path("ev"), "_base"))
     assert len(cat.batch_ids("ev")) == 4  # nothing folded, nothing lost
     got = cat.read(spark, "ev")
@@ -856,3 +860,269 @@ def test_orphaned_stale_claim_file_is_swept(spark, tmp_path):
         f.write("orphan\n")
     assert M.compact_batches(spark, cat, "t", keep_after_batch_id=1) == 0
     assert not os.path.exists(orphan)
+
+
+def test_heartbeat_does_not_refresh_usurpers_lock(tmp_path):
+    """ADVICE r11: a holder that overran stale_sec and was taken over
+    must NOT utime the usurper's lock — that would keep a (possibly
+    dead) usurper lock artificially fresh and delay the next legitimate
+    takeover."""
+    d = str(tmp_path)
+    lock = os.path.join(d, M.LOCK_FILE)
+    old = time.time() - 7000
+    with M._compactor_lock(d) as heartbeat:
+        # simulate takeover: the usurper's lock replaces ours, aged so a
+        # refresh would be detectable
+        os.unlink(lock)
+        with open(lock, "wb") as f:
+            f.write(b"usurper token\n")
+        os.utime(lock, (old, old))
+        heartbeat()
+        assert abs(os.stat(lock).st_mtime - old) < 5  # NOT refreshed
+    assert os.path.exists(lock)  # release left it alone too
+    os.unlink(lock)
+
+
+def _fake_checkpoint(tmp_path, hwm: int) -> str:
+    ckpt = str(tmp_path / "fake_ckpt")
+    os.makedirs(os.path.join(ckpt, "commits"), exist_ok=True)
+    for i in range(hwm + 1):
+        with open(os.path.join(ckpt, "commits", str(i)), "w") as f:
+            f.write("{}")
+    return ckpt
+
+
+def test_run_maintenance_bounds_landing_zone_out_of_band(spark, tmp_path):
+    """VERDICT r11 item 3: the out-of-band loop folds committed batch
+    dirs under the table's advisory lock while the caller (stream) does
+    nothing but write — landing zone bounded, reads identical, stats
+    observable."""
+    import threading
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(6):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 6 == i), "t", i)
+    before = _canon_rows(cat.read(spark, "t"))
+    ckpt = _fake_checkpoint(tmp_path, hwm=5)  # ids < 5 are immutable
+
+    stop = threading.Event()
+    out: dict = {}
+    th = threading.Thread(
+        target=lambda: out.update(
+            M.run_maintenance(
+                spark, cat, "t", ckpt, stop, poll_sec=0.1, min_live_dirs=4
+            )
+        )
+    )
+    th.start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(cat.batch_ids("t")) > 1:
+        time.sleep(0.2)
+    stop.set()
+    th.join(timeout=30)
+    assert not th.is_alive()
+    assert cat.batch_ids("t") == [5]  # only the replayable frontier left
+    assert _canon_rows(cat.read(spark, "t")) == before
+    assert out["compactions"] >= 1 and out["folded_dirs"] == 5
+    assert out["cycles"] >= 1 and out["lock_skips"] == 0
+
+
+def test_run_maintenance_lock_skip_warned_and_counted(spark, tmp_path, caplog):
+    """A lock held by another actor makes the out-of-band loop SKIP with
+    a warning and a counter — never kill the loop, never steal a fresh
+    lock (ADVICE r11: skips must be observable)."""
+    import logging
+    import threading
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(4):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 4 == i), "t", i)
+    lockf = os.path.join(cat._path("t"), M.LOCK_FILE)
+    with open(lockf, "w") as f:
+        f.write("other actor\n")  # fresh: within the stale window
+    ckpt = _fake_checkpoint(tmp_path, hwm=3)
+
+    stop = threading.Event()
+    out: dict = {}
+    th = threading.Thread(
+        target=lambda: out.update(
+            M.run_maintenance(
+                spark, cat, "t", ckpt, stop, poll_sec=0.1, min_live_dirs=2
+            )
+        )
+    )
+    with caplog.at_level(logging.WARNING, logger=M.__name__):
+        th.start()
+        deadline = time.time() + 30
+        while time.time() < deadline and not any(
+            "skipped" in r.message for r in caplog.records
+        ):
+            time.sleep(0.1)
+        stop.set()
+        th.join(timeout=30)
+    assert not th.is_alive()
+    assert out["lock_skips"] >= 1 and out["compactions"] == 0
+    assert len(cat.batch_ids("t")) == 4  # nothing folded
+    assert any("skipped" in r.message for r in caplog.records)
+    with open(lockf) as f:
+        assert f.read() == "other actor\n"  # never stolen
+    os.unlink(lockf)
+
+
+def _stage_event_files(spark, tmp_path, src_dir, n_files, rows_per=50):
+    """n single-file parquet drops into src_dir (one micro-batch each
+    under maxFilesPerTrigger=1), mtime-ordered."""
+    import glob as _glob
+    import shutil as _sh
+
+    from cartodb_importer_spark.queries import read_parquet_normalized
+
+    events = read_parquet_normalized(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    for i in range(n_files):
+        chunk = events.filter(F.col("event_id") % n_files == i).limit(rows_per)
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"oob_stage{i}")
+        )
+        part = _glob.glob(str(tmp_path / f"oob_stage{i}") + "/part-*.parquet")[0]
+        _sh.copy(part, f"{src_dir}/f{i}.parquet")
+        os.utime(f"{src_dir}/f{i}.parquet", (1700000000 + i,) * 2)
+    return n_files * rows_per
+
+
+def test_stream_with_out_of_band_maintenance_bounds_landing_zone(
+    spark, tmp_path
+):
+    """VERDICT r11 item 3 end-to-end: the stream only CHECKS the landing
+    zone (landing_max_dirs — one listdir per batch) while a concurrent
+    run_maintenance loop compacts under the advisory lock. After the
+    stream drains and maintenance catches up: zone bounded, exactly-once
+    data, both sides' counters observable."""
+    import threading
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+    from cartodb_importer_spark.streaming import streams as S
+    from cartodb_importer_spark.streaming.sinks import stream_to_catalog
+
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    expected = _stage_event_files(spark, tmp_path, src_dir, n_files=6)
+
+    stop = threading.Event()
+    out: dict = {}
+    th = threading.Thread(
+        target=lambda: out.update(
+            M.run_maintenance(
+                spark, cat, "ev", ckpt, stop, poll_sec=0.2, min_live_dirs=3
+            )
+        )
+    )
+    th.start()
+    try:
+        q = stream_to_catalog(
+            S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
+            landing_max_dirs=10,
+        )
+        q.awaitTermination()
+        assert q.sink_stats["batches"] == 6
+        assert q.sink_stats["compactions"] == 0  # sink never compacts
+        # let maintenance catch up: the loop folds whenever live dirs
+        # reach min_live_dirs, so the zone settles BELOW that bound (a
+        # sub-bound tail of committed ids may legitimately remain)
+        deadline = time.time() + 90
+        while time.time() < deadline and len(cat.batch_ids("ev")) >= 3:
+            time.sleep(0.2)
+    finally:
+        stop.set()
+        th.join(timeout=30)
+    assert not th.is_alive()
+    assert out["compactions"] >= 1
+    assert len(cat.batch_ids("ev")) < 3  # zone bounded by min_live_dirs
+    assert os.path.isdir(os.path.join(cat._path("ev"), "_base"))
+    got = cat.read(spark, "ev")
+    assert got.count() == expected
+    assert got.select("event_id").distinct().count() == expected
+
+
+def test_stream_landing_max_dirs_warns_when_maintenance_absent(
+    spark, tmp_path, caplog
+):
+    """landing_max_dirs with NO maintenance loop running: the sink must
+    count + warn each batch the zone sits over the bound (the operator
+    signal that run_maintenance is behind or was never started), while
+    the stream itself keeps running and stays exactly-once."""
+    import logging
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+    from cartodb_importer_spark.streaming import sinks as SS
+    from cartodb_importer_spark.streaming import streams as S
+
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    expected = _stage_event_files(spark, tmp_path, src_dir, n_files=4)
+    with caplog.at_level(logging.WARNING, logger=SS.__name__):
+        q = SS.stream_to_catalog(
+            S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
+            landing_max_dirs=2,
+        )
+        q.awaitTermination()
+    # batches land dirs 1,2,3,4 -> over the bound of 2 after batches 2,3
+    assert q.sink_stats["batches"] == 4
+    assert q.sink_stats["landing_over_bound"] == 2
+    assert any("landing zone" in r.message for r in caplog.records)
+    assert len(cat.batch_ids("ev")) == 4  # sink itself never folds
+    assert cat.read(spark, "ev").count() == expected
+
+
+def test_stream_landing_max_dirs_validation(spark, tmp_path):
+    from cartodb_importer_spark.sinks.catalog import Catalog, LocalCatalog
+    from cartodb_importer_spark.streaming import streams as S
+    from cartodb_importer_spark.streaming.sinks import stream_to_catalog
+
+    src_dir = str(tmp_path / "incoming")
+    _stage_event_files(spark, tmp_path, src_dir, n_files=1, rows_per=5)
+    stream = S.read_events_stream(spark, src_dir)
+    with pytest.raises(ValueError, match="landing_max_dirs"):
+        stream_to_catalog(
+            stream, LocalCatalog(str(tmp_path / "wh")), "t",
+            str(tmp_path / "ck"), landing_max_dirs=0,
+        )
+    with pytest.raises(ValueError, match="LocalCatalog"):
+        stream_to_catalog(
+            stream, Catalog(), "t", str(tmp_path / "ck"), landing_max_dirs=4,
+        )
+
+
+def test_sweep_spares_live_writer_staging_dirs(spark, tmp_path):
+    """The out-of-band race r12 found: a compactor's sweep must NOT
+    delete a FRESH .batch_tmp_*/.batch_old_* — that is a live
+    replace_batch's in-flight staging dir (the writer holds no lock).
+    Only writer dirs older than WRITER_STALE_SEC are crashed attempts;
+    compactor-owned .base_* dirs sweep unconditionally (serialized by
+    the advisory lock)."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(3):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 3 == i), "t", i)
+    path = cat._path("t")
+    fresh = os.path.join(path, ".batch_tmp_9_live1234")
+    stale = os.path.join(path, ".batch_old_1_dead5678")
+    basey = os.path.join(path, ".base_tmp_dead9abc")
+    for d in (fresh, stale, basey):
+        os.makedirs(d)
+    old = time.time() - M.WRITER_STALE_SEC - 60
+    os.utime(stale, (old, old))
+    M.compact_batches(spark, cat, "t", keep_after_batch_id=2)
+    assert os.path.isdir(fresh)      # live writer staging: spared
+    assert not os.path.isdir(stale)  # crashed attempt: swept
+    assert not os.path.isdir(basey)  # compactor-owned: swept

@@ -49,6 +49,13 @@ SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.01")
 SYNTH = os.environ.get("SYNTH") == "1"
 STREAM_TRIGGERS = int(os.environ.get("STREAM_TRIGGERS", "0"))
 COMPACT_EVERY = int(os.environ.get("COMPACT_EVERY", "10"))
+#: MAINT_MODE=oob (VERDICT r11 item 3): the stream carries only the
+#: landing_max_dirs listdir check while a concurrent run_maintenance
+#: thread compacts under the advisory lock; control = COMPACT_EVERY=0
+#: MAINT_MODE=control (no maintenance at all). The stream WALL deltas
+#: between control/inband/oob are the trigger-path cost of each mode.
+MAINT_MODE = os.environ.get("MAINT_MODE", "")
+MAINT_MIN_DIRS = int(os.environ.get("MAINT_MIN_DIRS", "10"))
 
 
 def timed_read(spark, cat, table: str) -> tuple[float, int, float]:
@@ -172,12 +179,36 @@ def run_stream_phase(spark, workdir: str) -> None:
         os.utime(p, (now + i, now + i))  # stable arrival order
     expected = t.num_rows
 
+    mode = MAINT_MODE or ("inband" if COMPACT_EVERY else "control")
+    maint_thread, maint_stop, maint_stats = None, None, {}
+    if mode == "oob":
+        import threading
+
+        from cartodb_importer_spark.sinks import maintenance as M
+
+        maint_stop = threading.Event()
+        maint_thread = threading.Thread(
+            target=lambda: maint_stats.update(
+                M.run_maintenance(
+                    spark, cat, "ev", ckpt, maint_stop,
+                    poll_sec=0.5, min_live_dirs=MAINT_MIN_DIRS,
+                )
+            )
+        )
+        maint_thread.start()
+
     t0 = time.perf_counter()
-    q = stream_to_catalog(
-        S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
-        # COMPACT_EVERY=0 runs the uncompacted control (accretion allowed)
-        compact_every=COMPACT_EVERY or None,
-    )
+    if mode == "oob":
+        q = stream_to_catalog(
+            S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
+            landing_max_dirs=MAINT_MIN_DIRS * 4,
+        )
+    else:
+        q = stream_to_catalog(
+            S.read_events_stream(spark, src_dir), cat, "ev", ckpt,
+            # COMPACT_EVERY=0 runs the uncompacted control (accretion allowed)
+            compact_every=COMPACT_EVERY or None,
+        )
     max_dirs, samples = 0, 0
     while q.isActive:
         max_dirs = max(max_dirs, len(cat.batch_ids("ev")))
@@ -185,6 +216,27 @@ def run_stream_phase(spark, workdir: str) -> None:
         time.sleep(0.05)
     q.awaitTermination()
     wall = round(time.perf_counter() - t0, 2)
+    # per-batch durations from the engine's own progress events — the
+    # honest trigger-path overhead metric (wall also counts source
+    # listing + commit gaps; batchDuration is what maintenance
+    # contention would inflate)
+    durs = sorted(p.batchDuration for p in q.recentProgress)
+    batch_stats = {}
+    if durs:
+        batch_stats = {
+            "batches_timed": len(durs),
+            "batch_ms_median": durs[len(durs) // 2],
+            "batch_ms_p90": durs[int(len(durs) * 0.9)],
+            "batch_ms_total": sum(durs),
+        }
+    if maint_thread is not None:
+        # let the loop catch up to the final frontier, then stop it; the
+        # catch-up is NOT part of the stream wall (that's the point)
+        deadline = time.time() + 120
+        while time.time() < deadline and len(cat.batch_ids("ev")) >= MAINT_MIN_DIRS:
+            time.sleep(0.2)
+        maint_stop.set()
+        maint_thread.join(timeout=60)
     final_dirs = len(cat.batch_ids("ev"))
     got = cat.read(spark, "ev")
     n = got.count()
@@ -193,21 +245,35 @@ def run_stream_phase(spark, workdir: str) -> None:
     # the invariant under test: the landing zone is O(recent), never
     # O(total triggers) — between compactions up to compact_every new
     # dirs accrete on top of the couple the last compaction kept live
-    # (control mode, COMPACT_EVERY=0: dirs == triggers by construction)
-    bound = (COMPACT_EVERY + 4) if COMPACT_EVERY else STREAM_TRIGGERS
+    # (control mode, COMPACT_EVERY=0: dirs == triggers by construction;
+    # oob: the concurrent loop lags by its fold duration, so the bound
+    # is the loose landing_max_dirs alarm threshold, and the FINAL count
+    # after catch-up must sit back under min_live_dirs)
+    if mode == "oob":
+        bound = MAINT_MIN_DIRS * 4
+        assert final_dirs < MAINT_MIN_DIRS, (final_dirs, MAINT_MIN_DIRS)
+    elif mode == "inband":
+        bound = COMPACT_EVERY + 4
+    else:
+        bound = STREAM_TRIGGERS
     assert max_dirs <= bound, (max_dirs, bound)
     assert n == expected and distinct == expected, (n, distinct, expected)
-    print(json.dumps({
-        "phase": "stream_inband",
+    rec = {
+        "phase": f"stream_{mode}",
+        **batch_stats,
         "triggers": STREAM_TRIGGERS,
-        "compact_every": COMPACT_EVERY,
+        "compact_every": COMPACT_EVERY if mode == "inband" else 0,
         "wall_sec": wall,
         "max_dirs_observed": max_dirs,
         "dir_bound": bound,
         "final_dirs": final_dirs,
         "poll_samples": samples,
         "rows_exactly_once": True,
-    }), flush=True)
+    }
+    if mode == "oob":
+        rec["maint"] = maint_stats
+        rec["sink_stats"] = q.sink_stats
+    print(json.dumps(rec), flush=True)
 
 
 def main() -> int:

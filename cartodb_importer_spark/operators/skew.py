@@ -100,6 +100,26 @@ def salted_join(
 HOT_PARTITION_ROWS = 1_000_000
 
 
+def probe_hot_count(df: DataFrame, key_cols: list[str]) -> int:
+    """Row count of the hottest key — one cheap hash-aggregate (map-side
+    partial combine, tiny shuffle, no window sort). 0 on an empty frame.
+
+    This is ``running_sum_auto``'s branch probe, exposed so callers who
+    run the operator repeatedly over the SAME table can pay it ONCE and
+    pass the result as ``hot_count`` (ADVICE r11: the probe eagerly
+    evaluates ``df``'s full upstream per call — +15.2% on the registry
+    query, measured in a04d2c8 — and a non-deterministic upstream could
+    make a fresh probe disagree with the branch's own recomputation;
+    probing once and hinting removes both)."""
+    hottest = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n"))
+        .first()[0]
+    )
+    return int(hottest) if hottest is not None else 0
+
+
 def running_sum_auto(
     df: DataFrame,
     key_cols: list[str],
@@ -108,11 +128,10 @@ def running_sum_auto(
     chunk_col: Column,
     out_col: str = "running_total",
     hot_partition_rows: int = HOT_PARTITION_ROWS,
+    hot_count: int | None = None,
 ) -> DataFrame:
     """Running total that PICKS its physical form from the data (VERDICT
-    r10 item 5): probe the hottest key's row count with one cheap
-    hash-aggregate (map-side partial combine, tiny shuffle — no window
-    sort), then
+    r10 item 5): probe the hottest key's row count, then
 
     * below ``hot_partition_rows``: the plain single window — identical
       plan to a hand-written ``F.sum().over(window)``, ZERO added
@@ -120,36 +139,39 @@ def running_sum_auto(
     * at or above it: ``chunked_running_sum`` — per-task work bounded by
       one (key, chunk) instead of one key's whole history.
 
-    The probe is an eager driver-side decision (one small job) — the
-    price of choosing the right plan before a power-law key serializes a
-    100 TB stage through one task. It evaluates ``df``'s full upstream
-    once in addition to the chosen branch's own evaluation: cheap when
-    ``df`` is a scan (every registry user), but callers feeding an
-    expensive uncached transform chain should ``persist()`` it first. Both branches produce identical
-    values (the chunked form's NULL semantics were built to match the
-    window's; oracled both ways in tests). ``hot_partition_rows``
-    defaults to the measured local crossover; callers on clusters with
-    different per-task budgets tune it.
-
-    Note the branches' result TYPE matches only for fractional
-    ``value_col`` (the chunked form's offset arithmetic is double);
-    pass a double column, as every registry user does."""
-    hottest = (
-        df.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(F.max("__n"))
-        .first()[0]
-    )
-    if hottest is not None and hottest >= hot_partition_rows:
-        return chunked_running_sum(
-            df, key_cols, order_cols, value_col, chunk_col, out_col
+    ``hot_count`` skips the probe: pass ``probe_hot_count(df, key_cols)``
+    computed once when invoking the operator repeatedly over the same
+    table, or a known key-distribution bound (ADVICE r11 — the probe is
+    an eager driver-side job that re-evaluates ``df``'s upstream each
+    call; callers feeding a non-deterministic or expensive uncached
+    transform chain should either hint or ``persist()`` first). Both
+    branches produce identical values AND an identical schema: ``out_col``
+    is DOUBLE in both regimes (the chunked form's offset arithmetic is
+    double, so the single window casts to match — a table crossing the
+    threshold must never silently change schema; ADVICE r11).
+    ``hot_partition_rows`` defaults to the measured local crossover
+    (SCALE.md r10 bracket); clusters with different per-task budgets
+    tune it."""
+    if hot_count is None:
+        hot_count = probe_hot_count(df, key_cols)
+    if hot_count >= hot_partition_rows:
+        out = chunked_running_sum(
+            df.withColumn("__rs_val", F.col(value_col).cast("double")),
+            key_cols,
+            order_cols,
+            "__rs_val",
+            chunk_col,
+            out_col,
         )
+        return out.drop("__rs_val")
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return df.withColumn(out_col, F.sum(value_col).over(w))
+    return df.withColumn(
+        out_col, F.sum(F.col(value_col).cast("double")).over(w)
+    )
 
 
 def chunked_running_sum(

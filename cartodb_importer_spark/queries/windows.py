@@ -598,6 +598,15 @@ def window_running_sum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: memoized running_sum_auto probe per (table path, key) — the probe is an
+#: eager driver-side job (+15.2% on this query, measured a04d2c8), and a
+#: static parquet table's hottest-key count cannot change within a session,
+#: so the second invocation over the same table skips it (VERDICT r11
+#: item 5). Keyed on the sf_dir path, NOT the DataFrame (object identity
+#: is fresh per invocation).
+_AUTO_HOT_COUNTS: dict[tuple[str, str], int] = {}
+
+
 @query(
     "window_running_sum_auto",
     oracle="""
@@ -615,16 +624,26 @@ def window_running_sum_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     every test SF the probe picks the single window, so this entry's
     plan is exactly window_running_sum's — the auto lever must cost
     nothing when skew is absent (plan-audit-pinned); the chunked branch
-    is oracled under a forced threshold in tests/test_properties.py."""
-    from ..operators.skew import running_sum_auto
+    is oracled under a forced threshold in tests/test_properties.py.
+    The probe result is memoized per (sf_dir, key) within the session —
+    re-invocations over the same static table pay only the window itself
+    (VERDICT r11 item 5; second-invocation overhead re-measured in
+    SCALE.md r12)."""
+    from ..operators.skew import probe_hot_count, running_sum_auto
 
     t = Tables(spark, sf_dir)
+    memo_key = (sf_dir, "user_id")
+    hot = _AUTO_HOT_COUNTS.get(memo_key)
+    if hot is None:
+        hot = probe_hot_count(t.events, ["user_id"])
+        _AUTO_HOT_COUNTS[memo_key] = hot
     out = running_sum_auto(
         t.events,
         ["user_id"],
         ["ts", "event_id"],
         "value",
         chunk_col=F.to_date("ts"),
+        hot_count=hot,
     )
     return out.select(
         "event_id",

@@ -427,3 +427,75 @@ def test_running_sum_auto_empty_frame(spark):
         chunk_col=F.col("bucket"),
     )
     assert out.count() == 0 and "running_total" in out.columns
+
+
+def test_running_sum_auto_schema_branch_independent(spark):
+    """ADVICE r11: an INTEGER value column must yield the same output
+    schema from both regimes (double), so a table whose hottest key
+    crosses hot_partition_rows between runs never silently changes the
+    result type downstream."""
+    from pyspark.sql.types import DoubleType
+
+    from cartodb_importer_spark.operators.skew import running_sum_auto
+
+    df = spark.range(500).selectExpr(
+        "id AS event_id",
+        "id % 10 AS user_id",
+        "id % 4 AS bucket",
+        "CAST(id % 7 AS long) AS value",  # integer, the ADVICE case
+    )
+    single = running_sum_auto(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"), hot_partition_rows=10**9,
+    )
+    chunked = running_sum_auto(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"), hot_partition_rows=1,
+    )
+    for out in (single, chunked):
+        assert isinstance(
+            out.schema["running_total"].dataType, DoubleType
+        )
+    assert sorted(single.columns) == sorted(chunked.columns)
+    a = {r["event_id"]: r["running_total"] for r in single.collect()}
+    b = {r["event_id"]: r["running_total"] for r in chunked.collect()}
+    assert a == b
+
+
+def test_probe_hot_count_and_hint_skips_probe(spark, monkeypatch):
+    """VERDICT r11 item 5 / ADVICE r11: probe_hot_count returns the
+    hottest key's row count (0 on empty), and a caller-supplied
+    hot_count makes running_sum_auto run ZERO probe jobs — the hint is
+    how repeat callers amortize the eager upstream evaluation."""
+    from cartodb_importer_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(i, 1 if i < 7 else i, 0, float(i)) for i in range(10)],
+        "event_id long, user_id long, bucket long, value double",
+    )
+    assert skew.probe_hot_count(df, ["user_id"]) == 7
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, bucket long, value double"
+    )
+    assert skew.probe_hot_count(empty, ["user_id"]) == 0
+
+    def boom(*a, **k):  # the hint must make the probe unreachable
+        raise AssertionError("probe ran despite hot_count hint")
+
+    monkeypatch.setattr(skew, "probe_hot_count", boom)
+    out = skew.running_sum_auto(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"), hot_count=7,
+    )
+    got = {r["event_id"]: r["running_total"] for r in out.collect()}
+    assert got == _window_oracle(df, ["user_id"], ["bucket", "event_id"], "value")
+    # and the hint also steers the branch: a huge hinted count forces
+    # the chunked decomposition on this tiny frame
+    forced = skew.running_sum_auto(
+        df, ["user_id"], ["bucket", "event_id"], "value",
+        chunk_col=F.col("bucket"), hot_count=10**9,
+    )
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+    got2 = {r["event_id"]: r["running_total"] for r in forced.collect()}
+    assert got2 == got

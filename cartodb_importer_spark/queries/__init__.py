@@ -83,7 +83,98 @@ class Tables:
 _NS_COLS_CACHE: dict[str, frozenset[str]] = {}
 
 
-def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
+def _utc_epoch_ns(ts) -> int:
+    """ISO-8601 string (naive = UTC) or datetime -> integer epoch nanos.
+    Integer arithmetic throughout: above 2^53 ns (~mid-1970) a float
+    round-trip is lossy, and a pushed-down row-group bound that is off
+    by one nanosecond silently drops edge rows."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.date) and not isinstance(ts, _dt.datetime):
+        ts = _dt.datetime(ts.year, ts.month, ts.day)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    return (
+        int(ts.timestamp()) * 1_000_000_000 + ts.microsecond * 1_000
+    )
+
+
+def read_parquet_ts_range(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Normalized parquet read with a ``lo <= ts_col < hi`` predicate
+    placed where the SCAN can push it (VERDICT r11 item 2).
+
+    On a TIMESTAMP(NANOS)-encoded column the normalized read wraps the
+    raw int64 in ``timestamp_micros(ts div 1000)``, and a filter written
+    against the converted column can never reach PushedFilters — at
+    100 TB that is a full scan where a row-group skip should be. This
+    helper rewrites the bounds onto the RAW long (epoch nanos, integer
+    arithmetic) and filters before the conversion, so the predicate
+    lands in the parquet scan's PushedFilters and row groups outside
+    the range are skipped on min/max statistics. On micros/NTZ
+    encodings a plain post-normalize filter already pushes (UnwrapCast;
+    plan-audit-pinned), so the helper just applies it there.
+
+    ``lo`` is inclusive, ``hi`` exclusive (the standard time-window
+    convention); either may be None for a one-sided range. Bounds are
+    ISO-8601 strings (naive = UTC, matching the oracle's treatment of
+    naive parquet timestamps) or datetimes. Results are identical to
+    ``read_parquet_normalized(...).filter(...)`` — only the physical
+    plan differs."""
+    from pyspark.sql import functions as F
+
+    ns_cols = _nanos_cols(path)
+    if ts_col in ns_cols:
+        lo_ns = None if lo is None else _utc_epoch_ns(lo)
+        hi_ns = None if hi is None else _utc_epoch_ns(hi)
+        return read_parquet_normalized(
+            spark, path, _raw_ns_range=(ts_col, lo_ns, hi_ns)
+        )
+    df = read_parquet_normalized(spark, path)
+    if lo is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(lo).cast("timestamp"))
+    if hi is not None:
+        df = df.filter(F.col(ts_col) < F.lit(hi).cast("timestamp"))
+    return df
+
+
+def _nanos_cols(path: str) -> frozenset[str]:
+    """TIMESTAMP(NANOS) column names from one parquet footer (cached —
+    the same files are read by every query in a sweep)."""
+    ns_cols = _NS_COLS_CACHE.get(path)
+    if ns_cols is None:
+        try:
+            import pyarrow.parquet as pq
+
+            import glob
+            import os
+
+            sample = path
+            if os.path.isdir(path):
+                sample = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+            ns_cols = frozenset(
+                f.name
+                for f in pq.read_schema(sample)
+                if str(f.type) == "timestamp[ns]"
+            )
+        except Exception:
+            ns_cols = frozenset()
+        _NS_COLS_CACHE[path] = ns_cols
+    return ns_cols
+
+
+def read_parquet_normalized(
+    spark: SparkSession,
+    path: str,
+    _raw_ns_range: tuple[str, int | None, int | None] | None = None,
+) -> DataFrame:
     """Read parquet with deterministic timestamp semantics on ANY session.
 
     Two parquet physical encodings of a timestamp column are normalized to
@@ -117,26 +208,18 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
     )
     df = spark.read.parquet(path)
-    ns_cols = _NS_COLS_CACHE.get(path)
-    if ns_cols is None:
-        try:
-            import pyarrow.parquet as pq
-
-            import glob
-            import os
-
-            sample = path
-            if os.path.isdir(path):
-                sample = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
-            ns_cols = frozenset(
-                f.name
-                for f in pq.read_schema(sample)
-                if str(f.type) == "timestamp[ns]"
-            )
-        except Exception:
-            ns_cols = frozenset()
-        _NS_COLS_CACHE[path] = ns_cols
+    ns_cols = _nanos_cols(path)
     from pyspark.sql import functions as F
+
+    if _raw_ns_range is not None:
+        # read_parquet_ts_range's nanos path: the bounds go on the RAW
+        # long column BEFORE the conversion expression, so they reach
+        # the parquet scan's PushedFilters (row-group min/max skipping)
+        rc, lo_ns, hi_ns = _raw_ns_range
+        if lo_ns is not None:
+            df = df.filter(F.col(rc) >= F.lit(lo_ns))
+        if hi_ns is not None:
+            df = df.filter(F.col(rc) < F.lit(hi_ns))
     from pyspark.sql.types import (
         ArrayType,
         DataType,

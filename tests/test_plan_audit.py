@@ -555,3 +555,107 @@ def test_lsh_probe_cost_no_corpus_reshuffle(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1), m.group(0)
+
+
+def test_events_ts_pushdown_on_nanos_parquet_via_ts_range(spark, tmp_path):
+    """VERDICT r11 item 2 — the exact complement of the micros test
+    above: on a TIMESTAMP(NANOS)-written events variant the normalized
+    read's div-1000 conversion blocks pushdown of any filter written
+    against the converted column, so read_parquet_ts_range must rewrite
+    the bounds onto the RAW int64 (epoch nanos) BEFORE the conversion —
+    PushedFilters carries them, row groups outside the range skip on
+    min/max stats — while returning value-identical rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.queries import (
+        read_parquet_normalized,
+        read_parquet_ts_range,
+    )
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    cols = [
+        src.column(f.name).cast(pa.timestamp("ns"))
+        if str(f.type).startswith("timestamp")
+        else src.column(f.name)
+        for f in src.schema
+    ]
+    dst = str(tmp_path / "events_nanos.parquet")
+    pq.write_table(pa.table(cols, names=src.schema.names), dst)
+    assert str(pq.read_schema(dst).field("ts").type) == "timestamp[ns]"
+
+    lo, hi = "2024-01-10", "2024-01-20"
+    pruned = read_parquet_ts_range(spark, dst, "ts", lo=lo, hi=hi)
+    assert dict(pruned.dtypes)["ts"] == "timestamp"  # still normalized
+    plan = (
+        pruned.select("ts", "user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = next(
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    )
+    pushed = scan.split("PushedFilters:")[1]
+    assert "GreaterThanOrEqual(ts" in pushed, scan
+    assert "LessThan(ts" in pushed, scan
+
+    # the CONTROL the helper exists to fix: the same predicate written
+    # against the converted column pushes NOTHING
+    naive = read_parquet_normalized(spark, dst).filter(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+    )
+    nplan = (
+        naive.select("ts", "user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    nscan = next(
+        line for line in nplan.splitlines() if "FileScan parquet" in line
+    )
+    npushed = nscan.split("PushedFilters:")[1]
+    assert "GreaterThanOrEqual(ts" not in npushed, nscan
+
+    # value-identical to the unpushed form, boundaries included
+    a = sorted(r["event_id"] for r in pruned.select("event_id").collect())
+    b = sorted(r["event_id"] for r in naive.select("event_id").collect())
+    assert a == b and len(a) > 0
+
+    # one-sided ranges push too
+    one = read_parquet_ts_range(spark, dst, "ts", lo=lo)
+    oplan = (
+        one.select("ts")._jdf.queryExecution().executedPlan().toString()
+    )
+    oscan = next(
+        line for line in oplan.splitlines() if "FileScan parquet" in line
+    )
+    assert "GreaterThanOrEqual(ts" in oscan.split("PushedFilters:")[1]
+
+
+def test_ts_range_micros_path_still_pushes(spark):
+    """read_parquet_ts_range on the (micros-encoded) testdata events:
+    the plain-filter path must keep the pushdown the micros plan-audit
+    test pins, and slice exactly [lo, hi)."""
+    from cartodb_importer_spark.queries import (
+        read_parquet_normalized,
+        read_parquet_ts_range,
+    )
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    lo, hi = "2024-01-05", "2024-01-12"
+    df = read_parquet_ts_range(spark, path, "ts", lo=lo, hi=hi)
+    plan = df.select("ts")._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    )
+    pushed = scan.split("PushedFilters:")[1]
+    assert "GreaterThanOrEqual(ts" in pushed, scan
+    want = (
+        read_parquet_normalized(spark, path)
+        .filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .count()
+    )
+    assert df.count() == want and want > 0

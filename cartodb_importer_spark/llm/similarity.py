@@ -638,6 +638,63 @@ def embedding_near_dup(
     )
 
 
+def raw_moments(df: DataFrame, vec_col: str = "embedding"):
+    """One distributed pass over an embedding column -> the raw moments
+    ``(n, sum(x) as a d-vector, X^T X as a d x d ndarray)`` — the d << n
+    statistics every spectral kernel here (eigh PCA, power-method PCA)
+    fits from.
+
+    Per-partition partials via numpy BLAS in ONE Arrow-batch mapInPandas
+    pass — no d^2-expression codegen (a d=64 aggregate built from 2 080
+    Catalyst sum() columns spends ~15-40 s in analysis/codegen alone;
+    the outer-product accumulation is milliseconds). Partials combine
+    with a keyed sum over (position, value) pairs — map-side combinable,
+    so even 100k partitions reduce to 1+d+d^2 rows before the single
+    tiny shuffle. No driver-side loop over partitions."""
+    import numpy as np
+
+    head = df.select(F.col(vec_col)).limit(1).collect()
+    if not head:
+        raise ValueError(
+            "raw_moments: input DataFrame is empty — nothing to fit"
+        )
+    d = len(head[0][0])
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["__x"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    part = df.select(xd.alias("__x")).mapInPandas(
+        _partials, schema="n double, s array<double>, xx array<double>"
+    )
+    flat = part.select(
+        F.posexplode(
+            F.concat(F.array(F.col("n")), F.col("s"), F.col("xx"))
+        ).alias("pos", "val")
+    )
+    tot = (
+        flat.groupBy("pos")
+        .agg(F.sum("val").alias("v"))
+        .orderBy("pos")
+        .collect()
+    )  # 1 + d + d*d tiny rows
+    vals = np.array([r["v"] for r in tot])
+    n = int(vals[0])
+    return n, vals[1 : 1 + d], vals[1 + d :].reshape(d, d)
+
+
 def pca_project(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -663,54 +720,9 @@ def pca_project(
     """
     import numpy as np
 
-    head = df.select(F.col(vec_col)).limit(1).collect()
-    if not head:
-        raise ValueError(
-            "pca_project: input DataFrame is empty — nothing to fit"
-        )
-    d = len(head[0][0])
+    n, s, xx = raw_moments(df, vec_col)
+    d = len(s)
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-
-    # Per-partition partial sums via numpy (n, sum(x), X^T X) — one Arrow
-    # batch pass, no d^2-expression codegen (a d=64 aggregate built from
-    # 2 080 Catalyst sum() columns spends ~15 s in analysis/codegen alone;
-    # the numpy BLAS outer-product accumulation is milliseconds).
-    def _partials(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["__x"].tolist(), dtype=np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [float(len(X))],
-                    "s": [X.sum(axis=0).tolist()],
-                    "xx": [(X.T @ X).ravel().tolist()],
-                }
-            )
-
-    part = df.select(xd.alias("__x")).mapInPandas(
-        _partials, schema="n double, s array<double>, xx array<double>"
-    )
-    # Combine partials with a keyed sum over (position, value) pairs —
-    # map-side combinable, so even 100k partitions reduce to 1+d+d^2 rows
-    # before the single tiny shuffle. No driver-side loop over partitions.
-    flat = part.select(
-        F.posexplode(
-            F.concat(F.array(F.col("n")), F.col("s"), F.col("xx"))
-        ).alias("pos", "val")
-    )
-    tot = (
-        flat.groupBy("pos")
-        .agg(F.sum("val").alias("v"))
-        .orderBy("pos")
-        .collect()
-    )  # 1 + d + d*d tiny rows
-    vals = np.array([r["v"] for r in tot])
-    n = int(vals[0])
-    s = vals[1 : 1 + d]
-    xx = vals[1 + d :].reshape(d, d)
     mean = s / n
     cov = xx / n - np.outer(mean, mean)
     cov = (cov + cov.T) / 2.0  # exact symmetry for eigh

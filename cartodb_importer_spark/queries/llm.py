@@ -2493,24 +2493,168 @@ def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- embedding PCA
 
-@query("llm_embedding_pca")
-def llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection to 8 components (llm/similarity.py:pca_project):
-    the d x d covariance accumulates distributed as d(d+1)/2 map-side
-    -combinable sums (one tiny shuffle row per partition), the d x d
-    eigenproblem solves on the driver (numpy — the standard split for
-    d << n), and the projection re-enters as broadcast literals folded
-    per row. No oracle: DuckDB has no eigendecomposition; the kernel is
-    pytest-checked against a dense numpy reference to 1e-14
-    (tests/test_llm.py::test_pca_project_matches_numpy)."""
+_PCA_DIM = 64
+#: the synthetic embeddings' spectrum is FLAT (l2/l1 = 0.987 at sf0.01 —
+#: near-isotropic random vectors), so the power method needs K=128 to
+#: reach |cos| > 0.99 vs the true top eigenvector (measured: K=8 -> 0.51,
+#: K=64 -> 0.96, K=128 -> 0.995). Cross-engine equality holds at ANY K
+#: (both engines run the same fixed iteration); K only buys PCA fidelity.
+#: Each oracle step is a 64-row aggregate over the 4096-entry cov — 2*K
+#: unrolled MATERIALIZED CTEs stay trivially cheap.
+_PCA_ITERS = 128
+
+
+def _power_pca_oracle(d: int, iters: int) -> str:
+    """Unrolled fixed-iteration power-method PCA as DuckDB CTEs (VERDICT
+    r11 item 4 — the same programmatically-unrolled pattern as
+    graph_pagerank's oracle). Covariance forms from one pass of raw
+    second moments (C = M2/n - mu mu^T, the identical formula the Spark
+    side uses), then exactly ``iters`` power steps from the all-ones
+    start vector give the top component, Rayleigh deflation
+    (C2 = C - lam v v^T) and ``iters`` more steps the second. Fixed
+    iteration count means cross-engine equality does NOT depend on
+    eigengap convergence — both engines compute the same arithmetic."""
+
+    def steps(prefix: str, cov: str) -> str:
+        # every step is MATERIALIZED: DuckDB inlines plain CTEs, and a
+        # step that references its predecessor twice (w and its norm)
+        # would otherwise expand 2^iters-fold — the first run exhausted
+        # file descriptors re-scanning the parquet through the blowup
+        out = [
+            f"{prefix}0 AS MATERIALIZED (SELECT pos, 1.0 / sqrt({d}.0) AS val"
+            f" FROM (SELECT DISTINCT p1 AS pos FROM cov))"
+        ]
+        for k in range(1, iters + 1):
+            out.append(
+                f"""{prefix}w{k} AS MATERIALIZED (
+      SELECT c.p1 AS pos, sum(c.c * v.val) AS w
+      FROM {cov} c JOIN {prefix}{k - 1} v ON c.p2 = v.pos GROUP BY c.p1
+    ), {prefix}{k} AS MATERIALIZED (
+      SELECT pos, w / (SELECT sqrt(sum(w * w)) FROM {prefix}w{k}) AS val
+      FROM {prefix}w{k}
+    )"""
+            )
+        return ",\n    ".join(out)
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+      FROM e
+    ),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM e),
+    mu AS MATERIALIZED (SELECT pos, sum(x) / (SELECT n FROM nn) AS mu
+           FROM dims GROUP BY pos),
+    m2 AS MATERIALIZED (
+      SELECT a.pos AS p1, b.pos AS p2,
+             sum(a.x * b.x) / (SELECT n FROM nn) AS m2
+      FROM dims a JOIN dims b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    cov AS MATERIALIZED (
+      SELECT m2.p1, m2.p2, m2.m2 - ma.mu * mb.mu AS c
+      FROM m2 JOIN mu ma ON m2.p1 = ma.pos JOIN mu mb ON m2.p2 = mb.pos
+    ),
+    {steps('v', 'cov')},
+    lam1 AS MATERIALIZED (
+      SELECT sum(a.val * c.c * b.val) AS lam
+      FROM cov c JOIN v{iters} a ON c.p1 = a.pos
+                 JOIN v{iters} b ON c.p2 = b.pos
+    ),
+    cov2 AS MATERIALIZED (
+      SELECT c.p1, c.p2,
+             c.c - (SELECT lam FROM lam1) * a.val * b.val AS c
+      FROM cov c JOIN v{iters} a ON c.p1 = a.pos
+                 JOIN v{iters} b ON c.p2 = b.pos
+    ),
+    {steps('u', 'cov2')},
+    proj AS (
+      SELECT d.vec_id,
+             sum(d.x * v.val) AS raw0,
+             sum(d.x * u.val) AS raw1
+      FROM dims d
+      JOIN v{iters} v ON d.pos = v.pos
+      JOIN u{iters} u ON d.pos = u.pos
+      GROUP BY d.vec_id
+    ),
+    mudot AS (
+      SELECT sum(m.mu * v.val) AS d0, sum(m.mu * u.val) AS d1
+      FROM mu m JOIN v{iters} v ON m.pos = v.pos
+                JOIN u{iters} u ON m.pos = u.pos
+    )
+    SELECT p.vec_id,
+           floor((p.raw0 - (SELECT d0 FROM mudot)) * 1e6 + 0.5) / 1e6 AS pc0,
+           floor((p.raw1 - (SELECT d1 FROM mudot)) * 1e6 + 0.5) / 1e6 AS pc1
+    FROM proj p
+    """
+
+
+@query(
+    "llm_embedding_power_pca",
+    oracle=_power_pca_oracle(_PCA_DIM, _PCA_ITERS),
+)
+def llm_embedding_power_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection by FIXED-ITERATION power method (VERDICT r11
+    item 4 — the value-oracled successor of the rows-only
+    llm_embedding_pca entry; the full-rank eigh kernel remains engine
+    API as llm/similarity.py:pca_project, numpy-pinned in
+    tests/test_llm.py::test_pca_project_matches_numpy).
+
+    Scale split is the standard d << n factorization: ONE distributed
+    BLAS pass accumulates the raw moments (n, sum x, X^T X) via
+    llm/similarity.raw_moments — the same Arrow-batched mapInPandas +
+    keyed combine pca_project fits from, never a d^2-expression
+    Catalyst agg — the 64 x 64 eigen work runs on the driver (K=8
+    power steps from the all-ones vector, Rayleigh deflation, K more
+    for the second component, arithmetic identical to the oracle's
+    unrolled MATERIALIZED CTEs), and the two loading vectors re-enter
+    as broadcast array literals in ONE zip_with projection scan.
+    Fixed K means equality never depends on eigengap convergence."""
+    import math
+
     t = Tables(spark, sf_dir)
-    out, _ratio = S.pca_project(t.embeddings, k=8)
-    return out.select(
+    d, K = _PCA_DIM, _PCA_ITERS
+    n, s, xx = S.raw_moments(t.embeddings)
+    mu = [float(v) / n for v in s]
+    cov = [
+        [float(xx[i][j]) / n - mu[i] * mu[j] for j in range(d)]
+        for i in range(d)
+    ]
+
+    def _power(mat: list[list[float]]) -> list[float]:
+        v = [1.0 / math.sqrt(d)] * d
+        for _ in range(K):
+            w = [sum(mat[i][j] * v[j] for j in range(d)) for i in range(d)]
+            nrm = math.sqrt(sum(x * x for x in w))
+            v = [x / nrm for x in w]
+        return v
+
+    v1 = _power(cov)
+    lam1 = sum(
+        v1[i] * cov[i][j] * v1[j] for i in range(d) for j in range(d)
+    )
+    cov2 = [
+        [cov[i][j] - lam1 * v1[i] * v1[j] for j in range(d)]
+        for i in range(d)
+    ]
+    v2 = _power(cov2)
+    d0 = sum(mu[j] * v1[j] for j in range(d))
+    d1 = sum(mu[j] * v2[j] for j in range(d))
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v1_lit = F.array(*[F.lit(x) for x in v1])
+    v2_lit = F.array(*[F.lit(x) for x in v2])
+
+    def _proj(vec_lit, mudot):
+        prod = F.zip_with(xd, vec_lit, lambda x, w: x * w)
+        raw = F.aggregate(prod, F.lit(0.0), lambda a, b: a + b)
+        return F.floor((raw - F.lit(mudot)) * 1e6 + 0.5) / 1e6
+
+    return t.embeddings.select(
         "vec_id",
-        *[
-            (F.floor(F.col(f"pc{c}") * 1e6 + 0.5) / 1e6).alias(f"pc{c}")
-            for c in range(8)
-        ],
+        _proj(v1_lit, d0).alias("pc0"),
+        _proj(v2_lit, d1).alias("pc1"),
     )
 
 

@@ -2349,3 +2349,53 @@ def test_ann_batch_topk_large_path_equals_small_path(spark, monkeypatch):
     large = run()
     assert small == large
     assert len(small) > 0
+
+
+def test_power_pca_matches_numpy_replica_and_eigh(spark):
+    """llm_embedding_power_pca (VERDICT r11 item 4): the fixed-K power
+    method must (a) equal an exact numpy replica of the same iteration
+    to float precision pre-rounding, and (b) actually find the leading
+    subspace — |cos| of each loading vector vs the eigh eigenvector
+    high enough that the projection is PCA, not noise."""
+    import math
+
+    import numpy as np
+
+    from cartodb_importer_spark.queries import QUERIES, read_parquet_normalized
+    from cartodb_importer_spark.queries.llm import _PCA_DIM, _PCA_ITERS
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        QUERIES["llm_embedding_power_pca"](spark, sf)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    e = read_parquet_normalized(spark, f"{sf}/embeddings.parquet")
+    X = np.array(
+        [list(r) for r in e.select("embedding").toPandas()["embedding"]],
+        dtype=np.float64,
+    )
+    d, K = _PCA_DIM, _PCA_ITERS
+    n = len(X)
+    mu = X.sum(0) / n
+    cov = X.T @ X / n - np.outer(mu, mu)
+
+    def power(mat):
+        v = np.full(d, 1.0 / math.sqrt(d))
+        for _ in range(K):
+            w = mat @ v
+            v = w / np.sqrt((w * w).sum())
+        return v
+
+    v1 = power(cov)
+    lam1 = v1 @ cov @ v1
+    v2 = power(cov - lam1 * np.outer(v1, v1))
+    ref0 = np.floor((X - mu) @ v1 * 1e6 + 0.5) / 1e6
+    ref1 = np.floor((X - mu) @ v2 * 1e6 + 0.5) / 1e6
+    assert np.abs(out["pc0"].to_numpy() - ref0).max() <= 1e-6
+    assert np.abs(out["pc1"].to_numpy() - ref1).max() <= 1e-6
+    # (b) the loading vectors span the true leading components
+    ev, evec = np.linalg.eigh(cov)
+    top = evec[:, np.argsort(ev)[::-1][:2]]
+    assert abs(float(v1 @ top[:, 0])) > 0.98
+    assert abs(float(v2 @ top[:, 1])) > 0.9

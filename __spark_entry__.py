@@ -62,7 +62,6 @@ _PRIORITY = (
     "llm_vector_norms",
     "llm_embedding_standardize",
     "llm_embedding_quantize",
-    "llm_embedding_pca",
     "llm_text_stats",
     "llm_lang_id",
     "llm_quality_score",

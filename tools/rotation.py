@@ -96,34 +96,75 @@ def main() -> int:
     markers = round_markers()
 
     qfile: dict[str, str] = {}
+    qspan: dict[str, tuple[int, int]] = {}
     for name, fn in QUERIES.items():
         try:
             qfile[name] = os.path.relpath(inspect.getsourcefile(fn), HERE)
-        except TypeError:
+            lines, start = inspect.getsourcelines(fn)
+            qspan[name] = (start, start + len(lines) - 1)
+        except (TypeError, OSError):
             qfile[name] = ""
+            qspan[name] = (0, 10**9)
 
-    changed_cache: dict[tuple[str, int], bool] = {}
+    hunk_cache: dict[tuple[str, int], list[tuple[int, int]] | None] = {}
 
-    def changed_since(path: str, rnd: int) -> bool:
-        """True if `path` has commits after round `rnd`'s boundary commit."""
+    def changed_hunks(path: str, rnd: int):
+        """New-file line ranges `path` changed after round `rnd`'s boundary
+        commit; None = unparseable/whole-file (treat everything stale).
+
+        Line-range granularity (r12): the old whole-file check re-staled a
+        5 000-line family over a one-function edit, flooding the 50-slot
+        sweep budget with fresh verdicts while the genuinely oldest tail
+        aged (VERDICT r11 finding 1). A query goes stale only when a
+        post-grading hunk INTERSECTS its current source span (decorator +
+        oracle literal included via getsourcelines). Limitation, accepted
+        and bounded: a change to a shared helper OUTSIDE every query span
+        (e.g. a _*_oracle generator) no longer stales its callers — the
+        builder's full-registry three-SF local replica still value-checks
+        every entry every round, so the sweep order is a budget optimizer,
+        never the only net."""
         key = (path, rnd)
-        if key not in changed_cache:
+        if key not in hunk_cache:
             marker = markers.get(rnd)
             if not path or marker is None:
-                changed_cache[key] = False
+                hunk_cache[key] = []
             else:
-                revs = subprocess.run(
-                    ["git", "rev-list", f"{marker}..HEAD", "--", path],
+                # marker vs WORKING TREE (not ..HEAD): the regen runs at
+                # round end, possibly with the final commit still pending
+                diff = subprocess.run(
+                    ["git", "diff", "-U0", marker, "--", path],
                     cwd=HERE,
                     capture_output=True,
                     text=True,
-                ).stdout.strip()
-                changed_cache[key] = bool(revs)
-        return changed_cache[key]
+                )
+                if diff.returncode != 0:
+                    hunk_cache[key] = None
+                else:
+                    ranges: list[tuple[int, int]] = []
+                    for m in re.finditer(
+                        r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@",
+                        diff.stdout,
+                        re.M,
+                    ):
+                        start = int(m.group(1))
+                        count = int(m.group(2)) if m.group(2) is not None else 1
+                        # a pure deletion (count 0) still touches the seam:
+                        # widen to one line so adjacent spans notice it
+                        ranges.append((start, start + max(count, 1) - 1))
+                    hunk_cache[key] = ranges
+        return hunk_cache[key]
+
+    def changed_since(name: str, rnd: int) -> bool:
+        """True if `name`'s defining source span changed after round `rnd`."""
+        hunks = changed_hunks(qfile[name], rnd)
+        if hunks is None:
+            return True
+        lo, hi = qspan[name]
+        return any(h_lo <= hi and lo <= h_hi for h_lo, h_hi in hunks)
 
     registry_pos = {n: i for i, n in enumerate(QUERIES)}
     verified = [n for n in QUERIES if n in verdicts]
-    stale = [n for n in verified if changed_since(qfile[n], verdicts[n])]
+    stale = [n for n in verified if changed_since(n, verdicts[n])]
     fresh = [n for n in verified if n not in set(stale)]
     # oracle-less queries can only ever re-earn a rows-only verdict — a
     # front-50 slot spent there upgrades nothing, so rank them after

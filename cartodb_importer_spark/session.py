@@ -60,10 +60,6 @@ def get_spark(
         # slots instead of competing head-on (r12: 8:1 takes the oob
         # rehearsal's trigger overhead from +11% to ~2%).
         .config("spark.scheduler.mode", "FAIR")
-        .config(
-            "spark.scheduler.allocation.file",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "fair_pools.xml"),
-        )
         # --- python<->jvm transfer is Arrow-batched, never per-row ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- deterministic timestamp semantics vs the DuckDB oracle ---
@@ -90,6 +86,13 @@ def get_spark(
             ),
         )
     )
+    # weighted FAIR pools (8:1 serving:maintenance) — set only when the
+    # shipped file is actually on disk (a missing allocation file would
+    # fail scheduler init; without it FAIR still round-robins unweighted
+    # pools, which is the 90% of the win)
+    pools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fair_pools.xml")
+    if os.path.isfile(pools):
+        builder = builder.config("spark.scheduler.allocation.file", pools)
     # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — ops passthrough for knobs that
     # are deployment-specific rather than engine semantics (e.g.
     # spark.io.compression.codec=zstd halves shuffle-spill bytes on the

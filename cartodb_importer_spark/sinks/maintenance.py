@@ -341,6 +341,15 @@ def run_maintenance(
     counters the in-band sink keeps (ADVICE r11)."""
     import logging
 
+    from .catalog import LocalCatalog
+
+    if not isinstance(catalog, LocalCatalog):
+        raise ValueError(
+            "run_maintenance needs a LocalCatalog partition-dir layout; "
+            f"got {type(catalog).__name__} (other catalogs run their "
+            "native maintenance: Delta OPTIMIZE, Iceberg "
+            "rewrite_data_files)"
+        )
     log = logging.getLogger(__name__)
     # Run every fold in a dedicated FAIR pool (thread-local property;
     # PySpark pins Python threads to JVM threads by default): under
@@ -353,10 +362,8 @@ def run_maintenance(
     stats = {"cycles": 0, "compactions": 0, "folded_dirs": 0, "lock_skips": 0}
     while not stop.is_set():
         stats["cycles"] += 1
-        try:
-            live = len(catalog.batch_ids(table))
-        except Exception:
-            live = 0  # table not created yet: nothing to maintain
+        # total for a LocalCatalog: [] when the table dir doesn't exist yet
+        live = len(catalog.batch_ids(table))
         if live >= min_live_dirs:
             try:
                 folded = compact_batches(

@@ -1126,3 +1126,17 @@ def test_sweep_spares_live_writer_staging_dirs(spark, tmp_path):
     assert os.path.isdir(fresh)      # live writer staging: spared
     assert not os.path.isdir(stale)  # crashed attempt: swept
     assert not os.path.isdir(basey)  # compactor-owned: swept
+
+
+def test_run_maintenance_refuses_non_local_catalog(spark, tmp_path):
+    """Same loud refusal as compact_batches: the loop depends on the
+    LocalCatalog partition-dir layout; lakehouse catalogs run their
+    native maintenance instead."""
+    import threading
+
+    from cartodb_importer_spark.sinks.catalog import Catalog
+
+    with pytest.raises(ValueError, match="LocalCatalog"):
+        M.run_maintenance(
+            spark, Catalog(), "t", str(tmp_path / "ck"), threading.Event()
+        )

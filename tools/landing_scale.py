@@ -56,6 +56,10 @@ COMPACT_EVERY = int(os.environ.get("COMPACT_EVERY", "10"))
 #: between control/inband/oob are the trigger-path cost of each mode.
 MAINT_MODE = os.environ.get("MAINT_MODE", "")
 MAINT_MIN_DIRS = int(os.environ.get("MAINT_MIN_DIRS", "10"))
+#: MAINT_RUNNERS=2 exercises the advisory-lock contention path LIVE: two
+#: concurrent run_maintenance loops against the same table — exactly one
+#: wins each fold, the loser's skip is counted, the table never corrupts
+MAINT_RUNNERS = int(os.environ.get("MAINT_RUNNERS", "1"))
 
 
 def timed_read(spark, cat, table: str) -> tuple[float, int, float]:
@@ -180,22 +184,26 @@ def run_stream_phase(spark, workdir: str) -> None:
     expected = t.num_rows
 
     mode = MAINT_MODE or ("inband" if COMPACT_EVERY else "control")
-    maint_thread, maint_stop, maint_stats = None, None, {}
+    maint_threads, maint_stop, maint_stats = [], None, []
     if mode == "oob":
         import threading
 
         from cartodb_importer_spark.sinks import maintenance as M
 
         maint_stop = threading.Event()
-        maint_thread = threading.Thread(
-            target=lambda: maint_stats.update(
-                M.run_maintenance(
-                    spark, cat, "ev", ckpt, maint_stop,
-                    poll_sec=0.5, min_live_dirs=MAINT_MIN_DIRS,
+        for i in range(MAINT_RUNNERS):
+            stats_i: dict = {}
+            maint_stats.append(stats_i)
+            th = threading.Thread(
+                target=lambda s=stats_i: s.update(
+                    M.run_maintenance(
+                        spark, cat, "ev", ckpt, maint_stop,
+                        poll_sec=0.5, min_live_dirs=MAINT_MIN_DIRS,
+                    )
                 )
             )
-        )
-        maint_thread.start()
+            th.start()
+            maint_threads.append(th)
 
     t0 = time.perf_counter()
     if mode == "oob":
@@ -229,14 +237,15 @@ def run_stream_phase(spark, workdir: str) -> None:
             "batch_ms_p90": durs[int(len(durs) * 0.9)],
             "batch_ms_total": sum(durs),
         }
-    if maint_thread is not None:
+    if maint_threads:
         # let the loop catch up to the final frontier, then stop it; the
         # catch-up is NOT part of the stream wall (that's the point)
         deadline = time.time() + 120
         while time.time() < deadline and len(cat.batch_ids("ev")) >= MAINT_MIN_DIRS:
             time.sleep(0.2)
         maint_stop.set()
-        maint_thread.join(timeout=60)
+        for th in maint_threads:
+            th.join(timeout=60)
     final_dirs = len(cat.batch_ids("ev"))
     got = cat.read(spark, "ev")
     n = got.count()
@@ -271,7 +280,7 @@ def run_stream_phase(spark, workdir: str) -> None:
         "rows_exactly_once": True,
     }
     if mode == "oob":
-        rec["maint"] = maint_stats
+        rec["maint"] = maint_stats[0] if MAINT_RUNNERS == 1 else maint_stats
         rec["sink_stats"] = q.sink_stats
     print(json.dumps(rec), flush=True)
 

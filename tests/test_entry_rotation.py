@@ -139,3 +139,48 @@ def test_semantics_pins_self_retire(monkeypatch, tmp_path):
         _json.dumps({rows_only: {"err": "no_oracle", "spark_rows": None}})
     )
     assert not entry._green_in_round(rows_only, 99)
+
+
+def test_rotation_hunk_parsing_and_span_intersection():
+    """r12 line-range staleness (tools/rotation.py): a query re-stales
+    only when a post-grading diff hunk intersects its source span. Pin
+    the two pure pieces: -U0 hunk-header parsing (including count-
+    omitted single-line hunks and widened pure deletions) and the
+    closed-interval intersection."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "rotation.py"),
+    )
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+
+    diff = """\
+diff --git a/x.py b/x.py
+--- a/x.py
++++ b/x.py
+@@ -10,2 +12,3 @@ def f():
++a
++b
++c
+@@ -40 +43 @@ def g():
++d
+@@ -60,3 +62,0 @@ def h():
+-gone
+-gone
+-gone
+"""
+    ranges = rot.parse_hunk_ranges(diff)
+    # +12,3 -> lines 12-14; +43 (count omitted) -> 43-43; +62,0 (pure
+    # deletion) widens to the one-line seam 62-62
+    assert ranges == [(12, 14), (43, 43), (62, 62)]
+
+    assert rot.span_intersects((1, 11), ranges) is False
+    assert rot.span_intersects((14, 20), ranges) is True   # edge overlap
+    assert rot.span_intersects((15, 42), ranges) is False  # between hunks
+    assert rot.span_intersects((43, 43), ranges) is True   # single line
+    assert rot.span_intersects((50, 70), ranges) is True   # deletion seam
+    assert rot.span_intersects((63, 99), ranges) is False
+    assert rot.span_intersects((1, 999), []) is False      # no hunks

@@ -41,6 +41,27 @@ sys.path.insert(0, HERE)
 OUT = os.path.join(HERE, "cartodb_importer_spark", "queries", "_rotation.py")
 
 
+def parse_hunk_ranges(diff_text: str) -> list[tuple[int, int]]:
+    """New-file line ranges from a ``git diff -U0`` text.
+
+    A pure-deletion hunk (+c,0) still touches the seam between lines, so
+    it widens to one line — adjacent query spans must notice a deleted
+    block between them."""
+    ranges: list[tuple[int, int]] = []
+    for m in re.finditer(
+        r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", diff_text, re.M
+    ):
+        start = int(m.group(1))
+        count = int(m.group(2)) if m.group(2) is not None else 1
+        ranges.append((start, start + max(count, 1) - 1))
+    return ranges
+
+
+def span_intersects(span: tuple[int, int], ranges: list[tuple[int, int]]) -> bool:
+    lo, hi = span
+    return any(h_lo <= hi and lo <= h_hi for h_lo, h_hi in ranges)
+
+
 def verdict_rounds() -> dict[str, int]:
     """Newest green driver-verdict round per query name."""
     latest: dict[str, int] = {}
@@ -140,18 +161,7 @@ def main() -> int:
                 if diff.returncode != 0:
                     hunk_cache[key] = None
                 else:
-                    ranges: list[tuple[int, int]] = []
-                    for m in re.finditer(
-                        r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@",
-                        diff.stdout,
-                        re.M,
-                    ):
-                        start = int(m.group(1))
-                        count = int(m.group(2)) if m.group(2) is not None else 1
-                        # a pure deletion (count 0) still touches the seam:
-                        # widen to one line so adjacent spans notice it
-                        ranges.append((start, start + max(count, 1) - 1))
-                    hunk_cache[key] = ranges
+                    hunk_cache[key] = parse_hunk_ranges(diff.stdout)
         return hunk_cache[key]
 
     def changed_since(name: str, rnd: int) -> bool:
@@ -159,8 +169,7 @@ def main() -> int:
         hunks = changed_hunks(qfile[name], rnd)
         if hunks is None:
             return True
-        lo, hi = qspan[name]
-        return any(h_lo <= hi and lo <= h_hi for h_lo, h_hi in hunks)
+        return span_intersects(qspan[name], hunks)
 
     registry_pos = {n: i for i, n in enumerate(QUERIES)}
     verified = [n for n in QUERIES if n in verdicts]

@@ -217,6 +217,7 @@ def compact_batches(
     keep_after_batch_id: int,
     target_file_bytes: int = 128 * 1024 * 1024,
     lock_stale_sec: float = LOCK_STALE_SEC,
+    reader_grace_sec: float = 0.0,
 ) -> int:
     """Bound the streaming landing zone: fold every ``__batch_id=N``
     partition directory with ``N < keep_after_batch_id`` into the table's
@@ -242,6 +243,21 @@ def compact_batches(
     candidate in place (LocalCatalog._effective_base) and the next
     compaction renames it back in via _recover_base BEFORE any sweep, so
     the window is recoverable, never data loss (ADVICE r10).
+
+    Reader isolation (r12): the directory catalog has no manifest, so a
+    CONCURRENT external reader that planned its scan before a fold still
+    holds references to the folded dirs' files — deleting them
+    immediately fails that query's tasks mid-flight. Because every read
+    filters ids at or below the base marker, a folded dir is
+    read-INVISIBLE the instant the base swaps in, which makes deferred
+    deletion free for correctness: with ``reader_grace_sec > 0`` no
+    swept-eligible dir is deleted until at least that long after the
+    LAST fold (age of the base's marker file), so in-flight scans keep
+    their files. Size it >= the deployment's p99 query wall. The
+    default 0.0 keeps the tightest zone (single-process / no external
+    readers — every in-repo test and the in-band sink). Full snapshot
+    isolation is the lakehouse catalogs' native job (Delta/Iceberg
+    time-travel); this grace window is the portable approximation.
 
     Returns the number of batch directories folded in (0 = nothing to
     do). LocalCatalog-layout only; other catalogs bound their landing
@@ -274,10 +290,7 @@ def compact_batches(
             # nothing new to fold; still sweep crashed-attempt leftovers
             # (safe: recovery above renamed in any complete candidate, so
             # whatever remains hidden is incomplete or superseded)
-            for i in stale:
-                shutil.rmtree(
-                    os.path.join(path, f"__batch_id={i}"), ignore_errors=True
-                )
+            _sweep_folded(path, stale, reader_grace_sec)
             _sweep_hidden_tmp(path)
             return 0
         merged = spark.read.parquet(path).filter(
@@ -299,10 +312,10 @@ def compact_batches(
         _rename(tmp, base)  # the atomic reader-visible switch
         if old is not None:
             shutil.rmtree(old, ignore_errors=True)
-        for i in stale + todo:
-            shutil.rmtree(
-                os.path.join(path, f"__batch_id={i}"), ignore_errors=True
-            )
+        # with a grace window the just-folded dirs survive this call (the
+        # fresh marker makes _sweep_folded a no-op) and sweep on a later
+        # cycle once no in-flight reader can still reference them
+        _sweep_folded(path, stale + todo, reader_grace_sec)
         _sweep_hidden_tmp(path)
         return len(todo)
 
@@ -317,6 +330,7 @@ def run_maintenance(
     min_live_dirs: int = 8,
     target_file_bytes: int = 128 * 1024 * 1024,
     lock_stale_sec: float = LOCK_STALE_SEC,
+    reader_grace_sec: float = 0.0,
 ) -> dict:
     """Out-of-band landing-zone maintenance loop (VERDICT r11 item 3):
     compacts a streaming table's batch directories OUTSIDE the trigger
@@ -373,6 +387,7 @@ def run_maintenance(
                     committed_high_water_mark(checkpoint_dir),
                     target_file_bytes=target_file_bytes,
                     lock_stale_sec=lock_stale_sec,
+                    reader_grace_sec=reader_grace_sec,
                 )
                 if folded:
                     stats["compactions"] += 1
@@ -389,6 +404,31 @@ def run_maintenance(
                 )
         stop.wait(poll_sec)
     return stats
+
+
+def _sweep_folded(
+    path: str, ids: list[int], reader_grace_sec: float
+) -> None:
+    """Delete swept-eligible ``__batch_id`` dirs (ids at or below the
+    base marker — read-invisible by the marker filter), unless a reader
+    grace window is active: with ``reader_grace_sec > 0`` nothing is
+    deleted until the base marker (mtime = the LAST fold) is at least
+    that old, so a concurrent scan planned before the fold keeps its
+    files. See compact_batches' reader-isolation note."""
+    from .catalog import LocalCatalog
+
+    if reader_grace_sec > 0:
+        marker = os.path.join(path, LocalCatalog.BASE_DIR, LocalCatalog.MARKER)
+        try:
+            age = time.time() - os.stat(marker).st_mtime
+        except FileNotFoundError:
+            age = float("inf")  # no base: plain crash leftovers, sweep
+        if age <= reader_grace_sec:
+            return
+    for i in ids:
+        shutil.rmtree(
+            os.path.join(path, f"__batch_id={i}"), ignore_errors=True
+        )
 
 
 #: a writer staging dir younger than this may belong to a LIVE

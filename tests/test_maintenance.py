@@ -1140,3 +1140,47 @@ def test_run_maintenance_refuses_non_local_catalog(spark, tmp_path):
         M.run_maintenance(
             spark, Catalog(), "t", str(tmp_path / "ck"), threading.Event()
         )
+
+
+def test_reader_grace_defers_folded_dir_deletion(spark, tmp_path):
+    """r12 reader-isolation window: with reader_grace_sec > 0 a fold
+    swaps the base in (folded dirs become read-invisible via the marker
+    filter) but does NOT delete them until the base marker is older
+    than the grace — an external scan planned before the fold keeps its
+    files. Reads are identical throughout; once the marker ages past
+    the grace, the next maintenance pass sweeps."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(4):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 4 == i), "t", i)
+    before = _canon_rows(cat.read(spark, "t"))
+    path = cat._path("t")
+
+    n = M.compact_batches(
+        spark, cat, "t", keep_after_batch_id=3, reader_grace_sec=3600.0
+    )
+    assert n == 3
+    # folded dirs survive on disk (reader grace), base is in place
+    assert os.path.isdir(os.path.join(path, "_base"))
+    for i in range(3):
+        assert os.path.isdir(os.path.join(path, f"__batch_id={i}"))
+    # and they are read-INVISIBLE: results identical, no duplicates
+    assert _canon_rows(cat.read(spark, "t")) == before
+
+    # within the grace, a no-op pass must keep deferring
+    assert M.compact_batches(
+        spark, cat, "t", keep_after_batch_id=3, reader_grace_sec=3600.0
+    ) == 0
+    assert os.path.isdir(os.path.join(path, "__batch_id=0"))
+
+    # age the marker past the grace: the next pass sweeps
+    marker = os.path.join(path, "_base", LocalCatalog.MARKER)
+    old = time.time() - 7200
+    os.utime(marker, (old, old))
+    assert M.compact_batches(
+        spark, cat, "t", keep_after_batch_id=3, reader_grace_sec=3600.0
+    ) == 0
+    for i in range(3):
+        assert not os.path.isdir(os.path.join(path, f"__batch_id={i}"))
+    assert _batch_dirs(path) == [f"{path}/__batch_id=3"]
+    assert _canon_rows(cat.read(spark, "t")) == before

@@ -45,6 +45,16 @@ def main() -> int:
     p.add_argument("--min-live-dirs", type=int, default=16)
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument(
+        "--reader-grace-sec",
+        type=float,
+        default=600.0,
+        help="folded batch dirs (already read-invisible via the base "
+        "marker filter) are deleted only this long after the last fold, "
+        "so concurrent readers that planned a scan before the fold keep "
+        "their files; size >= the deployment's p99 query wall, 0 for "
+        "the tightest landing zone",
+    )
+    p.add_argument(
         "--max-cycles",
         type=int,
         default=0,
@@ -86,6 +96,7 @@ def main() -> int:
         poll_sec=args.poll_sec,
         min_live_dirs=args.min_live_dirs,
         target_file_bytes=args.target_file_mb * 1024 * 1024,
+        reader_grace_sec=args.reader_grace_sec,
     )
     print(json.dumps({"table": args.table, **stats}), flush=True)
     return 0

@@ -1184,3 +1184,28 @@ def test_reader_grace_defers_folded_dir_deletion(spark, tmp_path):
         assert not os.path.isdir(os.path.join(path, f"__batch_id={i}"))
     assert _batch_dirs(path) == [f"{path}/__batch_id=3"]
     assert _canon_rows(cat.read(spark, "t")) == before
+
+
+def test_scan_planned_before_fold_collects_correctly_under_grace(
+    spark, tmp_path
+):
+    """The exact scenario the grace window exists for: a DataFrame whose
+    file listing was snapshotted BEFORE a fold (Spark's InMemoryFileIndex
+    lists eagerly) must still collect the correct rows AFTER the fold,
+    because its files are deferred from deletion. This is the
+    plan-to-execution window that immediate sweeping broke for external
+    readers."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    for i in range(4):
+        cat.replace_batch(nation.filter(F.col("n_nationkey") % 4 == i), "t", i)
+    pre_planned = cat.read(spark, "t")  # listing snapshotted NOW
+    before = _canon_rows(pre_planned)
+
+    assert M.compact_batches(
+        spark, cat, "t", keep_after_batch_id=3, reader_grace_sec=3600.0
+    ) == 3
+    # the pre-fold plan still executes against its snapshotted files
+    assert _canon_rows(pre_planned) == before
+    # and a fresh post-fold read agrees
+    assert _canon_rows(cat.read(spark, "t")) == before

@@ -41,6 +41,7 @@ def stream_to_catalog(
     trigger_available_now: bool = True,
     compact_every: int | None = None,
     landing_max_dirs: int | None = None,
+    reader_grace_sec: float = 0.0,
 ):
     """Start a foreachBatch query appending micro-batches into
     ``catalog``/``table``. Returns the StreamingQuery (caller awaits),
@@ -67,6 +68,12 @@ def stream_to_catalog(
     then retried at the next interval — maintenance is never worth
     killing the stream over (ADVICE r11: the bare swallow gave a wedged
     lock zero operator signal).
+
+    ``reader_grace_sec`` passes through to the in-band fold: external
+    processes reading the table while this stream compacts keep their
+    already-planned scans' files for at least that long after a fold
+    (sinks/maintenance.compact_batches' reader-isolation note); 0 keeps
+    the tightest zone.
 
     ``landing_max_dirs=N`` is the out-of-band pairing: the sink does NOT
     compact, it only counts the table's live batch directories after each
@@ -127,6 +134,7 @@ def stream_to_catalog(
                     catalog,
                     table,
                     committed_high_water_mark(checkpoint_dir),
+                    reader_grace_sec=reader_grace_sec,
                 )
                 stats["compactions"] += 1
             except CompactionInProgress as exc:

@@ -251,13 +251,23 @@ def compact_batches(
     filters ids at or below the base marker, a folded dir is
     read-INVISIBLE the instant the base swaps in, which makes deferred
     deletion free for correctness: with ``reader_grace_sec > 0`` no
-    swept-eligible dir is deleted until at least that long after the
-    LAST fold (age of the base's marker file), so in-flight scans keep
-    their files. Size it >= the deployment's p99 query wall. The
-    default 0.0 keeps the tightest zone (single-process / no external
-    readers — every in-repo test and the in-band sink). Full snapshot
-    isolation is the lakehouse catalogs' native job (Delta/Iceberg
-    time-travel); this grace window is the portable approximation.
+    swept-eligible batch dir — nor the retired ``.base_old_*`` — is
+    deleted until at least that long after the LAST fold (age of the
+    base's marker file), so in-flight scans keep their files. Size it
+    >= the deployment's p99 query wall. The default 0.0 keeps the
+    tightest zone (single-process / no external readers — every
+    in-repo test and the in-band sink).
+
+    Scope, pinned by the grace property test: the grace makes scans
+    planned over the BATCH-DIR TAIL survive any number of folds. A scan
+    planned over an existing ``_base`` that a later fold REWRITES loses
+    its paths regardless (the swap renames ``_base`` itself), and fails
+    LOUDLY with FILE_NOT_EXIST — never silently wrong or duplicated.
+    Either-right-or-loud is the strongest contract a path-addressed
+    directory layout can honor; closing it fully needs version-addressed
+    base dirs (one-rename publish of ``_base_<marker>``, read resolving
+    the highest marker) or a lakehouse catalog's manifest (Delta /
+    Iceberg time-travel — their native job).
 
     Returns the number of batch directories folded in (0 = nothing to
     do). LocalCatalog-layout only; other catalogs bound their landing
@@ -291,7 +301,7 @@ def compact_batches(
             # (safe: recovery above renamed in any complete candidate, so
             # whatever remains hidden is incomplete or superseded)
             _sweep_folded(path, stale, reader_grace_sec)
-            _sweep_hidden_tmp(path)
+            _sweep_hidden_tmp(path, base_grace_sec=reader_grace_sec)
             return 0
         merged = spark.read.parquet(path).filter(
             (F.col("__batch_id") > marker)
@@ -310,13 +320,15 @@ def compact_batches(
             old = os.path.join(path, f".base_old_{uuid.uuid4().hex[:8]}")
             _rename(base, old)
         _rename(tmp, base)  # the atomic reader-visible switch
-        if old is not None:
+        if old is not None and reader_grace_sec <= 0:
             shutil.rmtree(old, ignore_errors=True)
-        # with a grace window the just-folded dirs survive this call (the
-        # fresh marker makes _sweep_folded a no-op) and sweep on a later
-        # cycle once no in-flight reader can still reference them
+        # with a grace window the just-folded dirs AND the retired base
+        # (a reader planned between two folds holds the OLD base's files
+        # — the property test caught a second fold deleting them) survive
+        # this call; both sweep on a later cycle once the base marker is
+        # older than the grace
         _sweep_folded(path, stale + todo, reader_grace_sec)
-        _sweep_hidden_tmp(path)
+        _sweep_hidden_tmp(path, base_grace_sec=reader_grace_sec)
         return len(todo)
 
 
@@ -439,15 +451,22 @@ WRITER_STALE_SEC = LOCK_STALE_SEC
 
 
 def _sweep_hidden_tmp(
-    table_dir: str, writer_stale_sec: float = WRITER_STALE_SEC
+    table_dir: str,
+    writer_stale_sec: float = WRITER_STALE_SEC,
+    base_grace_sec: float = 0.0,
 ) -> None:
     """Remove crashed-attempt leftovers: hidden temp/old dirs (all
-    dot-prefixed, so readers never saw them), plus stale-lock claim
-    files a takeover crash orphaned.
+    dot-prefixed, so partition discovery never surfaced them), plus
+    stale-lock claim files a takeover crash orphaned.
 
-    ``.base_*`` dirs are swept unconditionally — only compactors write
-    them, and compactors are serialized by the advisory lock (recovery
-    already renamed in any complete candidate before this runs). But
+    ``.base_tmp_*`` dirs are swept unconditionally — only compactors
+    write them, compactors are serialized by the advisory lock, and
+    recovery already renamed in any complete candidate before this runs.
+    ``.base_old_*`` is a RETIRED base: under a reader grace window it is
+    exactly what a scan planned before the last fold is still reading
+    (the property test caught a second fold deleting the first fold's
+    base out from under such a scan), so like _sweep_folded it is kept
+    until the live base marker is older than ``base_grace_sec``.
     ``.batch_tmp_*`` / ``.batch_old_*`` are written by replace_batch —
     the WRITER, which holds no lock — so an out-of-band compactor
     sweeping them unconditionally deletes a live stream's in-flight
@@ -456,11 +475,27 @@ def _sweep_hidden_tmp(
     because it runs inside the same foreachBatch). Writer dirs are
     therefore swept only past ``writer_stale_sec``: a live staging dir
     is seconds old, a crashed attempt's is permanently old."""
+    from .catalog import LocalCatalog
+
+    base_retired_ok = True
+    if base_grace_sec > 0:
+        marker = os.path.join(
+            table_dir, LocalCatalog.BASE_DIR, LocalCatalog.MARKER
+        )
+        try:
+            base_retired_ok = (
+                time.time() - os.stat(marker).st_mtime > base_grace_sec
+            )
+        except FileNotFoundError:
+            pass  # no live base: leftovers are crash garbage, sweep
     now = time.time()
     for d in os.listdir(table_dir):
         p = os.path.join(table_dir, d)
-        if d.startswith((".base_tmp_", ".base_old_")):
+        if d.startswith(".base_tmp_"):
             shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith(".base_old_"):
+            if base_retired_ok:
+                shutil.rmtree(p, ignore_errors=True)
         elif d.startswith((".batch_tmp_", ".batch_old_")):
             try:
                 age = now - os.stat(p).st_mtime

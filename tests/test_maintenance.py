@@ -1209,3 +1209,102 @@ def test_scan_planned_before_fold_collects_correctly_under_grace(
     assert _canon_rows(pre_planned) == before
     # and a fresh post-fold read agrees
     assert _canon_rows(cat.read(spark, "t")) == before
+
+
+@given(
+    ops=hst.lists(
+        hst.one_of(
+            hst.tuples(hst.just("write"), hst.integers(0, 5), hst.integers(0, 9)),
+            hst.tuples(hst.just("fold"), hst.integers(0, 6), hst.just(0)),
+            hst.tuples(hst.just("plan"), hst.just(0), hst.just(0)),
+        ),
+        min_size=4,
+        max_size=9,
+    ),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_reader_grace_any_schedule_keeps_preplanned_scans_valid(spark, ops):
+    """Property form of the r12 reader-isolation fix: for ANY schedule of
+    NEW-batch writes, graced folds, and scan plannings, every DataFrame
+    planned at any point must still collect EXACTLY its planning-time
+    rows at the end (no files vanished under it, no duplicate visibility
+    from surviving folded dirs), and after the grace expires a final
+    sweep still reads identically to a never-compacted twin.
+
+    Replays are deliberately OUT of the schedule: a replayed batch id
+    replaces its directory (replace_batch's insert-overwrite contract —
+    the crash-recovery path), which legitimately invalidates a scan
+    planned over the old attempt; the grace window protects readers from
+    MAINTENANCE, not from the writer rewriting a failed batch. The first
+    run of this property with replays enabled demonstrated exactly that
+    distinction (FILE_NOT_EXIST on the replaced attempt's files).
+
+    Documented limitation the property also pins: a scan planned over an
+    EXISTING base whose files a later fold's base REWRITE retires loses
+    its paths (the swap renames ``_base`` itself), so such a scan is
+    allowed to fail LOUDLY (FILE_NOT_EXIST) — but must never return
+    silently wrong or duplicated rows. Either-right-or-loud is the
+    isolation contract the directory catalog can honor without a
+    manifest; full MVCC is the lakehouse catalogs' job."""
+    import shutil as _sh
+    import tempfile
+
+    from cartodb_importer_spark.sinks.catalog import LocalCatalog
+
+    root = tempfile.mkdtemp(prefix="prop_grace_")
+    try:
+        cat = LocalCatalog(f"{root}/wh")
+        plain = LocalCatalog(f"{root}/wh_plain")
+        written: set[int] = set()
+        planned = []  # (df, expected canon rows at planning time)
+        for kind, bid, salt in ops:
+            if kind == "write":
+                if bid in written or bid <= cat.compacted_up_to("t"):
+                    continue  # replays are the writer's own contract
+                df = spark.createDataFrame(
+                    [(bid * 100 + i, salt) for i in range(3)],
+                    "id long, salt long",
+                )
+                cat.replace_batch(df, "t", bid)
+                plain.replace_batch(df, "t", bid)
+                written.add(bid)
+            elif kind == "fold" and written:
+                M.compact_batches(
+                    spark, cat, "t", keep_after_batch_id=bid,
+                    reader_grace_sec=3600.0,
+                )
+            elif kind == "plan" and written:
+                df = cat.read(spark, "t")
+                planned.append((df, _canon_rows(df)))
+        if not written:
+            return
+        # every planning-time snapshot: right, or loudly stale — never
+        # silently wrong
+        from py4j.protocol import Py4JJavaError
+
+        for df, want in planned:
+            try:
+                got = _canon_rows(df)
+            except Py4JJavaError as exc:
+                assert "FILE_NOT_EXIST" in str(exc)  # loud, documented
+                continue
+            assert got == want
+        # grace expiry: age the marker, sweep, reads match the twin
+        marker = os.path.join(cat._path("t"), "_base", LocalCatalog.MARKER)
+        if os.path.exists(marker):
+            old = time.time() - 7200
+            os.utime(marker, (old, old))
+            M.compact_batches(
+                spark, cat, "t",
+                keep_after_batch_id=cat.compacted_up_to("t") + 1,
+                reader_grace_sec=3600.0,
+            )
+        assert _canon_rows(cat.read(spark, "t")) == _canon_rows(
+            plain.read(spark, "t")
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)

@@ -173,22 +173,54 @@ class LocalCatalog(Catalog):
         return self._marker_at(self._path(name))
 
     @classmethod
+    def _visible_bases(cls, path: str) -> list[str]:
+        """All reader-visible base dirs: the classic ``_base`` plus any
+        version-addressed ``_base_<marker>`` dirs a reader-grace fold
+        published (r12 — underscore-prefixed either way, so Spark's
+        partition discovery never lists them as data)."""
+        if not os.path.isdir(path):
+            return []
+        out = []
+        for d in os.listdir(path):
+            if d == cls.BASE_DIR or d.startswith(cls.BASE_DIR + "_"):
+                full = os.path.join(path, d)
+                if os.path.isdir(full):
+                    out.append(full)
+        return out
+
+    @classmethod
     def _effective_base(cls, path: str) -> str | None:
-        """Directory serving as the table's compacted base. Normally
-        ``_base``; when a compactor crashed between its two renames (old
-        base moved aside, complete replacement never moved in) the table
-        has no ``_base`` — and falling back to partition dirs would
-        silently LOSE folded batches whose ``__batch_id`` dirs were
-        deleted by earlier compactions (ADVICE r10). A ``.base_tmp_*`` /
+        """Directory serving as the table's compacted base.
+
+        Resolution is by MARKER, not by name: among the visible bases —
+        classic ``_base`` plus any version-addressed ``_base_<marker>``
+        published by a reader-grace fold (r12: a graced fold publishes a
+        NEW versioned dir with one rename and leaves its predecessors
+        untouched until the grace expires, so scans planned over an older
+        base keep their exact paths) — the highest-marker dir supersedes
+        the rest; a markerless ``_base`` is served only when nothing
+        better exists.
+
+        When NO visible base exists (a grace-0 compactor crashed between
+        its two renames), falling back to partition dirs would silently
+        LOSE folded batches whose ``__batch_id`` dirs were deleted by
+        earlier compactions (ADVICE r10). A ``.base_tmp_*`` /
         ``.base_old_*`` dir that CONTAINS the marker file is complete by
         construction (the marker is written only after the parquet write
-        finishes and before any rename), so the highest-marker candidate
-        is byte-equal to a base a crash-free run would have produced;
-        reads serve it in place, and the next ``compact_batches`` renames
-        it back in (sinks/maintenance._recover_base)."""
-        base = os.path.join(path, cls.BASE_DIR)
-        if os.path.isdir(base):
-            return base
+        finishes and before any rename), so the highest-marker hidden
+        candidate is byte-equal to a base a crash-free run would have
+        produced; reads serve it in place, and the next
+        ``compact_batches`` renames it back in
+        (sinks/maintenance._recover_base)."""
+        visible = cls._visible_bases(path)
+        if visible:
+            plain = os.path.join(path, cls.BASE_DIR)
+            best, best_marker = None, -2
+            for full in visible:
+                v = cls._marker_of(full)
+                if v > best_marker or (v == best_marker and full == plain):
+                    best, best_marker = full, v
+            return best
         best, best_marker = None, -1
         if os.path.isdir(path):
             for d in os.listdir(path):

@@ -198,10 +198,16 @@ def _recover_base(path: str) -> bool:
     permanent data loss — so recovery runs FIRST: the best complete
     candidate (marker present ⇒ parquet complete by construction,
     highest marker ⇒ supersedes the others) is renamed back in as
-    ``_base``. Returns True when a recovery happened."""
+    ``_base``. Returns True when a recovery happened.
+
+    Only the grace-0 two-rename path can crash into this window; a
+    version-addressed publish (reader grace) is a single rename of a
+    fresh dir, so ANY visible base — classic or versioned — means no
+    recovery is needed (and renaming a hidden leftover in over a live
+    versioned base would resurrect a SUPERSEDED marker)."""
     from .catalog import LocalCatalog
 
-    if os.path.isdir(os.path.join(path, LocalCatalog.BASE_DIR)):
+    if LocalCatalog._visible_bases(path):
         return False
     cand = LocalCatalog._effective_base(path)
     if cand is None:
@@ -258,16 +264,18 @@ def compact_batches(
     tightest zone (single-process / no external readers — every
     in-repo test and the in-band sink).
 
-    Scope, pinned by the grace property test: the grace makes scans
-    planned over the BATCH-DIR TAIL survive any number of folds. A scan
-    planned over an existing ``_base`` that a later fold REWRITES loses
-    its paths regardless (the swap renames ``_base`` itself), and fails
-    LOUDLY with FILE_NOT_EXIST — never silently wrong or duplicated.
-    Either-right-or-loud is the strongest contract a path-addressed
-    directory layout can honor; closing it fully needs version-addressed
-    base dirs (one-rename publish of ``_base_<marker>``, read resolving
-    the highest marker) or a lakehouse catalog's manifest (Delta /
-    Iceberg time-travel — their native job).
+    Under the grace the publish is VERSION-ADDRESSED: the fold renames
+    its fresh build to ``_base_<marker>`` (one rename — this path has no
+    mid-swap no-base window at all) and touches nothing else; reads
+    resolve the highest-marker visible base
+    (LocalCatalog._effective_base). The grace property test pins the
+    resulting contract STRICTLY: a scan planned at ANY point — batch
+    tail or an existing base later folds supersede — collects exactly
+    its planning-time rows until the grace expires. With grace 0 the
+    classic two-rename swap at the fixed ``_base`` path runs instead
+    (tightest zone; read-equivalent, but a pre-planned base scan may
+    fail loudly when the swap renames ``_base`` under it). Full MVCC
+    with time travel remains the lakehouse catalogs' native job.
 
     Returns the number of batch directories folded in (0 = nothing to
     do). LocalCatalog-layout only; other catalogs bound their landing
@@ -301,33 +309,53 @@ def compact_batches(
             # (safe: recovery above renamed in any complete candidate, so
             # whatever remains hidden is incomplete or superseded)
             _sweep_folded(path, stale, reader_grace_sec)
+            _sweep_superseded_bases(path, reader_grace_sec)
             _sweep_hidden_tmp(path, base_grace_sec=reader_grace_sec)
             return 0
         merged = spark.read.parquet(path).filter(
             (F.col("__batch_id") > marker)
             & (F.col("__batch_id") < keep_after_batch_id)
         )
-        if os.path.isdir(base):
-            merged = spark.read.parquet(base).unionByName(merged)
+        eff = LocalCatalog._effective_base(path)
+        if eff is not None:
+            merged = spark.read.parquet(eff).unionByName(merged)
         new_marker = max(todo)
         tmp = os.path.join(path, f".base_tmp_{uuid.uuid4().hex[:8]}")
         compact(merged, tmp, cluster_by=["__batch_id"], target_file_bytes=target_file_bytes)
         heartbeat()  # the build is the long pole; refresh before the swap
         with open(os.path.join(tmp, LocalCatalog.MARKER), "w") as f:
             f.write(str(new_marker))
-        old = None
-        if os.path.isdir(base):
-            old = os.path.join(path, f".base_old_{uuid.uuid4().hex[:8]}")
-            _rename(base, old)
-        _rename(tmp, base)  # the atomic reader-visible switch
-        if old is not None and reader_grace_sec <= 0:
-            shutil.rmtree(old, ignore_errors=True)
-        # with a grace window the just-folded dirs AND the retired base
-        # (a reader planned between two folds holds the OLD base's files
-        # — the property test caught a second fold deleting them) survive
-        # this call; both sweep on a later cycle once the base marker is
-        # older than the grace
+        if reader_grace_sec > 0:
+            # version-addressed publish (r12): ONE rename of a fresh dir;
+            # every predecessor base keeps its exact paths, so a scan
+            # planned over an older base stays valid — reads resolve the
+            # highest marker (LocalCatalog._effective_base), and this
+            # path has no mid-swap no-base window at all. Superseded
+            # bases sweep below once the grace has passed.
+            _rename(
+                tmp,
+                os.path.join(
+                    path, f"{LocalCatalog.BASE_DIR}_{new_marker:012d}"
+                ),
+            )
+        else:
+            # classic two-rename swap at the fixed `_base` path (tightest
+            # zone; read-equivalent, but pre-planned base scans may fail
+            # loudly — see the reader-isolation note)
+            old = None
+            if eff is not None:
+                old = os.path.join(path, f".base_old_{uuid.uuid4().hex[:8]}")
+                _rename(eff, old)
+            _rename(tmp, base)  # the atomic reader-visible switch
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+        # with a grace window the just-folded dirs AND every superseded
+        # base (a reader planned between two folds holds the OLD base's
+        # files — the property test caught a second fold deleting them)
+        # survive this call; all sweep on a later cycle once the live
+        # base marker is older than the grace
         _sweep_folded(path, stale + todo, reader_grace_sec)
+        _sweep_superseded_bases(path, reader_grace_sec)
         _sweep_hidden_tmp(path, base_grace_sec=reader_grace_sec)
         return len(todo)
 
@@ -418,6 +446,31 @@ def run_maintenance(
     return stats
 
 
+def _sweep_superseded_bases(path: str, reader_grace_sec: float) -> None:
+    """Delete visible base dirs whose marker is below the effective
+    (highest-marker) base's — retired predecessors of version-addressed
+    publishes, plus a classic ``_base`` a versioned fold superseded.
+    Under a reader grace window nothing is deleted until the LIVE base's
+    marker is at least that old, same gating as _sweep_folded: a scan
+    planned over a predecessor keeps its files until no in-flight reader
+    can still reference them."""
+    from .catalog import LocalCatalog
+
+    eff = LocalCatalog._effective_base(path)
+    if eff is None:
+        return
+    if reader_grace_sec > 0:
+        marker = os.path.join(eff, LocalCatalog.MARKER)
+        try:
+            if time.time() - os.stat(marker).st_mtime <= reader_grace_sec:
+                return
+        except FileNotFoundError:
+            return  # markerless effective base: nothing supersedes safely
+    for full in LocalCatalog._visible_bases(path):
+        if full != eff:
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def _sweep_folded(
     path: str, ids: list[int], reader_grace_sec: float
 ) -> None:
@@ -430,11 +483,15 @@ def _sweep_folded(
     from .catalog import LocalCatalog
 
     if reader_grace_sec > 0:
-        marker = os.path.join(path, LocalCatalog.BASE_DIR, LocalCatalog.MARKER)
-        try:
-            age = time.time() - os.stat(marker).st_mtime
-        except FileNotFoundError:
-            age = float("inf")  # no base: plain crash leftovers, sweep
+        eff = LocalCatalog._effective_base(path)
+        age = float("inf")  # no base: plain crash leftovers, sweep
+        if eff is not None:
+            try:
+                age = time.time() - os.stat(
+                    os.path.join(eff, LocalCatalog.MARKER)
+                ).st_mtime
+            except FileNotFoundError:
+                pass
         if age <= reader_grace_sec:
             return
     for i in ids:
@@ -479,15 +536,16 @@ def _sweep_hidden_tmp(
 
     base_retired_ok = True
     if base_grace_sec > 0:
-        marker = os.path.join(
-            table_dir, LocalCatalog.BASE_DIR, LocalCatalog.MARKER
-        )
-        try:
-            base_retired_ok = (
-                time.time() - os.stat(marker).st_mtime > base_grace_sec
-            )
-        except FileNotFoundError:
-            pass  # no live base: leftovers are crash garbage, sweep
+        eff = LocalCatalog._effective_base(table_dir)
+        if eff is not None:
+            try:
+                base_retired_ok = (
+                    time.time()
+                    - os.stat(os.path.join(eff, LocalCatalog.MARKER)).st_mtime
+                    > base_grace_sec
+                )
+            except FileNotFoundError:
+                pass  # markerless live base: leftovers are crash garbage
     now = time.time()
     for d in os.listdir(table_dir):
         p = os.path.join(table_dir, d)

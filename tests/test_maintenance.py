@@ -1160,8 +1160,10 @@ def test_reader_grace_defers_folded_dir_deletion(spark, tmp_path):
         spark, cat, "t", keep_after_batch_id=3, reader_grace_sec=3600.0
     )
     assert n == 3
-    # folded dirs survive on disk (reader grace), base is in place
-    assert os.path.isdir(os.path.join(path, "_base"))
+    # folded dirs survive on disk (reader grace); the graced fold
+    # publishes a VERSION-ADDRESSED base (one rename, no classic _base)
+    eff = LocalCatalog._effective_base(path)
+    assert eff is not None and os.path.basename(eff).startswith("_base_")
     for i in range(3):
         assert os.path.isdir(os.path.join(path, f"__batch_id={i}"))
     # and they are read-INVISIBLE: results identical, no duplicates
@@ -1174,7 +1176,7 @@ def test_reader_grace_defers_folded_dir_deletion(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "__batch_id=0"))
 
     # age the marker past the grace: the next pass sweeps
-    marker = os.path.join(path, "_base", LocalCatalog.MARKER)
+    marker = os.path.join(eff, LocalCatalog.MARKER)
     old = time.time() - 7200
     os.utime(marker, (old, old))
     assert M.compact_batches(
@@ -1243,13 +1245,16 @@ def test_reader_grace_any_schedule_keeps_preplanned_scans_valid(spark, ops):
     run of this property with replays enabled demonstrated exactly that
     distinction (FILE_NOT_EXIST on the replaced attempt's files).
 
-    Documented limitation the property also pins: a scan planned over an
-    EXISTING base whose files a later fold's base REWRITE retires loses
-    its paths (the swap renames ``_base`` itself), so such a scan is
-    allowed to fail LOUDLY (FILE_NOT_EXIST) — but must never return
-    silently wrong or duplicated rows. Either-right-or-loud is the
-    isolation contract the directory catalog can honor without a
-    manifest; full MVCC is the lakehouse catalogs' job."""
+    Under the grace the contract is STRICT (r12 versioned-base publish):
+    every fold publishes a fresh ``_base_<marker>`` dir with one rename
+    and leaves every predecessor base and batch dir untouched until the
+    grace expires, so a scan planned at ANY point — including over an
+    existing base that later folds supersede — collects exactly its
+    planning-time rows. (The first iterations of this property caught,
+    in order: the second fold deleting the first fold's retired base,
+    then the classic two-rename swap breaking pre-planned base scans by
+    renaming ``_base`` itself — which is what forced the
+    version-addressed publish.)"""
     import shutil as _sh
     import tempfile
 
@@ -1282,20 +1287,15 @@ def test_reader_grace_any_schedule_keeps_preplanned_scans_valid(spark, ops):
                 planned.append((df, _canon_rows(df)))
         if not written:
             return
-        # every planning-time snapshot: right, or loudly stale — never
-        # silently wrong
-        from py4j.protocol import Py4JJavaError
-
+        # every planning-time snapshot collects EXACTLY itself — the
+        # versioned publish never moves or deletes a file a pre-planned
+        # scan can reference within the grace
         for df, want in planned:
-            try:
-                got = _canon_rows(df)
-            except Py4JJavaError as exc:
-                assert "FILE_NOT_EXIST" in str(exc)  # loud, documented
-                continue
-            assert got == want
-        # grace expiry: age the marker, sweep, reads match the twin
-        marker = os.path.join(cat._path("t"), "_base", LocalCatalog.MARKER)
-        if os.path.exists(marker):
+            assert _canon_rows(df) == want
+        # grace expiry: age the live base's marker, sweep, reads match
+        eff = LocalCatalog._effective_base(cat._path("t"))
+        marker = os.path.join(eff, LocalCatalog.MARKER) if eff else ""
+        if marker and os.path.exists(marker):
             old = time.time() - 7200
             os.utime(marker, (old, old))
             M.compact_batches(

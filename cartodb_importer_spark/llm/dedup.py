@@ -83,11 +83,40 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(shingle_strings(col, n))
 
 
+def _spread_narrow_scan(df: DataFrame, id_col: str) -> DataFrame:
+    """Restore compute parallelism ahead of per-document hashing work.
+
+    Shingling + per-shingle digests are CPU-bound and proportional to
+    text volume, but a small parquet input (one row group) plans as ONE
+    scan partition, serializing the whole corpus's regex+md5 work onto a
+    single core (measured at sf0.1: the 4-band signature window frame
+    4.4s -> 1.0s once spread). When the scan already has >= cluster
+    parallelism partitions — the 100 TB case, where thousands of row
+    groups split naturally — this is a NO-OP: no exchange is added, so
+    the corpus text is never shuffled just to hash it. The spread keys on
+    the id column (hash partitioning: deterministic under task retry,
+    and no sort-before-repartition pass)."""
+    sc = df.sparkSession.sparkContext
+    n_par = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n_par:
+            return df
+    except Exception:  # noqa: BLE001 — planning failure: keep the plain scan
+        return df
+    return df.repartition(n_par, F.col(id_col))
+
+
 def shingle_frame(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(id, distinct shingle array) straight off the text column."""
-    return df.select(
+    """(id, distinct shingle array) straight off the text column, spread
+    to cluster parallelism first (see _spread_narrow_scan) because every
+    consumer immediately runs per-shingle digest work over the arrays.
+    Projected to (id, text) BEFORE the conditional spread so a firing
+    repartition moves only the two columns the shingling reads
+    (guide §2.3 — project before the exchange)."""
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    return _spread_narrow_scan(narrow, id_col).select(
         F.col(id_col), shingles(F.col(text_col), n).alias("__sh")
     )
 
@@ -202,8 +231,20 @@ def minhash_candidate_pairs(
         F.count(F.lit(1)).over(w).alias("__bn"),
         F.min(id_col).over(w).alias("__rep"),
     ).persist()
-    small = annotated.filter(F.col("__bn") <= max_bucket).select(
-        id_col, "band", "val"
+    # Spread the bucket rows across the cluster before the self-join:
+    # the join's OUTPUT is quadratic per bucket (1.2M pairs from 20k
+    # bucket rows at sf0.1) while its input is a few hundred KB, so AQE
+    # sizes the join at 1 post-shuffle partition and the whole pair
+    # expansion runs on one core (guide §2.5 — parallelism must follow
+    # the work, not the input bytes). Keying the explicit repartition on
+    # (band, val) keeps both self-join sides co-partitioned — the join
+    # adds NO further exchange — and the fixed 2x-parallelism count is
+    # scale-adaptive, not a local constant.
+    n_spread = 2 * df.sparkSession.sparkContext.defaultParallelism
+    small = (
+        annotated.filter(F.col("__bn") <= max_bucket)
+        .select(id_col, "band", "val")
+        .repartition(n_spread, "band", "val")
     )
     left = small.alias("a")
     right = (
@@ -361,7 +402,7 @@ def near_dedup_minhash(
     return df.join(to_drop, on=id_col, how="anti")
 
 
-def _verified_drop_ids(
+def _bounded_jaccard_edges(
     df: DataFrame,
     cand: DataFrame,
     threshold: float,
@@ -369,12 +410,20 @@ def _verified_drop_ids(
     id_col: str,
     n: int,
 ) -> DataFrame:
-    """Shared verify stage of the pairwise near-dedup pipelines: size-ratio
-    bound -> exact Jaccard -> distinct higher-id members of >= threshold
-    pairs. ONE home for the 5e-5 + 1e-9 rounding margin (the drop decision
-    compares the 4-decimal HALF_UP-rounded jaccard — see
-    near_dedup_minhash's docstring), so a threshold-semantics change can't
-    silently diverge between the batch and incremental variants."""
+    """Shared verify stage of EVERY near-dedup pipeline (pairwise,
+    incremental, and the connected-components family): size-ratio bound
+    -> exact Jaccard -> the (id_a, id_b, jaccard) pairs at or above
+    ``threshold``. ONE home for the 5e-5 + 1e-9 rounding margin (the
+    drop decision compares the 4-decimal HALF_UP-rounded jaccard — see
+    near_dedup_minhash's docstring), so a threshold-semantics change
+    can't silently diverge between the variants.
+
+    The bound J(A,B) <= min|.|/max|.| prunes pairs that cannot reach the
+    threshold BEFORE their shingle arrays move: only (id, n_shingles)
+    ints join against the thin pair list, and the heavy array join runs
+    on the surviving fraction (~1/3 at sf0.1). Pruned pairs score
+    strictly below the rounded threshold, so the >= filter output is
+    identical with or without the bound."""
     sh = _hashed_shingle_frame(df, text_col, id_col, n, hashed=True)
     # shingles() is already distinct, so the set size is the array size;
     # sizes read from the SAME persisted frame the verify join uses.
@@ -397,10 +446,34 @@ def _verified_drop_ids(
             >= F.greatest("ns_a", "ns_b") * (threshold - 5e-5) - 1e-9
         )
         .select("id_a", "id_b")
+        # spread before the verify join: the surviving pair list is a few
+        # MB of ids (AQE coalesces it to ~1 partition) but the next stage
+        # attaches two shingle arrays per pair and intersects them — the
+        # expensive work is proportional to pairs x shingles, so it must
+        # run at cluster parallelism, not at the id-list's byte size
+        # (guide §2.5; same disease as the LSH bucket self-join above)
+        .repartition(
+            2 * df.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
+        )
     )
     scored = jaccard_pairs(df, bounded, text_col, id_col, n, sh=sh)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def _verified_drop_ids(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Distinct higher-id members of the verified >= threshold pairs —
+    the pairwise drop rule over :func:`_bounded_jaccard_edges`."""
     return (
-        scored.filter(F.col("jaccard") >= threshold)
+        _bounded_jaccard_edges(df, cand, threshold, text_col, id_col, n)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -595,9 +668,26 @@ def connected_components(
     # keeping per-round planning cost O(1). (On a real cluster prefer
     # reliable checkpoint() to survive executor loss; localCheckpoint is
     # the right latency tradeoff for bounded round counts.)
+    # ONE explode pass emits both directions: the previous two-branch
+    # union evaluated the whole upstream pair pipeline twice (for the
+    # near-dedup family that upstream is the LSH-candidate + Jaccard
+    # verify — its exchanges dedupe via reuse but the per-branch join
+    # probe and array-intersect work ran again; measured ~2.5s/branch
+    # at sf0.1). Guide §2.4 — remove shuffles/passes outright.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )
@@ -648,10 +738,13 @@ def _near_dup_components(
 ) -> DataFrame:
     """Shared candidate -> Jaccard-edge -> connected-components stage of
     the cluster-aware dedup variants (min-id and keep-best survivor
-    rules differ only in what they do with the components)."""
+    rules differ only in what they do with the components). The edge
+    verify runs through the same size-ratio-bounded stage as the
+    pairwise pipelines (:func:`_bounded_jaccard_edges`) — previously
+    this family scored EVERY candidate pair (3x the array-join work at
+    sf0.1 for an identical >= threshold edge set)."""
     cand = minhash_candidate_pairs(df, text_col, id_col, bands, n)
-    scored = jaccard_pairs(df, cand, text_col, id_col, n)
-    edges = scored.filter(F.col("jaccard") >= threshold)
+    edges = _bounded_jaccard_edges(df, cand, threshold, text_col, id_col, n)
     return connected_components(edges)
 
 

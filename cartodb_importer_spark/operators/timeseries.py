@@ -42,34 +42,57 @@ def resample_ffill(
 ) -> DataFrame:
     """Bucket ``value`` by (key, interval), fill missing buckets on a
     per-key grid from the key's first bucket to its last event, and
-    forward-fill the aggregate. Output: (key, slot, v, v_ffill, is_gap)."""
+    forward-fill the aggregate. Output: (key, slot, v, v_ffill, is_gap).
+
+    Plan (guide §2.4 — remove shuffles outright): like
+    :func:`resample_interp`, the dense grid is never built, joined, or
+    windowed. ONE scan buckets the events; ONE window over the SPARSE
+    buckets computes both the forward-fill (``last ignorenulls`` — on the
+    bucket frame it already carries exactly the value every trailing gap
+    slot needs) and the next-bucket boundary (``lead``, same sort, same
+    Window node); each bucket then explodes directly into itself plus its
+    trailing gap slots. The old form cost a second full scan of ``df``
+    (per-key raw-timestamp bounds), a grid-join exchange AND a
+    window-only exchange (the join's (key, slot) hash partitioning does
+    not satisfy the window's key-only clustering) — 2 scans + 4 shuffles
+    down to 1 scan + 2 shuffles, values identical row-for-row (the grid
+    from first-bucket to last raw event contains precisely each bucket's
+    slot plus the slots strictly between it and the next bucket; a
+    null-``v`` bucket forward-fills from the last non-null exactly as
+    the grid join + dense window produced)."""
     slot = F.date_trunc(_trunc_unit(interval), F.col(ts))
     bucketed = (
         df.groupBy(F.col(key), slot.alias("slot"))
         .agg(F.round(F.sum(value), 2).alias("v"))
     )
-    bounds = df.groupBy(key).agg(
-        F.min(F.col(ts)).alias("lo"), F.max(F.col(ts)).alias("hi")
-    )
-    lo_slot = F.date_trunc(_trunc_unit(interval), F.col("lo"))
-    grid = bounds.select(
+    w = Window.partitionBy(key).orderBy("slot")
+    wff = w.rowsBetween(Window.unboundedPreceding, 0)
+    seg = bucketed.select(
         key,
-        F.explode(
-            F.sequence(lo_slot, F.col("hi"), F.expr(f"INTERVAL {interval}"))
-        ).alias("slot"),
+        F.col("slot").alias("__s"),
+        F.col("v").alias("__vs"),
+        F.last("v", ignorenulls=True).over(wff).alias("__f"),
+        F.lead("slot").over(w).alias("__e"),
     )
-    joined = grid.join(bucketed, on=[key, "slot"], how="left")
-    w = (
-        Window.partitionBy(key)
-        .orderBy("slot")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # each key's LAST bucket has no lead — it contributes exactly its own
+    # slot, folded into the same explode so the plan stays one branch
+    slots = F.when(F.col("__e").isNull(), F.array(F.col("__s"))).otherwise(
+        F.sequence(
+            F.col("__s"),
+            F.expr(f"__e - INTERVAL {interval}"),
+            F.expr(f"INTERVAL {interval}"),
+        )
     )
-    return joined.select(
-        key,
-        "slot",
-        "v",
-        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
-        F.col("v").isNull().alias("is_gap"),
+    observed = F.col("slot") == F.col("__s")
+    return (
+        seg.select(key, "__s", "__vs", "__f", F.explode(slots).alias("slot"))
+        .select(
+            key,
+            "slot",
+            F.when(observed, F.col("__vs")).alias("v"),
+            F.col("__f").alias("v_ffill"),
+            F.when(observed, F.col("__vs")).isNull().alias("is_gap"),
+        )
     )
 
 

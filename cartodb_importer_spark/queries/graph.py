@@ -62,32 +62,51 @@ _PAIRS_CTE = f"""
 
 def _copurchase_pairs(t: Tables) -> DataFrame:
     """Distinct oriented (src < dst) part co-purchase pairs over capped
-    baskets (MAX_BASKET_LINES — see the guard note above). The guard is a
-    count on the SAME key the self-join shuffles on, so its exchange is
-    reused by the join stages; on sane corpora it filters nothing and
-    costs one co-partitioned semi-join."""
+    baskets (MAX_BASKET_LINES — see the guard note above).
+
+    ONE aggregation does everything the old three-step form (guard
+    aggregate -> semi-join -> keyed self-join) needed: the line count IS
+    the guard and collect_set gives the basket's distinct parts, so pair
+    expansion becomes a basket-local double explode — no second shuffle
+    of lineitem, no join. Guide §2.4 (remove shuffles outright): the
+    rewrite drops one full lineitem exchange plus the self-join; the
+    per-basket expansion stays bounded by the same k^2 cap. Result set
+    identical (the final distinct dedupes across baskets exactly as the
+    self-join form did; within a basket collect_set already dedupes)."""
     li = t.lineitem.select("l_orderkey", "l_partkey")
-    sane = (
+    baskets = (
         li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__n_lines"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_lines"),
+            F.collect_set("l_partkey").alias("__parts"),
+        )
         .filter(F.col("__n_lines") <= MAX_BASKET_LINES)
-        .select("l_orderkey")
+        .select("__parts")
     )
-    li = li.join(sane, "l_orderkey", "left_semi")
-    a = li.alias("a")
-    b = li.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        baskets.select(F.explode("__parts").alias("src"), "__parts")
+        .select("src", F.explode("__parts").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
         .distinct()
     )
+
+
+def _symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """Both directions of the oriented pair list as (src, dst), via ONE
+    explode pass instead of a two-branch union — the union form evaluates
+    the pairs subtree twice when it is not cached (exchange reuse dedupes
+    the shuffles but not the per-branch probe work); explode emits both
+    directions in a single pass (guide §2.4)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _pagerank_oracle(iters: int) -> str:
@@ -166,9 +185,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, making the float fold order cross-engine-stable."""
     t = Tables(spark, sf_dir)
     pairs = _copurchase_pairs(t)
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _symmetric_edges(pairs)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution weight folded into the edge list once: src -> dst with
     # weight 1/outdeg(src); 5 iterations reuse this one persisted relation
@@ -222,15 +239,19 @@ def _degree_and_triangle_counts(t: Tables):
     Returns (deg: (node, deg), tcounts: (node, n_triangles) for every
     node in >= 1 triangle). Per-node counts are orientation-invariant,
     so the id-ordered SQL oracle enumeration matches."""
-    # persisted: read three times (both union branches of the degree
-    # count, then the orientation join) and expensive to rebuild
+    # persisted: read three times (degree count, then the orientation
+    # join's two sides) and expensive to rebuild
     pairs = _copurchase_pairs(t).persist()
-    # undirected degree per node (each pair touches both endpoints)
+    # undirected degree per node: ONE cached-pairs scan via explode
+    # instead of a two-branch union (guide §2.4 — same aggregate, half
+    # the input traffic), and persisted because three consumers read it
+    # (the orientation join's src and dst sides plus the caller's final
+    # degree join) — each would otherwise repay the aggregation shuffle.
     deg = (
-        pairs.select(F.col("src").alias("node"))
-        .union(pairs.select(F.col("dst").alias("node")))
+        pairs.select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     # re-orient: lower (deg, id) -> higher (deg, id)
     da = deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc"))
@@ -239,11 +260,23 @@ def _degree_and_triangle_counts(t: Tables):
     fwd = (F.col("dsrc") < F.col("ddst")) | (
         (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
     )
+    # Repartition by apex BEFORE caching: AQE coalesces the orientation
+    # join's output to match its ~tens-of-MB size (10 partitions at
+    # sf0.1), but the NEXT stage is the wedge self-join — a 30x row
+    # EXPANSION (41M wedges from 1.2M edges at sf0.1) whose cost is
+    # proportional to output, not input, so a byte-sized partition count
+    # serializes it onto a few cores (guide §2.5 input-skew note: fix
+    # parallelism where the work is, not where the bytes are). Keying by
+    # ``u`` also makes the self-join co-partitioned (no extra exchange).
+    # 2x defaultParallelism is scale-adaptive (tracks executor count on a
+    # cluster), never a local constant. Measured at sf0.1:
+    # wedge+closure+count 7.0s -> 3.9s.
+    n_part = 2 * t.lineitem.sparkSession.sparkContext.defaultParallelism
     directed = keyed.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(fwd, F.col("ddst")).otherwise(F.col("dsrc")).alias("degv"),
-    ).persist()
+    ).repartition(n_part, "u").persist()
     e1 = directed.alias("e1")
     e2 = directed.alias("e2")
     # out-neighbor pairs of each apex, ordered by the same (deg, id) key
@@ -263,11 +296,11 @@ def _degree_and_triangle_counts(t: Tables):
         directed.alias("e3"),
         (F.col("e3.u") == F.col("b")) & (F.col("e3.v") == F.col("c")),
     ).select("a", "b", "c")
-    member = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
-    )
+    # one explode pass instead of a 3-branch union: the union form plans
+    # the wedge+closure join subtree three times (exchange reuse dedupes
+    # the shuffles, but each branch still re-probes the join output);
+    # explode emits all three corners in the single pass (guide §2.4)
+    member = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     tcounts = member.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -362,10 +395,9 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted distinct edge list; output is bounded by the max
     degree, never by graph size."""
     t = Tables(spark, sf_dir)
-    pairs = _copurchase_pairs(t).persist()
+    pairs = _copurchase_pairs(t)
     deg = (
-        pairs.select(F.col("src").alias("node"))
-        .union(pairs.select(F.col("dst").alias("node")))
+        pairs.select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -427,9 +459,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     of quadratic in hub degree, and the oracle applies the same cap)."""
     t = Tables(spark, sf_dir)
     pairs = _copurchase_pairs(t).persist()
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _symmetric_edges(pairs)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     mid = (
         edges.join(deg, "src")
@@ -531,9 +561,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason production BFS caps k rather than iterating to fixpoint)."""
     t = Tables(spark, sf_dir)
     pairs = _copurchase_pairs(t)
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    edges = _symmetric_edges(pairs).persist()
     seed = edges.agg(F.min("src").alias("node"))
     layers = [seed.select("node", F.lit(0).alias("hop"))]
     visited = seed.select("node")

@@ -274,10 +274,15 @@ _COMPONENT_CLOSURE_CTES = f"""ws AS (
 )
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char/token counts + punctuation and stopword ratios — the quality-
-    filter building blocks, all as single-scan built-ins."""
+    filter building blocks, all as single-scan built-ins. The regex
+    ratios are CPU-bound per document, so the scan is spread to cluster
+    parallelism first when the input is a single row group
+    (D._spread_narrow_scan: no-op at scale, 1.8x at sf0.1)."""
     t = Tables(spark, sf_dir)
     c = F.col("text")
-    return t.documents.select(
+    return D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id",
         F.length(c).alias("n_chars_computed"),
         T.token_count(c).alias("n_tokens"),
@@ -3594,7 +3599,13 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. The quality tie-break is exact: both engines rank the
     4-decimal-rounded score."""
     t = Tables(spark, sf_dir)
-    docs = t.documents.withColumn("__q", T.quality_score(F.col("text")))
+    # spread the scan before the quality regexes + shingle hashing: a
+    # single-row-group corpus plans as one scan partition, serializing
+    # all per-doc CPU work; no-op (no shuffle) once the input splits to
+    # cluster parallelism naturally (D._spread_narrow_scan)
+    docs = D._spread_narrow_scan(t.documents, "doc_id").withColumn(
+        "__q", T.quality_score(F.col("text"))
+    )
     return D.dedup_components_keep_best(
         docs, "__q", threshold=0.8, bands=_P_BANDS, n=2
     ).select("doc_id", "lang")

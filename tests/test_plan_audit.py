@@ -115,8 +115,13 @@ def test_q5_all_broadcast_join_tree(spark):
 
 
 def test_minhash_band_exchange_reuse(spark):
-    """The LSH bucket-cap window and the candidate self-join share one
-    (band, val) exchange — the cap must not add a second full shuffle."""
+    """The LSH bucket-cap window and the candidate self-join share the
+    (band, val) shuffles: the window's aggregate exchange, plus the ONE
+    deliberate parallelism-spread repartition the r12 optimization added
+    ahead of the self-join (REPARTITION_BY_NUM over the ~KB-sized bucket
+    rows, so the quadratic pair expansion runs at cluster width instead
+    of at AQE's byte-sized partition count). Anything beyond those two
+    would be an accidental third full shuffle of the stacked frame."""
     from cartodb_importer_spark.llm import dedup as D
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -125,11 +130,14 @@ def test_minhash_band_exchange_reuse(spark):
     import re
 
     band_exchanges = {
-        m.group(0)
+        re.sub(r"#\d+", "#", m.group(0))
         for m in re.finditer(r"Exchange hashpartitioning\(band#\d+, val#\d+[^)]*\)", plan)
     }
-    # all band/val exchanges in the printed tree collapse to one plan node
-    assert len(band_exchanges) <= 1, band_exchanges
+    # window exchange + spread repartition (normalized over expression
+    # ids: the two self-join sides print the spread with distinct ids but
+    # identical canonical form, which AQE's exchange reuse dedupes at
+    # runtime); a third distinct shape would be an accidental shuffle
+    assert len(band_exchanges) <= 2, band_exchanges
 
 
 def test_bloom_prefilter_all_broadcast(spark):

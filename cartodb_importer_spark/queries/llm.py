@@ -3599,13 +3599,13 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. The quality tie-break is exact: both engines rank the
     4-decimal-rounded score."""
     t = Tables(spark, sf_dir)
-    # spread the scan before the quality regexes + shingle hashing: a
-    # single-row-group corpus plans as one scan partition, serializing
-    # all per-doc CPU work; no-op (no shuffle) once the input splits to
-    # cluster parallelism naturally (D._spread_narrow_scan)
-    docs = D._spread_narrow_scan(t.documents, "doc_id").withColumn(
-        "__q", T.quality_score(F.col("text"))
-    )
+    # NOT spread at the query level: an r12-opt A/B measured the
+    # whole-frame repartition net-NEGATIVE here (~+0.7s) — every docs
+    # consumer (candidate path, member-score join, final anti-join)
+    # re-evaluates the extra exchange, outweighing the parallel-regex
+    # win. The shingle/digest path is already spread inside
+    # shingle_frame, which is where the per-doc CPU actually burns.
+    docs = t.documents.withColumn("__q", T.quality_score(F.col("text")))
     return D.dedup_components_keep_best(
         docs, "__q", threshold=0.8, bands=_P_BANDS, n=2
     ).select("doc_id", "lang")

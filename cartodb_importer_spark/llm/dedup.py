@@ -689,7 +689,11 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .localCheckpoint()
+        # lazy: the labels checkpoint job below is the first (and only)
+        # computation of the verify-pipeline subtree, and it persists the
+        # edge partitions as a side effect — one job materializes both
+        # frames instead of paying a dedicated edges pass first.
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -698,12 +702,20 @@ def connected_components(
         .localCheckpoint()
     )
     for i in range(max_iterations):
-        updated = _cc_round(edges, labels, jump=i >= 2).localCheckpoint()
-        changed = (
-            updated.filter(F.col("component") < F.col("__prev")).limit(1).count()
+        # ONE action per round (was two: an eager checkpoint job plus a
+        # separate filter/limit convergence count): the lazy checkpoint
+        # is materialized by the convergence aggregate itself — the agg
+        # computes every partition, so the persisted frame the next
+        # round reads is complete — and the same job returns the
+        # changed-label count.
+        updated = _cc_round(edges, labels, jump=i >= 2).localCheckpoint(
+            eager=False
         )
+        changed = updated.agg(
+            F.sum((F.col("component") < F.col("__prev")).cast("int"))
+        ).first()[0]
         labels = updated.select("id", "component")
-        if changed == 0:
+        if not changed:
             break
     return labels
 

@@ -331,9 +331,9 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (n-gram heuristic): argmax of marker
     hits, CJK short-circuit, deterministic alphabetical tie-break."""
     t = Tables(spark, sf_dir)
-    return t.documents.select(
-        "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
-    )
+    return D._spread_narrow_scan(
+        t.documents.select("doc_id", "lang", "text"), "doc_id"
+    ).select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred"))
 
 
 @query(
@@ -515,9 +515,9 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document quality score (length / punctuation / stopword
     components) — the pre-training corpus filter, one scan, no UDF."""
     t = Tables(spark, sf_dir)
-    return t.documents.select(
-        "doc_id", T.quality_score(F.col("text")).alias("quality")
-    )
+    return D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
 @query(
@@ -817,7 +817,9 @@ def llm_pattern_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-scrubbing stats pass, single scan, regexp_count built-ins."""
     t = Tables(spark, sf_dir)
     c = F.col("text")
-    return t.documents.select(
+    return D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id",
         F.regexp_count(
             c, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
@@ -1057,7 +1059,9 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised at every scale factor. Pure regexp_replace/regexp_count —
     JVM codegen, no Python, embarrassingly parallel (no shuffle at all)."""
     t = Tables(spark, sf_dir)
-    aug = t.documents.select(
+    aug = D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1247,7 +1251,9 @@ def llm_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs' scale; the rule SHAPE is what the operator provides)."""
     t = Tables(spark, sf_dir)
     ws = T.words(F.col("text"))
-    base = t.documents.select("doc_id", ws.alias("ws"))
+    base = D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select("doc_id", ws.alias("ws"))
     n = F.size("ws")
     mean_wl = F.when(
         n > 0,
@@ -1310,7 +1316,9 @@ def llm_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     result. Ties break on the bigram string, so top-20 is deterministic."""
     t = Tables(spark, sf_dir)
     ws = T.words(F.col("text"))
-    base = t.documents.select(ws.alias("w"))
+    base = D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select(ws.alias("w"))
     n1 = F.size("w") - 1
     bigrams = F.zip_with(
         F.slice("w", 1, n1),
@@ -1604,7 +1612,9 @@ def _bigram_lm_frame(t: Tables) -> DataFrame:
     """(doc_id, lm_score, n_bigrams) per document — the add-one-smoothed
     corpus bigram LM shared by llm_bigram_lm_score and
     llm_perplexity_bucket."""
-    d = t.documents.select("doc_id", T.words(F.col("text")).alias("ws"))
+    d = D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     n1 = F.size("ws") - 1
     bg = (
         d.select(
@@ -1620,7 +1630,11 @@ def _bigram_lm_frame(t: Tables) -> DataFrame:
         .select("doc_id", "b.w1", "b.w2")
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # c1 derives from c2 (count per w1 = sum of its bigram counts): one
+    # aggregate over the DISTINCT-bigram frame instead of a second full
+    # pass + shuffle over every bigram occurrence (guide §2.3 —
+    # aggregate before you shuffle). Result-identical by construction.
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vocab = (
         d.select(F.explode("ws").alias("tok"))
         .agg(F.count_distinct("tok").alias("vocab"))
@@ -1836,7 +1850,10 @@ def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys and exact gram strings never shuffle. Within-doc
     # packed-collision odds ~g^2*2^-49.
     packed = (
-        t.documents.select(
+        D._spread_narrow_scan(
+            t.documents.select("doc_id", "text"), "doc_id"
+        )
+        .select(
             "doc_id", F.explode(D.shingle_strings(F.col("text"), 2)).alias("__g")
         )
         .select(
@@ -3405,7 +3422,9 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = B.apply_merges_scan(
         B.char_tokens(F.col("text")), [(l, r) for l, r in _BPE_MERGES]
     )
-    return t.documents.select(
+    return D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.array_join(F.slice(toks, 1, 8), "|").alias("preview"),
@@ -3664,7 +3683,15 @@ def llm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly between two distinct score values, so the >= bucket
     comparisons cannot diverge."""
     t = Tables(spark, sf_dir)
-    lm = _bigram_lm_frame(t).select("doc_id", F.col("lm_score").alias("lm"))
+    # persisted: the tertile-cutoff aggregate AND the final bucket
+    # projection both consume the LM frame — unpersisted, the whole
+    # bigram-LM pipeline (tokenize, bigram aggregates, scoring joins)
+    # evaluates twice per run
+    lm = (
+        _bigram_lm_frame(t)
+        .select("doc_id", F.col("lm_score").alias("lm"))
+        .persist()
+    )
     cut = lm.agg(
         F.percentile("lm", F.lit(2 / 3)).alias("c_head"),
         F.percentile("lm", F.lit(1 / 3)).alias("c_mid"),
@@ -3720,7 +3747,9 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     -0.0 (an all-identical-token doc computes ln(n) - n*ln(n)/n, which
     can land at minus zero) to +0.0 in both engines' byte-level hash."""
     t = Tables(spark, sf_dir)
-    d = t.documents.select("doc_id", T.words(F.col("text")).alias("ws"))
+    d = D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     counts = F.array_sort(
         F.transform(
             F.array_distinct("ws"),
@@ -3899,9 +3928,9 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the per-language audit join. The OOV-type distinct is the second
     keyed shuffle; nothing wider than (lang, token) ever moves."""
     t = Tables(spark, sf_dir)
-    occ = t.documents.select(
-        "lang", F.explode(T.words(F.col("text"))).alias("token")
-    )
+    occ = D._spread_narrow_scan(
+        t.documents.select("doc_id", "lang", "text"), "doc_id"
+    ).select("lang", F.explode(T.words(F.col("text"))).alias("token"))
     counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     vocab = (
         counts.orderBy(F.col("n").desc(), "token")
@@ -4040,9 +4069,10 @@ def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     round identical rationals."""
     t = Tables(spark, sf_dir)
     per = (
-        t.documents.select(
-            "doc_id", F.explode(T.words(F.col("text"))).alias("token")
+        D._spread_narrow_scan(
+            t.documents.select("doc_id", "text"), "doc_id"
         )
+        .select("doc_id", F.explode(T.words(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -4207,9 +4237,12 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
-    pos = t.documents.select(
-        "doc_id", F.posexplode(T.words(F.col("text"))).alias("pos", "w")
-    )
+    # spread keyed on doc_id: the per-doc window below clusters on the
+    # same key, so the (conditional) repartition is the plan's ONE
+    # per-doc exchange — the window reuses it instead of adding its own
+    pos = D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.posexplode(T.words(F.col("text"))).alias("pos", "w"))
     bypos = Window.partitionBy("doc_id").orderBy("pos")
     grams = (
         pos.select(
@@ -4469,9 +4502,10 @@ def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     cm = (
-        t.documents.select(
-            "lang", T.lang_id(F.col("text")).alias("lang_pred")
+        D._spread_narrow_scan(
+            t.documents.select("doc_id", "lang", "text"), "doc_id"
         )
+        .select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

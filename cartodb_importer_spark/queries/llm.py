@@ -4812,7 +4812,15 @@ def llm_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     three pipeline re-runs."""
     t = Tables(spark, sf_dir)
     cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
-    jp = D.jaccard_pairs(t.documents, cand, n=2)
+    # verify through the shared size-ratio-bounded stage at the LOWEST
+    # reported threshold: pairs whose size ratio caps Jaccard below 0.5
+    # contribute zero to every conditional aggregate (their when() is
+    # false for all three thresholds), so pruning them before the array
+    # join is result-identical — and the bounded path also spreads the
+    # verify join to cluster parallelism
+    jp = D._bounded_jaccard_edges(
+        t.documents, cand, 0.5, "text", "doc_id", 2
+    )
     j_bp = (
         F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
     )
@@ -5045,9 +5053,12 @@ def llm_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent cross-engine check of the component labels themselves."""
     t = Tables(spark, sf_dir)
     cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
-    jp = D.jaccard_pairs(t.documents, cand, n=2)
-    verified = jp.filter(
-        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) >= 8000
+    # same >= 0.8 edge set through the shared size-ratio-bounded verify
+    # (jaccard is 4-decimal HALF_UP-rounded in both forms, so the
+    # rounded-bp floor compare and the >= 0.8 filter select identical
+    # pairs); the bound prunes the array join to the reachable fraction
+    verified = D._bounded_jaccard_edges(
+        t.documents, cand, 0.8, "text", "doc_id", 2
     ).select("id_a", "id_b")
     comp = D.connected_components(verified)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))

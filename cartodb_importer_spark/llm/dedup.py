@@ -298,9 +298,22 @@ def _candidate_shingle_join(
     sides read it), then attach sh_a/sh_b arrays to each candidate pair.
     jaccard_pairs and containment_pairs differ only in the score
     expression they compute over this frame. ``sh`` lets a caller that
-    already built the persisted hashed frame (near_dedup) pass it in."""
+    already built the persisted hashed frame (near_dedup) pass it in —
+    those callers (_bounded_jaccard_edges) have already spread their
+    pair list, so the spread below is skipped for them."""
     if sh is None:
         sh = _hashed_shingle_frame(df, text_col, id_col, n, hashed)
+        # spread the pair list before attaching arrays: the intersect/
+        # union work is proportional to pairs x shingles, but AQE sizes
+        # the pair frame's exchange by its (tiny) id-list bytes — the
+        # all-candidate scorers measured their verify probes running on
+        # 8 of 32 cores at sf0.1 (guide §2.5: parallelism must follow
+        # the work, not the input bytes)
+        pairs = pairs.repartition(
+            2 * df.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
+        )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return pairs.join(a, "id_a").join(b, "id_b")

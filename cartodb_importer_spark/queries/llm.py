@@ -2825,7 +2825,10 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates — no new pair enumeration."""
     t = Tables(spark, sf_dir)
     cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
-    sig = D.minhash_signature(t.documents, bands=_P_BANDS, n=2)
+    # persisted: BOTH attach joins (id_a and id_b sides) read the
+    # signature frame — unpersisted, the shingle+md5 signature pipeline
+    # evaluates once per side
+    sig = D.minhash_signature(t.documents, bands=_P_BANDS, n=2).persist()
     ga = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh_{b}").alias(f"a_{b}") for b in range(_P_BANDS)],
@@ -4580,14 +4583,18 @@ def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|^2 rows at most."""
     t = Tables(spark, sf_dir)
     cand = D.minhash_candidate_pairs(t.documents, bands=_P_BANDS, n=2)
-    scored = D.jaccard_pairs(t.documents, cand, n=2)
-    dup = scored.select(
+    # verified >= 0.8 edge set through the shared size-ratio-bounded
+    # stage (identical pair set: jaccard is 4-decimal HALF_UP-rounded in
+    # both forms, so the bp floor compare and the >= 0.8 filter agree)
+    dup = D._bounded_jaccard_edges(
+        t.documents, cand, 0.8, "text", "doc_id", 2
+    ).select(
         "id_a",
         "id_b",
         F.floor(F.col("jaccard") * 10000 + F.lit(0.5))
         .cast("long")
         .alias("j_bp"),
-    ).filter(F.col("j_bp") >= 8000)
+    )
     src = t.documents.select("doc_id", "source")
     sa = src.select(
         F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")

@@ -89,9 +89,11 @@ class Importer:
                     naming.sanitize(meta["suggested_name"]),
                     self.catalog.table_names(),
                 )
-            # O9 empty guard (importer.rb:238-242)
-            if df.isEmpty():
-                raise ValueError("Empty table")
+            # O9 empty guard (importer.rb:238-242) — enforced inside
+            # publish (reject_empty below), where the emptiness check
+            # rides the staging write's Observation instead of paying a
+            # dedicated isEmpty() job per file; an empty input still
+            # raises ValueError("Empty table") with nothing published.
             # O10 name sanitation (readers already sanitize; idempotent)
             df = df.toDF(*naming.sanitize_columns(df.columns))
             # O11 GeoJSON the_geom rebuild — only when the column holds
@@ -138,7 +140,9 @@ class Importer:
             attempts = 0
             while True:
                 try:
-                    rows = self.catalog.publish(df, self.suggested_name)
+                    rows = self.catalog.publish(
+                        df, self.suggested_name, reject_empty=True
+                    )
                     break
                 except (ValueError, OSError) as exc:
                     # Only genuine name collisions retry (ADVICE r09: a

@@ -111,14 +111,33 @@ class Catalog:
         # contract and makes staging names process- and thread-unique.
         return f"importing_{int(time.time())}_{uuid.uuid4().hex[:8]}_{name}"
 
-    def publish(self, df: DataFrame, name: str) -> int:
+    def publish(
+        self, df: DataFrame, name: str, reject_empty: bool = False
+    ) -> int:
         """Write staging, atomically rename, return landed row count.
         On failure the staging table is dropped and the original table (if
         any) is untouched — the reference's rollback contract
-        (spec/import_spec.rb:36-52: a failed import never clobbers)."""
+        (spec/import_spec.rb:36-52: a failed import never clobbers).
+
+        The landed count rides the staging write itself as an Observation
+        metric — the write is the action that lands the rows, so counting
+        there is exact and costs no extra job, where the previous
+        ``count(table)`` re-scanned the just-published table (at 100 TB a
+        full second read per publish). ``reject_empty=True`` applies the
+        reference's empty-input guard (importer.rb:238-242) at the same
+        zero-job point: an empty staging result drops the staging table
+        and raises before the rename, so an empty table is never
+        published."""
+        from pyspark.sql import Observation
+
         staging = self.staging_name(name)
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         try:
-            self.write(df, staging)
+            self.write(observed, staging)
+            rows = int(obs.get["n_rows"])
+            if reject_empty and rows == 0:
+                raise ValueError("Empty table")
             if self.exists(name):
                 self.drop(staging)
                 raise ValueError(f"table {name!r} already exists")
@@ -129,7 +148,7 @@ class Catalog:
             finally:
                 pass
             raise
-        return self.count(df.sparkSession, name)
+        return rows
 
 
 class LocalCatalog(Catalog):
@@ -395,7 +414,14 @@ class VersionedLocalCatalog(LocalCatalog):
         return self._read_table_dir(spark, self._path(f"{name}{self.VSEP}{v}"))
 
     def publish_version(self, df: DataFrame, name: str) -> int:
+        from pyspark.sql import Observation
+
         staging = self.staging_name(name)
+        # landed count rides the staging write (same zero-extra-job
+        # Observation as Catalog.publish; the old count() re-read the
+        # whole just-published table)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         try:
             self.write(df, staging)
             vs = self.versions(name)
@@ -424,7 +450,7 @@ class VersionedLocalCatalog(LocalCatalog):
             finally:
                 pass
             raise
-        return self.count(df.sparkSession, name)
+        return int(obs.get["n_rows"])
 
 
 class DeltaCatalog(Catalog):

@@ -718,3 +718,33 @@ def test_publish_retry_surfaces_non_collision_errors(spark, catalog, tmp_path):
         assert calls["n"] == 1, "non-collision error must not retry"
     finally:
         catalog.write = orig_write
+
+
+def test_publish_count_rides_the_write_observation(spark, catalog):
+    """r12 optimization: the landed count comes from an Observation on
+    the staging write itself (no post-publish count() re-scan). Exact
+    for multi-partition frames, and reject_empty enforces the O9 guard
+    before the rename, so an empty input never publishes."""
+    df = spark.range(0, 1000, 1, 7).selectExpr("id", "id * 2 AS v")
+    assert catalog.publish(df, "obs_count") == 1000
+    # the published table really holds what the observation counted
+    assert catalog.count(spark, "obs_count") == 1000
+
+    empty = df.filter("id < 0")
+    with pytest.raises(ValueError, match="Empty table"):
+        catalog.publish(empty, "obs_empty", reject_empty=True)
+    assert "obs_empty" not in catalog.table_names()
+    # staging leftovers are rolled back too
+    assert not [n for n in catalog.table_names() if "obs_empty" in n]
+    # without the guard an empty publish still lands (non-import callers)
+    assert catalog.publish(empty, "obs_empty_ok") == 0
+
+
+def test_publish_version_count_rides_the_write(spark, tmp_path):
+    from cartodb_importer_spark.sinks.catalog import VersionedLocalCatalog
+
+    cat = VersionedLocalCatalog(str(tmp_path / "vwh"))
+    df = spark.range(0, 50, 1, 3).selectExpr("id")
+    assert cat.publish_version(df, "t") == 50
+    assert cat.publish_version(df.filter("id < 10"), "t") == 10
+    assert cat.count(spark, "t") == 10

@@ -530,12 +530,19 @@ def simhash16(col: Column) -> Column:
     docs differ in few bits (compare via Hamming distance). Portable to any
     engine with md5 + substring."""
     ws = F.array_distinct(words(col))
+    # hash each token ONCE and let every bit read its nibble from the
+    # cached digest string: the previous per-bit transform recomputed
+    # F.md5(w) inside all 16 lambdas — interpreted HOFs get no common-
+    # subexpression elimination, so each token was md5'd 16x (r12:
+    # 3.5 -> ~1.0 s at sf0.1 with the scan spread). Same digests, same
+    # votes, same signature.
+    hs = F.transform(ws, lambda w: F.md5(w))
 
     def vote_at(pos: int):
         # single-parameter lambda: pyspark would bind the array index to a
         # second parameter, shadowing a default-arg closure
-        return lambda w: F.when(
-            F.substring(F.md5(w), pos, 1).isin(
+        return lambda h: F.when(
+            F.substring(h, pos, 1).isin(
                 "8", "9", "a", "b", "c", "d", "e", "f"
             ),
             1,
@@ -543,7 +550,7 @@ def simhash16(col: Column) -> Column:
 
     bits = []
     for b in range(16):
-        nib = F.transform(ws, vote_at(b + 1))
+        nib = F.transform(hs, vote_at(b + 1))
         vote = F.aggregate(nib, F.lit(0), lambda acc, x: acc + x)
         bits.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
     total = bits[0]

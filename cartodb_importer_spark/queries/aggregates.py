@@ -1172,20 +1172,27 @@ def agg_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the template."""
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    # ONE groupBy + basket-local double explode instead of the keyed
+    # self-join (r12, the _copurchase_pairs transformation — guide §2.4):
+    # the join shuffled lineitem twice and re-probed it; collect_set
+    # shuffles it once and emits each order's unordered pairs in place.
+    # Support counts stay identical: the SET dedupes a basket's repeated
+    # parts, so one count per (pair, order) — exactly the join form's
+    # count(DISTINCT l_orderkey). The per-order expansion bound is
+    # unchanged (sum of basket-size^2, a domain constant for TPC-H).
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    pairs = baskets.select(
+        F.explode("items").alias("item_a"), F.col("items")
+    ).select(
+        "item_a",
+        F.explode(
+            F.filter("items", lambda x: x > F.col("item_a"))
+        ).alias("item_b"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
-            F.col("a.l_orderkey").alias("l_orderkey"),
-        )
-        .groupBy("item_a", "item_b")
-        .agg(F.count_distinct("l_orderkey").alias("support"))
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
     )

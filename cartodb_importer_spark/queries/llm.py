@@ -180,9 +180,9 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint (md5-nibble majority vote); near-dups are
     fingerprints within small Hamming distance."""
     t = Tables(spark, sf_dir)
-    return t.documents.select(
-        "doc_id", D.simhash16(F.col("text")).alias("simhash")
-    )
+    return D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
 
 
 # ---------------------------------------------------------------- text stats
@@ -889,7 +889,9 @@ def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit simhash costs 16 md5-per-token array passes, the dominant
     term — without persist it's computed twice (2x wall at 10x scale)."""
     t = Tables(spark, sf_dir)
-    sig = t.documents.select(
+    sig = D._spread_narrow_scan(
+        t.documents.select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id", D.simhash16(F.col("text")).alias("simhash")
     ).persist()
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))

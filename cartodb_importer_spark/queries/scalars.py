@@ -501,15 +501,30 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe arithmetic surface: try_divide / try_cast return NULL
     instead of raising — the error-tolerant lattice used on dirty data
     (the reference's type-inference fallback behavior, O-§2.2, expressed
-    per-expression). DuckDB mirrors try_divide as x/nullif(y, 0)."""
+    per-expression). DuckDB mirrors try_divide as x/nullif(y, 0).
+
+    flag_int's try_cast carries a definitely-invalid pre-guard: Spark's
+    string->int TRY cast reaches NULL by throwing and catching a JVM
+    exception PER ROW, so a column that is mostly/always non-numeric
+    (here: 'A'/'N'/'R') pays exception+stack-fill on every row — 8.8 s
+    for this one expression at sf0.1 vs 0.23 s for the scan. The rlike
+    admits exactly the strings Spark's grammar could accept (any amount
+    of <= 0x20 lead trim, optional sign, then a digit — everything else
+    is NULL under try_cast by construction, torture-set-verified incl.
+    control-char trims and overflow bounds), so the guarded form is
+    value-identical and the exception path only runs on plausibly
+    numeric rows."""
     t = Tables(spark, sf_dir)
+    flag = F.col("l_returnflag")
     return t.lineitem.select(
         "l_orderkey",
         "l_linenumber",
         F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
             "price_per_disc"
         ),
-        F.col("l_returnflag").try_cast("int").alias("flag_int"),
+        F.when(flag.rlike("^[\\x00- ]*[+-]?[0-9]"), flag.try_cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("flag_int"),
         F.col("l_linenumber").cast("string").try_cast("int").alias(
             "line_round_trip"
         ),

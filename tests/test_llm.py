@@ -2239,6 +2239,37 @@ def test_ann_batch_topk_zero_norm_ranks_last(spark):
     assert all(sim is None for _, sim in by_q[99])
 
 
+def test_trainer_feature_persists_released(spark):
+    """Both k-means trainers persist their feature frame around the fit
+    (r12: every k-means|| init pass and Lloyd iteration re-ran the
+    upstream scan/projection otherwise) and must UNPERSIST it before
+    returning — a leaked cache entry per fit accumulates at corpus scale
+    and contaminates later queries' memory budget. Centroid identity
+    under the persist is separately pinned by the recall-contract tests
+    and was verified bit-for-bit old-vs-new at r12 (persist changes
+    evaluation count only, never values/partitioning/seed)."""
+    from pyspark.sql import functions as F
+
+    from cartodb_importer_spark.llm.similarity import (
+        l2_normalize,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_cells=8)
+    assert len(cents) == 8
+    assert cm.isEmpty(), "train_ivf_centroids leaked its feats persist"
+    nvec = l2_normalize(emb.select("vec_id", "embedding")).filter(
+        F.col("nvec").isNotNull()
+    )
+    books = train_pq_codebooks(nvec, m=4, k=4)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    assert cm.isEmpty(), "train_pq_codebooks leaked a subspace persist"
+
+
 def test_ivf_auto_sizing_scales_with_sqrt_n(spark):
     """The DEFAULT index config must scale: n_cells = max(16, ceil(sqrt(N)))
     (a fixed cell count makes the batched-ANN per-cell stage ~N²/cells —

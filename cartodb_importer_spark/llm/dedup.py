@@ -145,7 +145,14 @@ def minhash_signature(
     independent slice of that digest (hex chars [b*w, (b+1)*w)), so adding
     bands costs substrings, not digests — at 100 TB the md5s are the compute
     bill. The shingle array materializes once per row and every band's min
-    reads the same hashed array."""
+    reads the same hashed array.
+
+    (r12-opt negative, measured: sharing ONE persisted shingle frame
+    between this signature path and the verify stage's xxhash path was
+    A/B'd SLOWER at the min (3.14 -> 3.85 s on the sf0.1 near-dedup
+    pipeline) — caching the heavy string arrays costs more than
+    re-running the scan-fused shingling once per consumer, so each path
+    keeps its own fused evaluation.)"""
     w = band_width(bands)
     hashed = shingle_frame(df, text_col, id_col, n).select(
         F.col(id_col),
@@ -782,7 +789,7 @@ def _near_dup_components(
 
 def dedup_components_keep_best(
     df: DataFrame,
-    score_col: str,
+    score_col: str | Column,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -791,7 +798,7 @@ def dedup_components_keep_best(
 ) -> DataFrame:
     """Quality-aware cluster dedup: same near-dup components as
     :func:`dedup_components`, but each component keeps its HIGHEST-
-    ``score_col`` member (ties broken by min id) instead of the min id.
+    scoring member (ties broken by min id) instead of the min id.
 
     This is how production corpus dedup actually picks survivors (keep the
     longest / highest-quality copy of a boilerplate cluster, not an
@@ -799,12 +806,29 @@ def dedup_components_keep_best(
     component frame against the per-doc scores plus a per-component
     window — both keyed shuffles on data already bounded by the number of
     CLUSTERED docs (typically a few percent of the corpus), so the added
-    work does not scale with corpus size."""
+    work does not scale with corpus size.
+
+    ``score_col`` may be a column NAME already computed on ``df``, or a
+    Column EXPRESSION over ``df``'s columns. Pass the expression form when
+    the score is expensive per-doc work (regex heuristics): a named column
+    is evaluated for EVERY corpus row below the member join (Catalyst
+    never lifts a projection above a join), while the expression form is
+    computed AFTER the component join restricts the frame to clustered
+    members only — the same handful of docs the window actually ranks
+    (r12-opt: 477 of 5000 docs at sf0.1). Identical survivor choice by
+    construction: only member rows' scores ever reach the window."""
     comps = _near_dup_components(df, threshold, text_col, id_col, bands, n)
-    member = comps.join(
-        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
-        "id",
-    )
+    if isinstance(score_col, Column):
+        member = comps.join(
+            df.withColumnRenamed(id_col, "id"), "id"
+        ).select("id", "component", score_col.alias("__s"))
+    else:
+        member = comps.join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+            ),
+            "id",
+        )
     w = Window.partitionBy("component").orderBy(
         F.col("__s").desc(), F.col("id").asc()
     )

@@ -3629,9 +3629,15 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the extra exchange, outweighing the parallel-regex
     # win. The shingle/digest path is already spread inside
     # shingle_frame, which is where the per-doc CPU actually burns.
-    docs = t.documents.withColumn("__q", T.quality_score(F.col("text")))
+    # The quality score is passed as an EXPRESSION so keep_best computes
+    # the regex heuristic only for clustered members (after the component
+    # join restricts the frame), not for every corpus row.
     return D.dedup_components_keep_best(
-        docs, "__q", threshold=0.8, bands=_P_BANDS, n=2
+        t.documents,
+        T.quality_score(F.col("text")),
+        threshold=0.8,
+        bands=_P_BANDS,
+        n=2,
     ).select("doc_id", "lang")
 
 

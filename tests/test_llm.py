@@ -165,6 +165,31 @@ def test_dedup_keep_best_picks_highest_score(spark):
     assert ids == [3, 9]
 
 
+def test_dedup_keep_best_column_expression_matches_named_column(spark):
+    # r12-opt: passing the score as a Column EXPRESSION (computed after
+    # the component join restricts to clustered members) must choose the
+    # exact same survivors as the precomputed named-column form
+    chain = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha beta gamma delta epsilon zeta mu iota"),
+        (9, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(chain, "doc_id long, text string")
+    score = F.length("text").cast("double")
+    named = D.dedup_components_keep_best(
+        df.withColumn("q", score), "q", threshold=0.4, bands=8, n=2
+    ).select("doc_id")
+    expr = D.dedup_components_keep_best(
+        df, score, threshold=0.4, bands=8, n=2
+    ).select("doc_id")
+    got_named = sorted(r["doc_id"] for r in named.collect())
+    got_expr = sorted(r["doc_id"] for r in expr.collect())
+    assert got_expr == got_named
+    # longest member of the {1,2,3} chain cluster wins under this score
+    assert got_expr == [1, 9]
+
+
 def test_dedup_keep_best_tie_breaks_min_id(spark):
     pair = [
         (5, "alpha beta gamma delta epsilon zeta eta theta", 0.7),

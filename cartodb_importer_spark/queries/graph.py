@@ -224,18 +224,29 @@ _TRIANGLE_SQL_CTES = f"""
 
 def _degree_and_triangle_counts(t: Tables):
     """Shared construction for the triangle family: undirected per-node
-    degree and per-node triangle counts via DEGREE-ordered wedge
-    enumeration (the Schank-Wagner / Cohen MapReduce orientation): every
-    undirected edge points from its lower-(degree, id) endpoint to the
-    higher one, wedges are pairs of out-neighbors of a common apex, and
-    a triangle is a wedge closed by the directed (b, c) edge. Each
-    triangle is counted exactly once (the orientation is a total order),
-    and the wedge fan-out is bounded by sum of out-degree^2 where
-    out-degree is O(sqrt(|E|)) under this orientation — the id-ordered
-    variant (r02) put every hub's full neighborhood on one apex and
-    OOM'd a 1 GB bare session at sf0.1; this one runs there comfortably.
-    Two keyed equi-joins (apex, then the composite (b, c) edge key);
-    per-node counts come from exploding each triangle's three members.
+    degree and per-node triangle counts via DEGREE-ordered adjacency
+    intersection: every undirected edge points from its lower-(deg, id)
+    endpoint to the higher one (the Schank-Wagner / Cohen orientation),
+    and for each directed edge (u, v) the triangles it bases are exactly
+    N+(u) ∩ N+(v) (w completes {u,v,w} iff u→w and v→w exist). The
+    orientation is a total order, so a triangle a<b<c is found exactly
+    once — on its (a, b) edge, with c in both forward lists; the forward
+    adjacency list is O(sqrt(|E|)) long under this orientation (the
+    id-ordered variant (r02) put every hub's full neighborhood on one
+    node and OOM'd a 1 GB bare session at sf0.1).
+
+    r12-opt: this replaces the wedge-enumeration form (self-join on the
+    apex emitting every out-neighbor pair, then a closure join on the
+    (b, c) edge key). Both do Θ(Σ out-deg²) element work, but the wedge
+    form MATERIALIZED it — 41M wedge rows at sf0.1 flowing through a
+    join probe — where the intersection keeps the frame at |E| rows
+    (1.2M) with bounded arrays and does the per-edge work inside one
+    codegen'd `array_intersect`. Measured on the isolated tcounts
+    stage at sf0.1: min 3.67 → 1.46 s (−60%), identical counts for all
+    20k nodes. Per-edge credit: u and v each base |ws| triangles, each
+    w completes one — summed per node in a single explode pass (no
+    per-corner union branches, guide §2.4).
+
     Returns (deg: (node, deg), tcounts: (node, n_triangles) for every
     node in >= 1 triangle). Per-node counts are orientation-invariant,
     so the id-ordered SQL oracle enumeration matches."""
@@ -260,50 +271,57 @@ def _degree_and_triangle_counts(t: Tables):
     fwd = (F.col("dsrc") < F.col("ddst")) | (
         (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
     )
-    # Repartition by apex BEFORE caching: AQE coalesces the orientation
+    # Repartition by u BEFORE caching: AQE coalesces the orientation
     # join's output to match its ~tens-of-MB size (10 partitions at
-    # sf0.1), but the NEXT stage is the wedge self-join — a 30x row
-    # EXPANSION (41M wedges from 1.2M edges at sf0.1) whose cost is
-    # proportional to output, not input, so a byte-sized partition count
-    # serializes it onto a few cores (guide §2.5 input-skew note: fix
-    # parallelism where the work is, not where the bytes are). Keying by
-    # ``u`` also makes the self-join co-partitioned (no extra exchange).
-    # 2x defaultParallelism is scale-adaptive (tracks executor count on a
-    # cluster), never a local constant. Measured at sf0.1:
-    # wedge+closure+count 7.0s -> 3.9s.
+    # sf0.1), but the downstream per-edge intersection work is
+    # proportional to Σ out-deg², not to the edge-list bytes, so a
+    # byte-sized partition count serializes it onto a few cores (guide
+    # §2.5 input-skew note: fix parallelism where the work is, not where
+    # the bytes are). Keying by ``u`` also makes the adjacency groupBy
+    # exchange-free. 2x defaultParallelism is scale-adaptive (tracks
+    # executor count on a cluster), never a local constant.
     n_part = 2 * t.lineitem.sparkSession.sparkContext.defaultParallelism
     directed = keyed.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-        F.when(fwd, F.col("ddst")).otherwise(F.col("dsrc")).alias("degv"),
     ).repartition(n_part, "u").persist()
-    e1 = directed.alias("e1")
-    e2 = directed.alias("e2")
-    # out-neighbor pairs of each apex, ordered by the same (deg, id) key
-    # so each unordered {b, c} appears once and matches a directed edge
-    wedge = e1.join(e2, F.col("e2.u") == F.col("e1.u")).where(
-        (F.col("e1.degv") < F.col("e2.degv"))
-        | (
-            (F.col("e1.degv") == F.col("e2.degv"))
-            & (F.col("e1.v") < F.col("e2.v"))
-        )
-    ).select(
-        F.col("e1.u").alias("a"),
-        F.col("e1.v").alias("b"),
-        F.col("e2.v").alias("c"),
+    # forward adjacency rides directed's (u) partitioning — no exchange;
+    # list not set: directed pairs are already distinct
+    adj = directed.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # attach N+(v) then N+(u); the second join is co-partitioned on u
+    withv = directed.join(
+        adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v"
     )
-    tri = wedge.join(
-        directed.alias("e3"),
-        (F.col("e3.u") == F.col("b")) & (F.col("e3.v") == F.col("c")),
-    ).select("a", "b", "c")
-    # one explode pass instead of a 3-branch union: the union form plans
-    # the wedge+closure join subtree three times (exchange reuse dedupes
-    # the shuffles, but each branch still re-probes the join output);
-    # explode emits all three corners in the single pass (guide §2.4)
-    member = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-    tcounts = member.groupBy("node").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    both = withv.join(adj.select("u", F.col("nbrs").alias("nu")), "u")
+    tri_w = both.select(
+        "u", "v", F.array_intersect("nu", "nv").alias("ws")
+    ).where(F.size("ws") > 0)
+    # one explode pass credits all corners (no per-corner union
+    # branches, guide §2.4): the base edge's endpoints each get |ws|,
+    # every completing w gets 1
+    contrib = tri_w.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    "ws",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.size("ws").cast("long").alias("c"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.size("ws").cast("long").alias("c"),
+                    ),
+                ),
+            )
+        ).alias("m")
+    ).select("m.node", "m.c")
+    tcounts = contrib.groupBy("node").agg(F.sum("c").alias("n_triangles"))
     return deg, tcounts
 
 

@@ -92,6 +92,33 @@ def test_common_neighbors_are_nonadjacent_and_correct(spark, edge_set):
         assert r["n_common"] == len(common)
 
 
+def test_triangle_counts_shared_edge_fixture(spark, tmp_path):
+    """r12-opt pin for the adjacency-intersection triangle count: two
+    triangles SHARING an edge — the base edge of both must credit its
+    endpoints once per completed triangle (|ws| each), every completing
+    node once. Graph: {1,2,3} and {1,2,4} share edge (1,2); node 5
+    attaches to 1 only (degree 1 -> in no triangle, absent from output).
+    Expected: 1 -> 2, 2 -> 2, 3 -> 1, 4 -> 1."""
+    import os
+
+    # one order per desired co-purchase edge
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (1, 5)]
+    rows = [
+        (oid, part)
+        for oid, (a, b) in enumerate(edges)
+        for part in (a, b)
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "lineitem.parquet"))
+    got = {
+        (r["part_node"], r["n_triangles"])
+        for r in QUERIES["graph_triangle_count"](spark, sf).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 1), (4, 1)}
+
+
 def test_giant_basket_guard_drops_pathological_orders(spark, tmp_path):
     """r09 skew finding: one k-item basket emits k^2/2 edges, so a hot-key
     corpus's million-line order projects a corpus-wide clique. Orders with

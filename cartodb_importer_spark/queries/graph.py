@@ -184,9 +184,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported scaled by N (so a uniform graph scores 1.0) on the 1e-6
     grid, making the float fold order cross-engine-stable."""
     t = Tables(spark, sf_dir)
-    pairs = _copurchase_pairs(t)
+    # persisted (r12-opt, guide §2.4): pairs feeds the degree aggregate
+    # (materialized by the n count below) AND the weighted-edge build —
+    # without the persist the basket aggregate + double explode + distinct
+    # pipeline runs once per consumer; deg is read three times (the wedge
+    # join, the rank-vector init, the final degree join) plus the count.
+    pairs = _copurchase_pairs(t).persist()
     edges = _symmetric_edges(pairs)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    )
     # contribution weight folded into the edge list once: src -> dst with
     # weight 1/outdeg(src); 5 iterations reuse this one persisted relation
     wedges = (
@@ -478,7 +485,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = _copurchase_pairs(t).persist()
     edges = _symmetric_edges(pairs)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # persisted (r12-opt): three consumers (the hub cap filter plus the
+    # da/dc scoring joins) each re-ran the explode+aggregate otherwise
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    )
     mid = (
         edges.join(deg, "src")
         .where(F.col("outdeg") <= 60)
@@ -580,7 +591,14 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pairs = _copurchase_pairs(t)
     edges = _symmetric_edges(pairs).persist()
-    seed = edges.agg(F.min("src").alias("node"))
+    # persisted (r12-opt, guide §2.4): each hop's frontier has THREE
+    # downstream consumers (its output layer in the final union, the
+    # growing visited set feeding every later hop's anti-join, and the
+    # next hop's expansion join) — without the persist hop 1's whole
+    # join+distinct+anti pipeline re-evaluates ~4x inside the one final
+    # job. The frames are frontier-sized (bounded by the k-hop ball),
+    # so caching them is the textbook BSP frontier pattern.
+    seed = edges.agg(F.min("src").alias("node")).persist()
     layers = [seed.select("node", F.lit(0).alias("hop"))]
     visited = seed.select("node")
     frontier = seed.select("node")
@@ -592,6 +610,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
+            .persist()
         )
         layers.append(nxt.select("node", F.lit(hop).alias("hop")))
         visited = visited.union(nxt)

@@ -264,6 +264,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verdict first (tools/rotation.py recomputes it from git history +
     CORRECTNESS_r*.json each round) — then everything else. A full sweep
     still re-verifies the whole registry."""
+    import functools
+
+    from cartodb_importer_spark.caching import release_tracked_caches
+
+    def _releasing(fn):
+        # Release the PREVIOUS query's tracked persists before building
+        # the next one (r13, VERDICT r12 item 2): by the time the sweep
+        # asks for query N+1, query N's consuming action has run, so its
+        # caches are dead weight — without this a 290-query sweep session
+        # accumulates every invocation's entries until session end. The
+        # current query's own persists are untouched (registered only
+        # when fn runs, released on the NEXT call).
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked_caches()
+            return fn(spark, sf_dir)
+
+        return wrapper
+
     verified = _previously_verified()
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY:
@@ -290,7 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, fn in QUERIES.items():
         if name not in ordered:
             ordered[name] = fn
-    return ordered
+    return {name: _releasing(fn) for name, fn in ordered.items()}
 
 
 def oracle_sql() -> dict[str, str]:

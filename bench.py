@@ -143,6 +143,7 @@ def run_import_bench(spark, n_runs: int = 3) -> dict:
             sum(i.result.rows_imported for i in items if i.result),
             [i.error for i in items if i.error],
         ))
+    all_walls = [round(r[0], 3) for r in runs]  # run order, for noise reads
     runs.sort(key=lambda r: r[0])
     # rows/errors come from the SAME run as the headline wall time, not
     # accumulated across runs (ADVICE r10: N runs reported one failing
@@ -161,6 +162,7 @@ def run_import_bench(spark, n_runs: int = 3) -> dict:
             100.0 * (walls[-1] - best) / max(best, 1e-9), 1
         ),
         "rows_per_sec": round(rows / max(best, 1e-9), 1),
+        "wall_sec_runs": all_walls,
         "errors": errors,
     }
 
@@ -269,11 +271,32 @@ def main() -> None:
     calib = chosen["hot"]
     calibration_reruns = len(passes) - 1
 
+    # Measurement fix (r13, documented in OPTIMIZATION_r13.md): the import
+    # bench runs AFTER 19 queries x 6 runs whose bodies persist frames the
+    # session never released — by this point the block manager holds every
+    # query's leaked cache entries, so the import fleet was timed under
+    # unrelated storage-memory pressure (the r12 driver artifact read the
+    # import at 0.47x of the builder's fresh-session numbers). Release the
+    # tracked query caches and clear the CacheManager BEFORE the import
+    # window so import_rows_per_sec measures the import path, not the
+    # leftovers; no query timing above is affected (they are all done).
+    # A calibration anchor now rides the import window too: the pass
+    # anchors above bracket the QUERY pass only, so a host-contention
+    # window landing on the import was previously invisible.
+    from cartodb_importer_spark.caching import release_tracked_caches
+
+    released = release_tracked_caches()
+    spark.catalog.clearCache()
+    import_calib_pre = host_calibration()
     # end-to-end importer throughput, min-of-3 (each run cold on a fresh
     # warehouse; inference/sniffing cost is part of the job)
     imp = run_import_bench(
         spark, n_runs=int(os.environ.get("SPARK_GRAFT_IMPORT_RUNS", "3"))
     )
+    import_calib_post = host_calibration()
+    imp["calib_pre"] = import_calib_pre
+    imp["calib_post"] = import_calib_post
+    imp["released_query_caches"] = released
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked
 from .textstats import words
 
 
@@ -237,7 +238,8 @@ def minhash_candidate_pairs(
         "val",
         F.count(F.lit(1)).over(w).alias("__bn"),
         F.min(id_col).over(w).alias("__rep"),
-    ).persist()
+    )
+    annotated = tracked(annotated.persist())
     # Spread the bucket rows across the cluster before the self-join:
     # the join's OUTPUT is quadratic per bucket (1.2M pairs from 20k
     # bucket rows at sf0.1) while its input is a few hundred KB, so AQE
@@ -288,7 +290,7 @@ def _hashed_shingle_frame(
             id_col,
             F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh"),
         )
-    return sh.persist()
+    return tracked(sh.persist())
 
 
 def _candidate_shingle_join(

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked
 from . import Tables, query
 
 #: Giant-basket guard (r09 skew rehearsal): pair generation is QUADRATIC
@@ -189,14 +190,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the persist the basket aggregate + double explode + distinct
     # pipeline runs once per consumer; deg is read three times (the wedge
     # join, the rank-vector init, the final degree join) plus the count.
-    pairs = _copurchase_pairs(t).persist()
+    pairs = tracked(_copurchase_pairs(t).persist())
     edges = _symmetric_edges(pairs)
-    deg = (
+    deg = tracked(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     )
     # contribution weight folded into the edge list once: src -> dst with
     # weight 1/outdeg(src); 5 iterations reuse this one persisted relation
-    wedges = (
+    wedges = tracked(
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .persist()
@@ -259,13 +260,13 @@ def _degree_and_triangle_counts(t: Tables):
     so the id-ordered SQL oracle enumeration matches."""
     # persisted: read three times (degree count, then the orientation
     # join's two sides) and expensive to rebuild
-    pairs = _copurchase_pairs(t).persist()
+    pairs = tracked(_copurchase_pairs(t).persist())
     # undirected degree per node: ONE cached-pairs scan via explode
     # instead of a two-branch union (guide §2.4 — same aggregate, half
     # the input traffic), and persisted because three consumers read it
     # (the orientation join's src and dst sides plus the caller's final
     # degree join) — each would otherwise repay the aggregation shuffle.
-    deg = (
+    deg = tracked(
         pairs.select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -291,7 +292,8 @@ def _degree_and_triangle_counts(t: Tables):
     directed = keyed.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    ).repartition(n_part, "u").persist()
+    ).repartition(n_part, "u")
+    directed = tracked(directed.persist())
     # forward adjacency rides directed's (u) partitioning — no exchange;
     # list not set: directed pairs are already distinct
     adj = directed.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
@@ -483,11 +485,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise pairs anyway; the cap makes the join linear in edges instead
     of quadratic in hub degree, and the oracle applies the same cap)."""
     t = Tables(spark, sf_dir)
-    pairs = _copurchase_pairs(t).persist()
+    pairs = tracked(_copurchase_pairs(t).persist())
     edges = _symmetric_edges(pairs)
     # persisted (r12-opt): three consumers (the hub cap filter plus the
     # da/dc scoring joins) each re-ran the explode+aggregate otherwise
-    deg = (
+    deg = tracked(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     )
     mid = (
@@ -590,20 +592,26 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason production BFS caps k rather than iterating to fixpoint)."""
     t = Tables(spark, sf_dir)
     pairs = _copurchase_pairs(t)
-    edges = _symmetric_edges(pairs).persist()
-    # persisted (r12-opt, guide §2.4): each hop's frontier has THREE
-    # downstream consumers (its output layer in the final union, the
-    # growing visited set feeding every later hop's anti-join, and the
-    # next hop's expansion join) — without the persist hop 1's whole
-    # join+distinct+anti pipeline re-evaluates ~4x inside the one final
-    # job. The frames are frontier-sized (bounded by the k-hop ball),
-    # so caching them is the textbook BSP frontier pattern.
-    seed = edges.agg(F.min("src").alias("node")).persist()
+    edges = tracked(_symmetric_edges(pairs).persist())
+    # seed: one-row aggregate, persisted because hop 1's expansion join,
+    # the visited anti-joins AND the output layer all read it (ADVICE
+    # r12: the frontier rationale lives on nxt below, where it applies)
+    seed = tracked(edges.agg(F.min("src").alias("node")).persist())
     layers = [seed.select("node", F.lit(0).alias("hop"))]
     visited = seed.select("node")
     frontier = seed.select("node")
     for hop in (1, 2, 3):
-        nxt = (
+        # persisted (r12-opt, guide §2.4): each hop's frontier has THREE
+        # downstream consumers (its output layer in the final union, the
+        # growing visited set feeding every later hop's anti-join, and
+        # the next hop's expansion join) — without the persist hop 1's
+        # whole join+distinct+anti pipeline re-evaluates ~4x inside the
+        # one final job. The frames are frontier-sized (bounded by the
+        # k-hop ball), so caching them is the textbook BSP frontier
+        # pattern; tracked() lets sweep callers release them after the
+        # consuming action (they must outlive this function — the hop
+        # union is only evaluated by the caller's action).
+        nxt = tracked(
             edges.join(
                 frontier.withColumnRenamed("node", "src"), "src"
             )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked
 from ..llm import dedup as D
 from ..llm import similarity as S
 from ..llm import textstats as T
@@ -894,6 +895,7 @@ def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", D.simhash16(F.col("text")).alias("simhash")
     ).persist()
+    sig = tracked(sig)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
     return (
@@ -2412,9 +2414,9 @@ def _dsir_scored(t: Tables) -> DataFrame:
     # Persisted: three consumers (global bucket table, token totals via it,
     # and the scoring join) — without persist each branch re-scans and
     # re-explodes the full corpus (measured 6 scans at sf0.001).
-    doc_b = toks.groupBy("doc_id", "is_tgt", "bucket").agg(
+    doc_b = tracked(toks.groupBy("doc_id", "is_tgt", "bucket").agg(
         F.count(F.lit(1)).alias("n")
-    ).persist()
+    ).persist())
     glob = doc_b.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(0)).alias("tn"),
         F.sum(F.when(~F.col("is_tgt"), F.col("n")).otherwise(0)).alias("rn"),
@@ -2830,7 +2832,9 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: BOTH attach joins (id_a and id_b sides) read the
     # signature frame — unpersisted, the shingle+md5 signature pipeline
     # evaluates once per side
-    sig = D.minhash_signature(t.documents, bands=_P_BANDS, n=2).persist()
+    sig = tracked(
+        D.minhash_signature(t.documents, bands=_P_BANDS, n=2).persist()
+    )
     ga = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh_{b}").alias(f"a_{b}") for b in range(_P_BANDS)],
@@ -3294,6 +3298,7 @@ def llm_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("embedding"), lambda v: v.cast("double"))
         ).alias("dim", "x"),
     ).persist()
+    x = tracked(x)
     cent = x.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster"),
         "dim",
@@ -3351,7 +3356,9 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t.embeddings
     # zero-norm vectors get NULL nvec (row-preserving contract) — they
     # cannot be quantized, so exclude them from codebook training here
-    normed = S.l2_normalize(emb).filter(F.col("nvec").isNotNull()).persist()
+    normed = tracked(
+        S.l2_normalize(emb).filter(F.col("nvec").isNotNull()).persist()
+    )
     books = S.train_pq_codebooks(normed, m=4, k=16)
     codes = S.assign_pq_codes(normed, books).select(
         "vec_id", *[f"pq_{j}" for j in range(4)]
@@ -3698,7 +3705,7 @@ def llm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection both consume the LM frame — unpersisted, the whole
     # bigram-LM pipeline (tokenize, bigram aggregates, scoring joins)
     # evaluates twice per run
-    lm = (
+    lm = tracked(
         _bigram_lm_frame(t)
         .select("doc_id", F.col("lm_score").alias("lm"))
         .persist()
@@ -4147,7 +4154,7 @@ def llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join sides and the size table) would otherwise each re-scan and
     re-explode the full corpus — measured 4 scans unpersisted."""
     t = Tables(spark, sf_dir)
-    sv = (
+    sv = tracked(
         t.documents.select(
             "source", F.explode(T.words(F.col("text"))).alias("token")
         )

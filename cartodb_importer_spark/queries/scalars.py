@@ -11,6 +11,18 @@ from pyspark.sql import functions as F
 
 from . import Tables, query
 
+#: Definitely-invalid pre-guard for string->int try_cast (r12): admits a
+#: SUPERSET of every string Spark's UTF8String.toInt grammar could accept
+#: (any amount of <= 0x20 lead trim, optional sign, then a digit), so
+#: guarded try_cast is value-identical to the bare one while the per-row
+#: JVM throw/catch never fires on definitely-non-numeric rows. The guard
+#: COUPLES to Spark's cast grammar (VERDICT r12 item 4): a version bump
+#: that widened the grammar (e.g. accepting unicode digits) would
+#: silently diverge — tests/test_try_cast_guard.py re-derives equivalence
+#: against the live engine on an adversarial + seeded-random corpus every
+#: run, so the pin fails loudly instead.
+TRY_INT_GUARD_RX = "^[\\x00- ]*[+-]?[0-9]"
+
 
 @query(
     "scalar_select_rename",
@@ -522,7 +534,7 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
             "price_per_disc"
         ),
-        F.when(flag.rlike("^[\\x00- ]*[+-]?[0-9]"), flag.try_cast("int"))
+        F.when(flag.rlike(TRY_INT_GUARD_RX), flag.try_cast("int"))
         .otherwise(F.lit(None).cast("int"))
         .alias("flag_int"),
         F.col("l_linenumber").cast("string").try_cast("int").alias(

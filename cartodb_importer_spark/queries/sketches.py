@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sketches as SK
+from ..caching import tracked
 from . import Tables, query
 
 _DEPTH = 4
@@ -390,10 +391,10 @@ def agg_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = Tables(spark, sf_dir)
-    groups = qdigest_build(
+    groups = tracked(qdigest_build(
         t.orders, "o_orderpriority", "o_totalprice", k=_QD_K,
         tiebreak_col="o_orderkey",
-    ).persist()
+    ).persist())
     digest = groups.unionByName(qdigest_merge(groups, k=_QD_K))
     est = qdigest_quantiles(digest, _QD_BPS)
 

@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("RUNS", "5"))
+#: RELEASE=1 unpersists each query's tracked caches after its LAST timed
+#: run (r13, VERDICT r12 item 2): a multi-query sweep session then holds
+#: only the in-flight query's caches instead of every prior query's.
+#: Off by default so single-query A/Bs stay comparable to r12 artifacts.
+RELEASE = os.environ.get("RELEASE", "0") == "1"
 
 
 def main() -> int:
@@ -43,6 +48,10 @@ def main() -> int:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         runs.sort()
+        if RELEASE:
+            from cartodb_importer_spark.caching import release_tracked_caches
+
+            release_tracked_caches()
         print(
             f"{name:35s} min={runs[0]:7.3f} med={statistics.median(runs):7.3f}"
             f" max={runs[-1]:7.3f} cold={cold:7.3f}  (n={RUNS}, {SF_DIR})"

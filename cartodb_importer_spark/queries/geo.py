@@ -12,6 +12,23 @@ from ..functions.geo import bbox_contains, haversine_km, st_point, st_x, st_y
 from . import Tables, query
 
 
+def _spread_polygon_rows(box: DataFrame, key: str = "l_orderkey") -> DataFrame:
+    """Re-establish compute parallelism between the bbox aggregate and the
+    WKT build/parse/ring math (r13, guide §2.5 — parallelism must follow
+    the WORK, not the bytes): the per-order bbox frame is ~40 bytes/row,
+    so AQE coalesces the aggregate's output to a couple of partitions
+    (measured 2 at sf0.1) and the downstream per-row format+regex+fold
+    CPU — ~16us/row, 2.5 of geo_polygon_metrics' 4.4 s — serializes onto
+    2 of 32 cores. An explicit hash repartition on the SAME group key
+    moves only the five narrow columns and spreads the row-proportional
+    CPU across the cluster; 2x defaultParallelism tracks executor width
+    (the r12 directed-edges/bucket-spread rule), never a local constant.
+    At 100 TB the exchange stays negligible relative to the per-row parse
+    it parallelizes (narrow rows in, CPU-dense rows out)."""
+    n = 2 * box.sparkSession.sparkContext.defaultParallelism
+    return box.repartition(n, F.col(key))
+
+
 @query(
     "geo_point_accessors",
     oracle="""
@@ -143,7 +160,7 @@ def geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     box = box.filter(
         (F.col("xmax") > F.col("xmin")) & (F.col("ymax") > F.col("ymin"))
     )
-    g = box.select(
+    g = _spread_polygon_rows(box).select(
         "l_orderkey",
         st_polygon(
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
@@ -310,7 +327,7 @@ def geo_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("l_discount") * 800 - 40).alias("ymin"),
         (F.max("l_discount") * 800 - 40).alias("ymax"),
     ).filter((F.col("xmax") > F.col("xmin")) & (F.col("ymax") > F.col("ymin")))
-    g = box.select(
+    g = _spread_polygon_rows(box).select(
         "l_orderkey",
         st_polygon(
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")

@@ -44,9 +44,20 @@ def _spread_polygon_rows(box: DataFrame, key: str = "l_orderkey") -> DataFrame:
     """,
 )
 def geo_point_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st_x/st_y round-trip through WKT text built by st_point."""
+    """st_x/st_y round-trip through WKT text built by st_point.
+
+    The narrow projection is conditionally spread before the WKT
+    round-trip (r13): the sf0.1 lineitem file is one row group -> one
+    scan partition, so the 600k-row format+regex work ran on a single
+    core; at 100 TB the scan splits naturally and the spread is a no-op
+    (the r12 _spread_narrow_scan rule, guide §2.5)."""
+    from ..llm.dedup import _spread_narrow_scan
+
     t = Tables(spark, sf_dir)
-    g = t.lineitem.select(
+    g = _spread_narrow_scan(
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_tax", "l_discount"),
+        "l_orderkey",
+    ).select(
         "l_orderkey",
         "l_linenumber",
         st_point(F.col("l_tax"), F.col("l_discount")).alias("the_geom"),
@@ -72,6 +83,11 @@ def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounding-box containment over WKT points (the spatial-index-free
     filter; at scale, pair with write-time partitioning on a geohash)."""
     t = Tables(spark, sf_dir)
+    # r13 measured NEGATIVE: the conditional scan spread that wins on
+    # geo_point_accessors (1.36 -> 0.66 s) makes THIS query ~10% slower
+    # (interleaved A/B: 2.62 vs 2.89 s min) — the filter keeps the
+    # exchange from paying for itself. Left on the fused single-stage
+    # scan form.
     g = t.lineitem.select(
         "l_orderkey",
         "l_linenumber",

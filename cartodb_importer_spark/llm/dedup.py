@@ -662,11 +662,53 @@ def _cc_round(edges: DataFrame, labels: DataFrame, jump: bool) -> DataFrame:
     return stepped
 
 
+#: Edge count at or below which connected_components solves the graph
+#: with a driver-side union-find over the (already materialized) edge
+#: list instead of BSP rounds. Like autoBroadcastJoinThreshold this is a
+#: DRIVER-MEMORY bound, not a cluster-size tunable: 200k symmetric edges
+#: collect to a few MB. The BSP path is byte-for-byte unchanged above
+#: the threshold — at 100 TB the edge list never fits and every round
+#: still iterates as shuffles.
+CC_DRIVER_EDGE_THRESHOLD = int(
+    __import__("os").environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000")
+)
+
+
+def _driver_union_find(rows):
+    """Min-id union-find over collected (src, dst) rows: component =
+    smallest reachable id, exactly the BSP fixpoint. Path-halving +
+    union-by-min keeps it near-linear; deterministic for any orderable
+    id type."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in rows:
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by MIN id so every root is its component's minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components over a similarity-pair edge list: returns
     (id, component) where component is the smallest id reachable from id.
@@ -724,6 +766,37 @@ def connected_components(
         # frames instead of paying a dedicated edges pass first.
         .localCheckpoint(eager=False)
     )
+    # Small-graph fast path (r13): the convergence loop's cost at low
+    # edge counts is pure per-round JOB overhead (each round = a lazy
+    # checkpoint + joins + one aggregate action over a frame of a few
+    # hundred rows — measured 1.4 s of llm_dedup_keep_best's 4.2 s at
+    # sf0.1 for 2 rounds). One count() materializes the checkpointed
+    # edge list (the same single evaluation of the upstream verify
+    # pipeline the labels checkpoint used to pay); if the graph fits the
+    # driver bound, a union-find over the collected edges produces the
+    # IDENTICAL (id, min-reachable-id) labels with zero further jobs.
+    # Above the bound nothing changes: same rounds, same plans.
+    thresh = (
+        CC_DRIVER_EDGE_THRESHOLD
+        if driver_edge_threshold is None
+        else driver_edge_threshold
+    )
+    n_edges = edges.count()
+    if n_edges <= thresh:
+        from pyspark.sql import types as _st
+
+        id_type = edges.schema["src"].dataType
+        spark = pairs.sparkSession
+        labeled = _driver_union_find(
+            (r["src"], r["dst"]) for r in edges.collect()
+        )
+        schema = _st.StructType(
+            [
+                _st.StructField("id", id_type),
+                _st.StructField("component", id_type),
+            ]
+        )
+        return spark.createDataFrame(labeled, schema)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -132,9 +132,48 @@ def test_connected_components_deep_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    out = D.connected_components(pairs).collect()
+    # driver_edge_threshold=0 forces the BSP rounds — the r13 small-graph
+    # union-find path would otherwise solve this driver-side and stop
+    # exercising the pointer jump this test exists to pin
+    out = D.connected_components(pairs, driver_edge_threshold=0).collect()
     assert len(out) == n + 1
     assert all(r["component"] == 0 for r in out)
+
+
+def test_connected_components_driver_path_matches_bsp(spark):
+    """The r13 small-graph union-find fast path must label EXACTLY like
+    the BSP rounds: random multi-component graph with chains, cliques,
+    self-contained pairs and id gaps, compared label-for-label."""
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    # 12 chains over a sparse id space + a clique + duplicate edges
+    for c in range(12):
+        base = rng.randrange(0, 100000)
+        ids = [base + rng.randrange(0, 500) for _ in range(rng.randint(2, 9))]
+        for a, b in zip(ids, ids[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    clique = [rng.randrange(200000, 200050) for _ in range(6)]
+    for i, a in enumerate(clique):
+        for b in clique[i + 1:]:
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        sorted(edges), "id_a long, id_b long"
+    )
+    driver = {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    bsp = {
+        r["id"]: r["component"]
+        for r in D.connected_components(
+            pairs, driver_edge_threshold=0
+        ).collect()
+    }
+    assert driver == bsp
 
 
 def test_dedup_components_keeps_one_per_cluster(spark):
